@@ -1,0 +1,2 @@
+from fastembed_rs_spark.operators.topk import cosine_top_k  # noqa: F401
+from fastembed_rs_spark.operators.rerank import rerank  # noqa: F401

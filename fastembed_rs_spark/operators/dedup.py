@@ -1,0 +1,293 @@
+"""Deduplication family for large-scale training-data pipelines.
+
+Beyond-reference operators (the reference has no dedup; its similarity
+primitives are the building blocks — src/similarity.rs). All variants are
+deterministic integer math shared with the DuckDB oracle.
+
+* exact_dedup          — content fingerprint groupBy (one shuffle)
+* minhash_signatures   — k minhashes over char-shingles (explode + groupBy min,
+                         map-side combined)
+* lsh_candidate_pairs  — banding self-join: pairs sharing ≥1 band bucket
+* verify_jaccard       — exact shingle-set Jaccard on candidates only
+* simhash / simhash_near_pairs — 32-bit simhash + banded Hamming search
+* embedding_near_dups  — cosine threshold pairs (brute force; IVF variant via
+                         operators.topk for scale)
+
+Scale notes: minhash-LSH is the canonical 100 TB near-dedup: the only O(n²)
+step is within LSH buckets, and band keys are uniform hashes → skew-safe.
+The self-joins are equi-joins on band keys (shuffle hash join), never cross
+joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fastembed_rs_spark.functions.text import (
+    HASH_MOD,
+    char_shingles,
+    doc_fingerprint,
+    token_hash,
+)
+from fastembed_rs_spark.functions.vector import cosine_similarity
+
+# Deterministic affine minhash coefficients h_i(x) = (a_i*x + b_i) % HASH_MOD.
+# Fixed constants (generated once from a seeded PRNG) shared verbatim with the
+# DuckDB oracle SQL — do not change without regenerating goldens.
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (472882049, 126271657), (943717373, 551256381), (173292223, 904616887),
+    (651153461, 280554277), (782595817, 127710709), (341563193, 539543327),
+    (617723303, 835490411), (438791951, 66849239), (916091345, 720867169),
+    (253755323, 417521297), (568397521, 943246147), (104730817, 632039213),
+    (835621553, 45377981), (377542619, 269954393), (721390877, 508221761),
+    (196724689, 881126489),
+]
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group documents by token-stream fingerprint; one row per distinct
+    content: (fingerprint, n_docs, canonical_id = min id)."""
+    return (
+        df.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def shingle_hashes(text: Column | str, k: int = 5) -> Column:
+    """array<long>: distinct rolling hashes of the k-char shingle set."""
+    return F.transform(F.array_distinct(char_shingles(text, k)), lambda s: token_hash(s))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k_shingle: int = 5,
+    num_hashes: int = len(MINHASH_COEFFS),
+) -> DataFrame:
+    """(id, mh_0..mh_{n-1}): min over the shingle set of each affine hash.
+
+    Implemented as explode → groupBy(id).agg(min(...) × n): a single shuffle
+    with map-side partial mins, the shape that scales.
+    Documents with no shingles (len(text) < k) get no row.
+    """
+    coeffs = MINHASH_COEFFS[:num_hashes]
+    # Repartition before the shingle explosion: test tables are single-row-
+    # group parquet (1 scan task), and the rolling-hash work is the heavy
+    # per-row stage — spread it across the cluster first.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    exploded = df.select(F.col(id_col), F.col(text_col)).repartition(parallelism).select(
+        F.col(id_col), F.explode(shingle_hashes(text_col, k_shingle)).alias("sh")
+    )
+    aggs = [
+        F.min((F.col("sh") * F.lit(a) + F.lit(b)) % F.lit(HASH_MOD)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, bands: int = 4, rows_per_band: int = 4,
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs whose signatures agree on ≥1 full band.
+
+    Band key = concat of the band's minhashes; the self-join is an equi-join
+    on (band_idx, band_key) — shuffle-partitioned by uniform hash values, so
+    no skew hot-spots at scale.
+    """
+    banded = signatures.select(
+        F.col(id_col).alias("__id"),
+        *[
+            F.concat_ws(
+                "_", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ],
+    )
+    stacked = banded.select(
+        "__id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_key"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("__id", "bk.band_idx", "bk.band_key")
+    left = stacked.alias("l")
+    right = stacked.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_idx") == F.col("r.band_idx"),
+                F.col("l.band_key") == F.col("r.band_key"),
+                F.col("l.__id") < F.col("r.__id"),
+            ],
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_shingles(a_text: Column, b_text: Column, k: int = 5) -> Column:
+    """Exact Jaccard of distinct k-shingle sets, DOUBLE, 0.0 when both empty.
+
+    Intersection via ``array_intersect`` (hash-set based, O(n)) — a
+    filter+contains formulation is O(n²) interpreted-lambda string compares
+    per pair, measured ~100× slower. Union by inclusion-exclusion. Mirrors
+    the DuckDB oracle's ``list_intersect``."""
+    sa = F.array_distinct(char_shingles(a_text, k))
+    sb = F.array_distinct(char_shingles(b_text, k))
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(sa).cast("double") + F.size(sb).cast("double") - inter
+    return F.when(union == 0.0, F.lit(0.0)).otherwise(inter / union)
+
+
+def verify_candidates(
+    candidates: DataFrame, docs: DataFrame, id_col: str, text_col: str,
+    k_shingle: int = 5, threshold: float = 0.8, round_to: int = 6,
+) -> DataFrame:
+    """Join candidate pairs back to texts and keep pairs with exact shingle
+    Jaccard ≥ threshold: (id_a, id_b, jaccard).
+
+    The candidate set is repartitioned before the Jaccard projection: the
+    pair table is tiny in bytes, so AQE would otherwise coalesce it to one
+    partition and serialize the expensive per-pair set math."""
+    d = docs.select(F.col(id_col), F.col(text_col))
+    parallelism = candidates.sparkSession.sparkContext.defaultParallelism
+    out = (
+        candidates.repartition(parallelism)
+        .join(d.withColumnsRenamed({id_col: "id_a", text_col: "__ta"}), on="id_a")
+        .join(d.withColumnsRenamed({id_col: "id_b", text_col: "__tb"}), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.round(jaccard_shingles(F.col("__ta"), F.col("__tb"), k_shingle), round_to),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def _exact_bit(h: Column, p: int) -> Column:
+    """bit of `h` at power-of-two `p`, as exact integer math: both operands of
+    the division are < 2^53 and the quotient is an integer, so the double
+    division is exact — identical on Spark and DuckDB (``(h - h%p)/p % 2``).
+    Avoids engine-specific shift operators and inexact floor(h/p)."""
+    return (((h - (h % F.lit(p))) / F.lit(p)).cast("long")) % 2
+
+
+def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
+    """Classic simhash over the token multiset: bit j is set iff
+    Σ_tokens (bit_j(hash(tok)) ? +1 : -1) > 0. 0 for token-less docs.
+
+    Single-pass shape: ONE aggregate over the token hashes carrying an
+    array<long> of per-bit ±1 balances (token_hashes is evaluated once — a
+    per-bit loop would inline the rolling hash `bits`× into the plan).
+    Bit extraction is floor(h / 2^j) % 2 in exact double math (h < 2^30).
+    """
+    from fastembed_rs_spark.functions.text import token_hashes
+
+    hs = token_hashes(text)
+    js = F.sequence(F.lit(0), F.lit(bits - 1))
+
+    def bitvec(h: Column) -> Column:
+        # per-bit contribution ±1 of one token hash
+        return F.transform(
+            js,
+            lambda j: (F.floor(h / F.pow(F.lit(2.0), j.cast("double"))).cast("long") % 2)
+            * 2 - 1,
+        )
+
+    balances = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda a, h: F.zip_with(a, bitvec(h), lambda x, y: x + y),
+    )
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    signed = F.zip_with(
+        balances, powers, lambda bal, p: F.when(bal > 0, p).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _exact_bit_slice(h: Column, p: int, width: int) -> Column:
+    """(h div p) mod width via exact arithmetic (see _exact_bit)."""
+    return (((h - (h % F.lit(p))) / F.lit(p)).cast("long")) % F.lit(width)
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, simhash_col: str = "simhash",
+    max_hamming: int = 3, bands: int = 4, bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Banded Hamming search: split the simhash into ``bands`` equal bit
+    slices; by pigeonhole, any pair within Hamming distance < bands shares at
+    least one identical slice → equi-join on (band_idx, slice value), then
+    exact Hamming ≤ max_hamming filter. Output (id_a, id_b, hamming)."""
+    slice_bits = bits // bands
+    base = df.select(F.col(id_col).alias("__id"), F.col(simhash_col).alias("__sh"))
+    stacked = base.select(
+        "__id", "__sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    (_exact_bit_slice(F.col("__sh"), 1 << (b * slice_bits), 1 << slice_bits))
+                    .alias("band_val"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("__id", "__sh", "bk.band_idx", "bk.band_val")
+    l, r = stacked.alias("l"), stacked.alias("r")
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band_idx") == F.col("r.band_idx"),
+                F.col("l.band_val") == F.col("r.band_val"),
+                F.col("l.__id") < F.col("r.__id"),
+            ],
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.__sh").alias("sh_a"),
+            F.col("r.__sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95, round_to: int = 6,
+) -> DataFrame:
+    """Brute-force cosine near-duplicate pairs (id_a < id_b, score ≥ threshold).
+
+    O(n²) — the correctness baseline; at scale route through
+    ``operators.topk.assign_ivf_buckets`` and only compare within buckets.
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(cosine_similarity("__va", "__vb"), round_to))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )

@@ -1,0 +1,375 @@
+"""Model-backed embedding operators: Arrow-batched ``mapInPandas`` pipelines.
+
+The Spark translation of the reference's embed paths:
+
+* ``embed_text``   — tokenize → forward → output-select → pool → L2-normalize
+                     (src/text_embedding/impl.rs:322-449, src/pooling.rs)
+* ``embed_sparse`` — SPLADE post-process log(1+relu)·mask → seq-max → positive
+                     (index,value) pairs (src/sparse_text_embedding/impl.rs:225-254)
+* ``embed_bgem3``  — joint dense/sparse/colbert triple
+                     (src/bgem3_embedding/impl.rs:149-303)
+* ``embed_image``  — decode → preprocess → tower → normalize
+                     (src/image_embedding/impl.rs:119-269)
+* ``rerank_score`` — cross-encoder (query, doc) pair scoring
+                     (src/reranking/impl.rs:109-196)
+
+Physical shape: one ``mapInPandas`` stage; each Arrow batch is re-chunked to
+``batch_size`` (reference DEFAULT_BATCH_SIZE=256) and fed to the per-worker
+session singleton (models.runtime). Everything upstream/downstream stays
+JVM-side. The dynamic-quantization single-batch constraint
+(src/text_embedding/impl.rs:330-349) is enforced at plan-build time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from fastembed_rs_spark.models.registry import (
+    POOL_CLS,
+    POOL_LAST_TOKEN,
+    POOL_MEAN,
+    QUANT_DYNAMIC,
+    get_model_spec,
+)
+from fastembed_rs_spark.session import DEFAULT_BATCH_SIZE
+
+NORM_EPS = 1e-12  # reference normalize() epsilon (src/common.rs:163)
+
+# output tensor selection precedence (src/text_embedding/output.rs:13-20)
+OUTPUT_PRECEDENCE = ("text_embeds", "last_hidden_state", "sentence_embedding", "image_embeds")
+
+
+class DynamicQuantizationError(ValueError):
+    """Models quantized dynamically calibrate per batch; splitting input into
+    batches/partitions yields incomparable embeddings. The reference refuses
+    batch_size < len (src/text_embedding/impl.rs:330-349); on Spark the input
+    must be coalesced to a single partition and embedded as one batch."""
+
+
+def select_output(outputs: dict[str, np.ndarray], output_key: str | None) -> np.ndarray:
+    """Pick the output tensor: explicit key, else single output, else
+    precedence order (src/output/embedding_output.rs:22-50)."""
+    if output_key is not None:
+        return outputs[output_key]
+    if len(outputs) == 1:
+        return next(iter(outputs.values()))
+    for k in OUTPUT_PRECEDENCE:
+        if k in outputs:
+            return outputs[k]
+    raise KeyError(f"no usable output among {list(outputs)}")
+
+
+def pool(hidden: np.ndarray, mask: np.ndarray, strategy: str) -> np.ndarray:
+    """(B,T,H) + (B,T) → (B,H). 2-D inputs pass through (already pooled —
+    src/pooling.rs:22, image path src/image_embedding/impl.rs:234-266)."""
+    if hidden.ndim == 2:
+        return hidden
+    if strategy == POOL_CLS:
+        return hidden[:, 0, :]  # src/pooling.rs:18-27
+    if strategy == POOL_MEAN:
+        m = mask[..., None].astype(hidden.dtype)  # src/pooling.rs:34-76
+        summed = (hidden * m).sum(axis=1)
+        counts = np.maximum(m.sum(axis=1), 1.0)  # clamp like mask_sum≥1 (pooling.rs:73-74)
+        return summed / counts
+    if strategy == POOL_LAST_TOKEN:
+        # generic variant: index of last mask==1 per row (src/models/qwen3.rs:158-174)
+        last = mask.shape[1] - 1 - np.argmax(mask[:, ::-1], axis=1)
+        return hidden[np.arange(hidden.shape[0]), last]
+    raise ValueError(f"unknown pooling {strategy!r}")
+
+
+def l2n(x: np.ndarray) -> np.ndarray:
+    """Row-wise L2 normalize with the reference epsilon (src/common.rs:159-165)."""
+    return x / (np.linalg.norm(x, axis=-1, keepdims=True) + NORM_EPS)
+
+
+def _encode(tokenizer, texts: list[str]):
+    """StubTokenizer or HF tokenizers → (input_ids, attention_mask) int64."""
+    if hasattr(tokenizer, "encode_batch") and hasattr(tokenizer, "token_ids"):
+        return tokenizer.encode_batch(texts)
+    encs = tokenizer.encode_batch(texts)  # HF tokenizers path
+    T = max(len(e.ids) for e in encs)
+    ids = np.zeros((len(encs), T), dtype=np.int64)
+    mask = np.zeros((len(encs), T), dtype=np.int64)
+    for i, e in enumerate(encs):
+        ids[i, : len(e.ids)] = e.ids
+        mask[i, : len(e.attention_ids if hasattr(e, "attention_ids") else e.attention_mask)] = (
+            e.attention_mask
+        )
+    return ids, mask
+
+
+def _run(session, feeds: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    out = session.run(None, feeds)
+    if isinstance(out, dict):
+        return out
+    return dict(zip([o.name for o in session.get_outputs()], out))
+
+
+def _chunks(pdf: pd.DataFrame, n: int) -> Iterator[pd.DataFrame]:
+    for start in range(0, len(pdf), n):
+        yield pdf.iloc[start : start + n]
+
+
+def _with_schema(df: DataFrame, extra_ddl: str) -> StructType:
+    return StructType(df.schema.fields + StructType.fromDDL(extra_ddl).fields)
+
+
+def _enforce_quant_constraint(df: DataFrame, spec) -> DataFrame:
+    if spec.quantization == QUANT_DYNAMIC:
+        if df.rdd.getNumPartitions() > 1:
+            raise DynamicQuantizationError(
+                f"model {spec.name!r} is dynamically quantized: embeddings are only "
+                "comparable within one calibration batch. coalesce(1) the input "
+                "explicitly (and use batch_size >= row count) to accept the "
+                "single-batch cost, per src/text_embedding/impl.rs:330-349."
+            )
+    return df
+
+
+def embed_text(
+    df: DataFrame,
+    text_col: str = "text",
+    model: str = "stub-dense-mean",
+    out_col: str = "embedding",
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> DataFrame:
+    """Append ``out_col array<float>`` — dense, pooled, L2-normalized."""
+    spec = get_model_spec(model)
+    df = _enforce_quant_constraint(df, spec)
+    out_schema = _with_schema(df, f"{out_col} array<float>")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fastembed_rs_spark.models.runtime import get_session
+
+        tokenizer, session = get_session(model)
+        for pdf in batches:
+            for chunk in _chunks(pdf, batch_size):
+                texts = chunk[text_col].fillna("").astype(str).tolist()
+                ids, mask = _encode(tokenizer, texts)
+                outputs = _run(session, {"input_ids": ids, "attention_mask": mask})
+                hidden = select_output(outputs, spec.output_key)
+                emb = l2n(pool(hidden, mask, spec.pooling)).astype(np.float32)
+                res = chunk.copy()
+                res[out_col] = list(emb)
+                yield res
+
+    return df.mapInPandas(fn, schema=out_schema)
+
+
+def embed_sparse(
+    df: DataFrame,
+    text_col: str = "text",
+    model: str = "stub-sparse",
+    out_col: str = "sparse_embedding",
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> DataFrame:
+    """Append ``out_col struct<indices array<int>, values array<float>>`` —
+    SPLADE post-processing: relu → log1p → ·mask → max over sequence → keep
+    strictly positive pairs, indices ascending
+    (src/sparse_text_embedding/impl.rs:225-254)."""
+    spec = get_model_spec(model)
+    df = _enforce_quant_constraint(df, spec)
+    out_schema = _with_schema(df, f"{out_col} struct<indices: array<int>, values: array<float>>")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fastembed_rs_spark.models.runtime import get_session
+
+        tokenizer, session = get_session(model)
+        for pdf in batches:
+            for chunk in _chunks(pdf, batch_size):
+                texts = chunk[text_col].fillna("").astype(str).tolist()
+                ids, mask = _encode(tokenizer, texts)
+                logits = _run(session, {"input_ids": ids, "attention_mask": mask})["logits"]
+                weights = np.log1p(np.maximum(logits, 0.0)) * mask[..., None]
+                scores = weights.max(axis=1)  # (B, V) — seq-axis max (impl.rs:235)
+                rows = []
+                for r in scores:
+                    idx = np.nonzero(r > 0.0)[0]
+                    rows.append({"indices": idx.astype(np.int32).tolist(),
+                                 "values": r[idx].astype(np.float32).tolist()})
+                res = chunk.copy()
+                res[out_col] = rows
+                yield res
+
+    return df.mapInPandas(fn, schema=out_schema)
+
+
+def embed_bgem3(
+    df: DataFrame,
+    text_col: str = "text",
+    model: str = "stub-bgem3",
+    out_col: str = "bgem3",
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> DataFrame:
+    """Append the joint triple
+    ``struct<dense array<float>, sparse struct<indices,values>, colbert array<array<float>>>``
+    (src/bgem3_embedding/impl.rs:149-303): dense per row; sparse max-aggregated
+    per token id skipping special ids; colbert keeps mask==1 token vectors
+    offset by one (CLS dropped)."""
+    spec = get_model_spec(model)
+    out_schema = _with_schema(
+        df,
+        f"{out_col} struct<dense: array<float>, "
+        "sparse: struct<indices: array<int>, values: array<float>>, "
+        "colbert: array<array<float>>>",
+    )
+    special_ids = {0, 1, 2, 3}  # skipped token ids (impl.rs:264)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fastembed_rs_spark.models.runtime import get_session
+
+        tokenizer, session = get_session(model)
+        for pdf in batches:
+            for chunk in _chunks(pdf, batch_size):
+                texts = chunk[text_col].fillna("").astype(str).tolist()
+                ids, mask = _encode(tokenizer, texts)
+                out = _run(session, {"input_ids": ids, "attention_mask": mask})
+                dense = l2n(out["dense"]).astype(np.float32)
+                sparse_w = out["sparse"][..., 0]  # (B,T)
+                colbert = out["colbert"]  # (B,T-1,H)
+                rows = []
+                for i in range(len(texts)):
+                    agg: dict[int, float] = {}
+                    for t in range(ids.shape[1]):
+                        tid = int(ids[i, t])
+                        if mask[i, t] == 0 or tid in special_ids:
+                            continue
+                        w = float(sparse_w[i, t])
+                        if w > agg.get(tid, 0.0):
+                            agg[tid] = w  # max-aggregate per token id (impl.rs:289-294)
+                    idx = sorted(agg)
+                    keep = mask[i, 1:] == 1  # CLS dropped, mask filter (impl.rs:272-295)
+                    rows.append({
+                        "dense": dense[i].tolist(),
+                        "sparse": {"indices": [int(x) for x in idx],
+                                   "values": [float(agg[x]) for x in idx]},
+                        "colbert": colbert[i][keep[: colbert.shape[1]]].astype(np.float32).tolist(),
+                    })
+                res = chunk.copy()
+                res[out_col] = rows
+                yield res
+
+    return df.mapInPandas(fn, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Images
+# ---------------------------------------------------------------------------
+
+IMAGE_SIZE = 16  # stub preprocess target (real path: preprocessor_config.json)
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """Decode bytes → HWC uint8. Real decode requires PIL, which is not in
+    this container; the fallback is a **deterministic fake decode** (bytes →
+    tiled pixel grid) so the full Spark pipeline (binary column → preprocess →
+    tower → vector) is exercised end-to-end. Swap-in point for PIL is marked.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+        import io
+
+        img = Image.open(io.BytesIO(content)).convert("RGB")  # ConvertToRGB (utils.rs:33-41)
+        return np.asarray(img, dtype=np.uint8)
+    except ImportError:
+        buf = np.frombuffer(content or b"\x00", dtype=np.uint8)
+        n = IMAGE_SIZE * IMAGE_SIZE * 3
+        reps = -(-n // len(buf))
+        px = np.tile(buf, reps)[:n]
+        return px.reshape(IMAGE_SIZE, IMAGE_SIZE, 3)
+
+
+def preprocess_image(hwc: np.ndarray, size: int = IMAGE_SIZE) -> np.ndarray:
+    """Resize(nearest, deterministic) → CHW float → rescale 1/255 → normalize
+    0.5/0.5 — the Compose pipeline shape (src/image_embedding/utils.rs:169-198)."""
+    h, w, _ = hwc.shape
+    yi = (np.arange(size) * h) // size
+    xi = (np.arange(size) * w) // size
+    resized = hwc[yi][:, xi]
+    chw = resized.transpose(2, 0, 1).astype(np.float32)  # PILToNDarray (utils.rs:101-121)
+    chw *= 1.0 / 255.0  # Rescale (utils.rs:123-133)
+    return (chw - 0.5) / 0.5  # Normalize (utils.rs:135-167)
+
+
+def embed_image(
+    df: DataFrame,
+    content_col: str = "content",
+    model: str = "stub-image",
+    out_col: str = "embedding",
+    batch_size: int = 64,
+) -> DataFrame:
+    """Binary image column → ``out_col array<float>`` (L2-normalized).
+    Use ``spark.read.format('binaryFile')`` as the source for image files."""
+    spec = get_model_spec(model)
+    out_schema = _with_schema(df, f"{out_col} array<float>")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fastembed_rs_spark.models.runtime import get_session
+
+        _tok, session = get_session(model)
+        for pdf in batches:
+            for chunk in _chunks(pdf, batch_size):
+                pixels = np.stack([
+                    preprocess_image(decode_image(b if b is not None else b""))
+                    for b in chunk[content_col]
+                ])
+                out = _run(session, {"pixel_values": pixels})
+                emb = select_output(out, spec.output_key)
+                if emb.ndim == 3:
+                    emb = emb[:, 0]  # CLS-slice 3-D outputs (impl.rs:234-266)
+                res = chunk.copy()
+                res[out_col] = list(l2n(emb).astype(np.float32))
+                yield res
+
+    return df.mapInPandas(fn, schema=out_schema)
+
+
+def rerank_score(
+    pairs: DataFrame,
+    query_col: str = "query",
+    doc_col: str = "document",
+    model: str = "stub-rerank",
+    out_col: str = "score",
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> DataFrame:
+    """Append cross-encoder relevance ``score float`` for (query, doc) pairs —
+    logits[:,0] (src/reranking/impl.rs:167-180). Rank downstream with
+    operators.rerank.rerank."""
+    out_schema = _with_schema(pairs, f"{out_col} float")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fastembed_rs_spark.models.runtime import get_session
+
+        tokenizer, session = get_session(model)
+        for pdf in batches:
+            for chunk in _chunks(pdf, batch_size):
+                qs = chunk[query_col].fillna("").astype(str).tolist()
+                ds = chunk[doc_col].fillna("").astype(str).tolist()
+                # dual-sequence encoding: concat with token_type_ids segmentation
+                # (reference encodes (query, doc) pairs — impl.rs:123-127)
+                qi, qm = _encode(tokenizer, qs)
+                di, dm = _encode(tokenizer, ds)
+                B = len(qs)
+                T = qi.shape[1] + di.shape[1]
+                ids = np.concatenate([qi, di], axis=1)
+                mask = np.concatenate([qm, dm], axis=1)
+                tt = np.concatenate(
+                    [np.zeros_like(qi), np.ones_like(di)], axis=1
+                )
+                logits = _run(
+                    session,
+                    {"input_ids": ids, "attention_mask": mask, "token_type_ids": tt},
+                )["logits"]
+                res = chunk.copy()
+                res[out_col] = logits[:, 0].astype(np.float32)
+                yield res
+
+    return pairs.mapInPandas(fn, schema=out_schema)

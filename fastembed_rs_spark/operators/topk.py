@@ -1,0 +1,147 @@
+"""Similarity search operators: brute-force cosine top-k and an IVF-style
+bucketed variant for scale.
+
+Reference semantics: ``top_k(query, corpus, k)`` scores the query against every
+corpus vector, sorts desc and truncates (src/similarity.rs:31-40). In Spark
+that is a broadcast of the (small) query side against the (huge) corpus side,
+a JVM-side cosine expression, and a two-phase top-k so that only ≤ k rows per
+(query, partition) ever reach the shuffle — the corpus itself is never
+shuffled.
+
+At 100 TB the brute-force variant is the correctness baseline; ``ivf_top_k``
+is the scale path: corpus vectors are bucketed by nearest coarse centroid
+(partition-prunable), queries probe only ``nprobe`` buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from fastembed_rs_spark.functions.vector import cosine_similarity
+
+
+def _ranked_topk(scored: DataFrame, query_id: str, id_col: str, k: int,
+                 score_col: str = "score") -> DataFrame:
+    """Two-phase top-k: per-partition pre-prune, then exact global rank.
+
+    Phase 1 ranks within (query, input partition) and keeps ≤ k rows per
+    partition, so the shuffle for the exact phase carries at most
+    k·num_partitions rows per query instead of the whole corpus.
+    Ranking is deterministic: score desc, then id asc.
+    """
+    part = scored.withColumn("__pid", F.spark_partition_id())
+    w1 = Window.partitionBy(query_id, "__pid").orderBy(F.desc(score_col), F.asc(id_col))
+    pruned = (
+        part.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__pid", "__r1")
+    )
+    w2 = Window.partitionBy(query_id).orderBy(F.desc(score_col), F.asc(id_col))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_top_k(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Brute-force cosine top-k of every query against the whole corpus.
+
+    Result: (query_id, id_col, score double, rank long), rank 1 = best.
+    ``round_to`` rounds the score *before* ranking so that rankings are
+    reproducible across engines/float orders (ties broken by id asc).
+    """
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id),
+        F.col(id_col),
+        cosine_similarity(query_vec, vec_col).alias("score"),
+    )
+    if round_to is not None:
+        scored = scored.withColumn("score", F.round("score", round_to))
+    return _ranked_topk(scored, query_id, id_col, k)
+
+
+def assign_ivf_buckets(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+    round_to: int = 6,
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (max cosine).
+
+    Centroids are broadcast (they are tiny by construction); the corpus is
+    scanned once and never shuffled except the argmin window, which is keyed
+    by corpus id — at scale you'd persist the result bucketed/partitioned by
+    ``centroid_id`` so searches prune partitions.
+    Deterministic: ties on rounded score go to the lowest centroid id.
+    """
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        corpus["*"],
+        F.col(centroid_id),
+        F.round(cosine_similarity(vec_col, centroid_vec), round_to).alias("__cscore"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cscore"), F.asc(centroid_id))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__cscore")
+    )
+
+
+def ivf_top_k(
+    queries: DataFrame,
+    bucketed_corpus: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """IVF-style approximate top-k: probe only the ``nprobe`` buckets whose
+    centroids are nearest to each query, then exact cosine within them.
+
+    ``bucketed_corpus`` must carry ``centroid_id`` (see assign_ivf_buckets).
+    The probe table (queries × nprobe) is broadcast into an equi-join on
+    ``centroid_id`` — the physical plan is a broadcast hash join that touches
+    only matching buckets, which is what makes this survive 100× scale.
+    """
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            query_id,
+            query_vec,
+            centroid_id,
+            F.round(cosine_similarity(query_vec, centroid_vec), 6).alias("__pscore"),
+        )
+    )
+    wp = Window.partitionBy(query_id).orderBy(F.desc("__pscore"), F.asc(centroid_id))
+    probes = (
+        probes.withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= nprobe)
+        .select(query_id, query_vec, centroid_id)
+    )
+    scored = bucketed_corpus.join(F.broadcast(probes), on=centroid_id).select(
+        F.col(query_id),
+        F.col(id_col),
+        cosine_similarity(query_vec, vec_col).alias("score"),
+    )
+    if round_to is not None:
+        scored = scored.withColumn("score", F.round("score", round_to))
+    return _ranked_topk(scored, query_id, id_col, k)

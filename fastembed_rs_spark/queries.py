@@ -1,0 +1,843 @@
+"""Query catalog: every operator from SURVEY.md §2 wired to the driver test
+tables, each paired with its DuckDB oracle SQL.
+
+Contract (driver): each Spark callable takes (spark, sf_dir) and returns a
+DataFrame whose row set, column names and types exactly match the oracle SQL
+run by DuckDB over the same parquet files. Floats are computed in DOUBLE and
+rounded (6 decimals for unit-scale scores, 2 for money) **before ranking**,
+so rankings and hashes are reproducible across engines; ties break on ids.
+
+Model-backed (pandas-UDF) queries have no oracle — the driver records a
+rows-only check for them; their numerical semantics are covered by the unit
+tests instead (tests/test_embed_runtime.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fastembed_rs_spark.functions.text import (
+    HASH_MOD,
+    duck_doc_fingerprint,
+    duck_token_hash,
+    duck_tokens,
+)
+from fastembed_rs_spark.functions.vector import cosine_similarity, dot
+from fastembed_rs_spark.operators import dedup as D
+from fastembed_rs_spark.operators import embed_hash as EH
+from fastembed_rs_spark.operators import textstats as TS
+from fastembed_rs_spark.operators.rerank import rerank, token_overlap_score
+from fastembed_rs_spark.operators.topk import assign_ivf_buckets, cosine_top_k, ivf_top_k
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def q(name: str, oracle: str | None, description: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(spark=fn, oracle=oracle, description=description)
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragment builders (mirrors of functions.vector / functions.text)
+# ---------------------------------------------------------------------------
+
+def _dk_dot(a: str, b: str) -> str:
+    return (
+        f"coalesce(list_sum(list_transform(generate_series(1, least(len({a}), len({b}))), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), 0.0)"
+    )
+
+
+def _dk_norm(a: str) -> str:
+    return (
+        f"sqrt(coalesce(list_sum(list_transform({a}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0.0))"
+    )
+
+
+def _dk_cos(a: str, b: str) -> str:
+    return (
+        f"CASE WHEN {_dk_norm(a)} = 0.0 OR {_dk_norm(b)} = 0.0 THEN 0.0 "
+        f"ELSE {_dk_dot(a, b)} / ({_dk_norm(a)} * {_dk_norm(b)}) END"
+    )
+
+
+def _dk_shingles(s: str, k: int = 5) -> str:
+    return (
+        f"CASE WHEN length(lower({s})) >= {k} THEN "
+        f"list_transform(generate_series(1, length(lower({s})) - {k - 1}), "
+        f"i -> substr(lower({s}), i, {k})) ELSE [] END"
+    )
+
+
+# ===========================================================================
+# 1. Dense similarity family (SURVEY §2.1 rows 14-16)
+# ===========================================================================
+
+@q(
+    "cosine_topk",
+    f"""
+WITH qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT qv.query_id, e.vec_id,
+         round({_dk_cos('qv.qe', 'e.embedding')}, 6) AS score
+  FROM qv CROSS JOIN embeddings e
+)
+SELECT query_id, vec_id, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+FROM scored
+QUALIFY rank <= 10
+""",
+    "brute-force cosine top-10, 5 query vectors vs whole corpus (src/similarity.rs:31-40)",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_top_k(queries, emb, k=10, round_to=6).select(
+        "query_id", "vec_id", "score", "rank"
+    )
+
+
+@q(
+    "dot_pairs",
+    f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_dk_dot('a.embedding', 'b.embedding')}, 6) AS dot
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 20 AND b.vec_id < 20
+""",
+    "pairwise dot product (src/similarity.rs:13-16)",
+)
+def q_dot_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot("__va", "__vb"), 6).alias("dot"))
+    )
+
+
+@q(
+    "embedding_neardup",
+    f"""
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_dk_cos('a.embedding', 'b.embedding')}, 6) AS score
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+) WHERE score >= 0.4
+""",
+    "embedding-cosine near-duplicate pairs (beyond-reference dedup operator)",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_near_dups(t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+_IVF_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         round({_dk_cos('e.embedding', 'c.ce')}, 6) AS cscore
+  FROM embeddings e CROSS JOIN cent c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY cscore DESC, c.centroid_id ASC) = 1
+),
+qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+probes AS (
+  SELECT qv.query_id, qv.qe, c.centroid_id,
+         round({_dk_cos('qv.qe', 'c.ce')}, 6) AS pscore
+  FROM qv CROSS JOIN cent c
+  QUALIFY row_number() OVER (PARTITION BY qv.query_id ORDER BY pscore DESC, c.centroid_id ASC) <= 3
+),
+scored AS (
+  SELECT p.query_id, a.vec_id, round({_dk_cos('p.qe', 'a.embedding')}, 6) AS score
+  FROM probes p JOIN assign a ON p.centroid_id = a.centroid_id
+)
+SELECT query_id, vec_id, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+@q(
+    "ann_ivf_topk",
+    _IVF_ORACLE,
+    "IVF-style ANN: bucket corpus by nearest of 1-in-50 coarse centroids, probe 3 buckets "
+    "(beyond-reference scale path for top-k)",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    bucketed = assign_ivf_buckets(emb, centroids)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_top_k(queries, bucketed, centroids, k=5, nprobe=3, round_to=6)
+    return out.select("query_id", "vec_id", "score", "rank")
+
+
+# ===========================================================================
+# 2. Hashing embedder (SQL-verifiable model; SURVEY §2.1 rows 1,7,9 analogues)
+# ===========================================================================
+
+_HASH_EMBED_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_transform({duck_tokens('text')}, tk -> {duck_token_hash('tk')} % 64)) AS bucket
+  FROM documents
+),
+tf AS (SELECT doc_id, bucket, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks GROUP BY doc_id, bucket),
+norm AS (SELECT doc_id, sqrt(SUM(tf * tf)) AS nrm FROM tf GROUP BY doc_id)
+SELECT tf.doc_id, CAST(tf.bucket AS BIGINT) AS bucket, round(tf.tf / norm.nrm, 6) AS weight
+FROM tf JOIN norm ON tf.doc_id = norm.doc_id
+"""
+
+
+@q(
+    "dense_hash_embed",
+    _HASH_EMBED_ORACLE,
+    "feature-hashing dense embedding, L2-normalized, coordinate form "
+    "(SQL-verifiable analogue of TextEmbedding::embed, src/text_embedding/impl.rs:432-449)",
+)
+def q_dense_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EH.hash_embed_coords(t(spark, sf_dir, "documents"), "doc_id", "text", dim=64)
+
+
+_SPLADE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_transform({duck_tokens('text')}, tk -> {duck_token_hash('tk')} % 30000)) AS term_bucket
+  FROM documents
+)
+SELECT doc_id, CAST(term_bucket AS BIGINT) AS term_bucket,
+       round(ln(1.0 + CAST(COUNT(*) AS DOUBLE)), 6) AS value
+FROM toks GROUP BY doc_id, term_bucket
+"""
+
+
+@q(
+    "splade_hash_sparse",
+    _SPLADE_ORACLE,
+    "sparse lexical embedding, SPLADE coordinate shape: ln(1+tf) > 0 per term bucket "
+    "(src/sparse_text_embedding/impl.rs:225-254 analogue)",
+)
+def q_splade_hash_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return EH.splade_like_coords(t(spark, sf_dir, "documents"), "doc_id", "text", vocab=30000)
+
+
+_SPARSE_DOT_ORACLE = f"""
+WITH coords AS (
+  SELECT doc_id, term_bucket, ln(1.0 + CAST(COUNT(*) AS DOUBLE)) AS value
+  FROM (
+    SELECT doc_id, unnest(list_transform({duck_tokens('text')}, tk -> {duck_token_hash('tk')} % 30000)) AS term_bucket
+    FROM documents
+  ) GROUP BY doc_id, term_bucket
+),
+qc AS (SELECT doc_id AS query_id, term_bucket, value FROM coords WHERE doc_id < 3),
+dots AS (
+  SELECT qc.query_id, c.doc_id, round(SUM(qc.value * c.value), 6) AS dot
+  FROM qc JOIN coords c ON qc.term_bucket = c.term_bucket
+  GROUP BY qc.query_id, c.doc_id
+)
+SELECT query_id, doc_id, dot,
+       row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, doc_id ASC) AS rank
+FROM dots
+QUALIFY rank <= 10
+"""
+
+
+@q(
+    "sparse_dot_topk",
+    _SPARSE_DOT_ORACLE,
+    "sparse lexical top-k: distributed sparse dot via term-bucket equi-join "
+    "(lexical search parity for sparse embeddings)",
+)
+def q_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    # un-rounded coordinate values; only the final dot is rounded
+    coords = EH.splade_like_coords(docs, "doc_id", "text", vocab=30000, round_to=None)
+    qc = coords.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "term_bucket", "value"
+    )
+    dots = EH.sparse_dot_coords(qc, coords, "query_id", "doc_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("doc_id"))
+    return (
+        dots.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "dot", "rank")
+    )
+
+
+# ===========================================================================
+# 3. Rerank (SURVEY §2.1 row 13)
+# ===========================================================================
+
+_RERANK_ORACLE = f"""
+WITH qs AS (
+  SELECT doc_id AS query_id, list_distinct({duck_tokens('text')}) AS qt
+  FROM documents WHERE doc_id < 3
+),
+cand AS (
+  SELECT doc_id, list_distinct({duck_tokens('text')}) AS dt
+  FROM documents WHERE doc_id % 5 = 0
+),
+scored AS (
+  SELECT qs.query_id, cand.doc_id,
+         round(
+           CASE WHEN (len(qt) = 0 AND len(dt) = 0) THEN 0.0 ELSE
+             CAST(len(list_intersect(qt, dt)) AS DOUBLE)
+             / (CAST(len(qt) AS DOUBLE) + CAST(len(dt) AS DOUBLE)
+                - CAST(len(list_intersect(qt, dt)) AS DOUBLE))
+           END, 6) AS score
+  FROM qs CROSS JOIN cand
+)
+SELECT query_id, doc_id, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+@q(
+    "rerank_overlap",
+    _RERANK_ORACLE,
+    "multi-query rerank with lexical pair scorer + per-query ranking "
+    "(TextRerank::rerank shape, src/reranking/impl.rs:109-196)",
+)
+def q_rerank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    qs = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("__qtext")
+    )
+    cand = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", F.col("text").alias("__dtext"))
+    pairs = cand.crossJoin(F.broadcast(qs))
+    out = rerank(pairs, token_overlap_score(F.col("__qtext"), F.col("__dtext")), k=10)
+    return out.select("query_id", "doc_id", "score", "rank")
+
+
+# ===========================================================================
+# 4. Dedup family (beyond-reference pipeline operators)
+# ===========================================================================
+
+@q(
+    "exact_dedup",
+    f"""
+SELECT {duck_doc_fingerprint('text')} AS fingerprint,
+       CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS canonical_id
+FROM documents GROUP BY fingerprint
+""",
+    "exact dedup by token-stream fingerprint (hash groupBy)",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q(
+    "doc_fingerprint",
+    f"SELECT doc_id, {duck_doc_fingerprint('text')} AS fingerprint FROM documents",
+    "rolling-hash document fingerprint (whitespace/punct-insensitive)",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import doc_fingerprint
+
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", doc_fingerprint("text").alias("fingerprint")
+    )
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ",\n    ".join(
+        f"MIN((hs * {a} + {b}) % {HASH_MOD}) AS mh_{i}"
+        for i, (a, b) in enumerate(D.MINHASH_COEFFS)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {bnum} AS band_idx, concat_ws('_', "
+        + ", ".join(f"mh_{bnum * 4 + r}" for r in range(4))
+        + ") AS band_key FROM sig"
+        for bnum in range(4)
+    )
+    inter = "CAST(len(list_intersect(sa, sb)) AS DOUBLE)"
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_dk_shingles('text', 5)})) AS s
+  FROM documents
+),
+h AS (SELECT doc_id, {duck_token_hash('s')} AS hs FROM sh),
+sig AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
+bands AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+shingle_sets AS (
+  SELECT doc_id, list_distinct({_dk_shingles('text', 5)}) AS ss FROM documents
+),
+verified AS (
+  SELECT cand.id_a, cand.id_b,
+         round(
+           CASE WHEN (len(sa) = 0 AND len(sb) = 0) THEN 0.0 ELSE
+             {inter} / (CAST(len(sa) AS DOUBLE) + CAST(len(sb) AS DOUBLE) - {inter})
+           END, 6) AS jaccard
+  FROM cand
+  JOIN (SELECT doc_id, ss AS sa FROM shingle_sets) A ON cand.id_a = A.doc_id
+  JOIN (SELECT doc_id, ss AS sb FROM shingle_sets) B ON cand.id_b = B.doc_id
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.2
+"""
+
+
+@q(
+    "minhash_lsh_neardup",
+    _minhash_oracle(),
+    "MinHash(16)+LSH(4 bands x 4 rows) candidate pairs over 5-char shingles, "
+    "verified by exact Jaccard >= 0.2 (canonical 100TB near-dedup)",
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", k_shingle=5)
+    cand = D.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
+    return D.verify_candidates(cand, docs, "doc_id", "text", k_shingle=5, threshold=0.2)
+
+
+def _simhash_sql(hashes_expr: str) -> str:
+    """DuckDB expression: 32-bit simhash from a BIGINT-list expression."""
+    terms = []
+    for j in range(32):
+        p = 1 << j
+        bit = f"(CAST(((h - (h % {p})) / {p}) AS BIGINT) % 2)"
+        terms.append(
+            f"CASE WHEN coalesce(list_sum(list_transform({hashes_expr}, "
+            f"h -> {bit} * 2 - 1)), 0) > 0 THEN CAST({p} AS BIGINT) ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_SIMHASH_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN len({duck_tokens('text')}) = 0 THEN 0
+            ELSE {_simhash_sql(f"list_transform({duck_tokens('text')}, tk -> {duck_token_hash('tk')})")}
+       END AS simhash
+FROM documents
+"""
+
+
+@q(
+    "simhash",
+    _SIMHASH_ORACLE,
+    "32-bit simhash over the token multiset (near-dup fingerprint)",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash("text").alias("simhash"))
+
+
+# ===========================================================================
+# 5. Text analysis (beyond-reference pipeline operators)
+# ===========================================================================
+
+def _lang_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TS.STOPWORDS[lang])
+    return (
+        f"CAST(len(list_filter({duck_tokens('text')}, tk -> list_contains([{words}], tk))) AS BIGINT)"
+    )
+
+
+_LANG_ORACLE = f"""
+WITH hits AS (
+  SELECT doc_id,
+         {_lang_hits('en')} AS en_hits,
+         {_lang_hits('fr')} AS fr_hits,
+         {_lang_hits('es')} AS es_hits,
+         {_lang_hits('de')} AS de_hits
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(en_hits, fr_hits, es_hits, de_hits) = 0 THEN 'und'
+            WHEN en_hits = greatest(en_hits, fr_hits, es_hits, de_hits) THEN 'en'
+            WHEN fr_hits = greatest(en_hits, fr_hits, es_hits, de_hits) THEN 'fr'
+            WHEN es_hits = greatest(en_hits, fr_hits, es_hits, de_hits) THEN 'es'
+            ELSE 'de' END AS pred_lang,
+       en_hits, fr_hits, es_hits, de_hits
+FROM hits
+"""
+
+
+@q(
+    "lang_id",
+    _LANG_ORACLE,
+    "stopword-hit language identification with deterministic argmax",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TS.predicted_lang("text").alias("pred_lang"),
+        TS.stopword_hits("text", "en").alias("en_hits"),
+        TS.stopword_hits("text", "fr").alias("fr_hits"),
+        TS.stopword_hits("text", "es").alias("es_hits"),
+        TS.stopword_hits("text", "de").alias("de_hits"),
+    )
+
+
+_ALL_SW = ", ".join(f"'{w}'" for w in sorted({w for ws in TS.STOPWORDS.values() for w in ws}))
+
+_QUALITY_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({duck_tokens('text')}) AS BIGINT) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform({duck_tokens('text')}, tk -> length(tk))), 0) AS DOUBLE) AS tok_chars,
+         CAST(len(list_filter({duck_tokens('text')}, tk -> list_contains([{_ALL_SW}], tk))) AS DOUBLE) AS sw_hits,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens = 0 THEN 0.0 ELSE tok_chars / CAST(n_tokens AS DOUBLE) END AS avg_token_len,
+         CASE WHEN n_tokens = 0 THEN 0.0 ELSE sw_hits / CAST(n_tokens AS DOUBLE) END AS stopword_ratio,
+         CASE WHEN n_chars = 0.0 THEN 0.0 ELSE n_punct / n_chars END AS punct_ratio
+  FROM base
+)
+SELECT doc_id, n_tokens,
+       round(avg_token_len, 6) AS avg_token_len,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(
+         (0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+          + 0.3 * (CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 10.0 THEN 1.0 ELSE 0.5 END)
+          + 0.3 * least(stopword_ratio * 4.0, 1.0))
+         * (1.0 - punct_ratio), 6) AS quality
+FROM m
+"""
+
+
+@q(
+    "text_quality",
+    _QUALITY_ORACLE,
+    "token counting + quality scoring (length/punct/stopword heuristics)",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TS.token_count("text").alias("n_tokens"),
+        F.round(TS.avg_token_len("text"), 6).alias("avg_token_len"),
+        F.round(TS.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(TS.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(TS.quality_score("text"), 6).alias("quality"),
+    )
+
+
+# ===========================================================================
+# 6. Relational engine glue (joins / aggregation / windows / sessionization)
+# ===========================================================================
+
+@q(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 2) AS sum_qty,
+       round(SUM(l_extendedprice), 2) AS sum_base_price,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(AVG(l_quantity), 6) AS avg_qty,
+       round(AVG(l_discount), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "TPC-H Q1-shaped pricing summary (scan → filter-pushdown → partial agg)",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "top_customers_by_nation",
+    """
+WITH rev AS (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         round(SUM(o.o_totalprice), 2) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY c.c_custkey, c.c_name, n.n_name
+)
+SELECT n_name, c_custkey, c_name, revenue,
+       row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey ASC) AS rank
+FROM rev
+QUALIFY rank <= 5
+""",
+    "join + agg + per-group top-N (broadcast dims, shuffle only on custkey)",
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    rev = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("n_name", "c_custkey", "c_name", "revenue", "rank")
+    )
+
+
+@q(
+    "brand_revenue",
+    """
+SELECT p.p_brand,
+       round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+    "fact-dim broadcast join + aggregation (column pruning + pushdown showcase)",
+)
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+# events.parquet stores TIMESTAMP(NANOS); Spark reads it as long epoch-nanos
+# (legacy.parquet.nanosAsLong — see session.py), DuckDB as TIMESTAMP_NS.
+# All time math below is exact int64 nanosecond arithmetic on both engines
+# (`div` / `//`), so no timezone or float issue can creep into the hashes.
+_NS_PER_S = 1_000_000_000
+
+@q(
+    "events_sessionize",
+    f"""
+WITH l AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+         lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS pns
+  FROM events
+),
+n AS (
+  SELECT *, CASE WHEN pns IS NULL OR (tns - pns) > {1800 * _NS_PER_S} THEN 1 ELSE 0 END AS is_new
+  FROM l
+),
+s AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM n
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST((MAX(tns) - MIN(tns)) // {_NS_PER_S} AS BIGINT) AS duration_s
+FROM s GROUP BY user_id, session_id
+""",
+    "sessionization: 30-min-gap sessions via lag + running sum (stateful streaming analogue)",
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")  # ts: long (epoch nanos)
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    l = ev.select(
+        "user_id", "event_id", "ts", F.lag("ts").over(wo).alias("pts")
+    )
+    n = l.withColumn(
+        "is_new",
+        F.when(
+            F.col("pts").isNull()
+            | ((F.col("ts") - F.col("pts")) > 1800 * _NS_PER_S),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    s = n.withColumn(
+        "session_id",
+        F.sum("is_new").over(wo.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.expr(f"(max(ts) - min(ts)) div {_NS_PER_S}").cast("long").alias("duration_s"),
+    )
+
+
+@q(
+    "events_hourly",
+    f"""
+SELECT CAST((epoch_ns(ts) // {3600 * _NS_PER_S}) * 3600 AS BIGINT) AS hour_epoch, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(SUM(value), 4) AS total_value
+FROM events GROUP BY hour_epoch, event_type
+""",
+    "tumbling 1-hour windowed aggregation per event type (streaming window analogue)",
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")  # ts: long (epoch nanos)
+    return (
+        ev.groupBy(
+            (F.expr(f"ts div {3600 * _NS_PER_S}") * 3600).cast("long").alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+# ===========================================================================
+# 7. Model-runtime queries (pandas-UDF path; rows-only driver check)
+# ===========================================================================
+
+@q(
+    "embed_text_stub",
+    None,
+    "mapInPandas dense embedding (stub session): checks schema/batching plumbing; "
+    "returns (doc_id, dim, norm) — norm must be 1.0 after L2 normalization",
+)
+def q_embed_text_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.vector import l2_norm
+    from fastembed_rs_spark.operators.embed import embed_text
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = embed_text(docs, "text", model="stub-dense-mean")
+    return out.select(
+        "doc_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(l2_norm("embedding"), 4).alias("norm"),
+    )
+
+
+@q(
+    "embed_sparse_stub",
+    None,
+    "mapInPandas SPLADE-style sparse embedding (stub): struct<indices,values> invariants",
+)
+def q_embed_sparse_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.embed import embed_sparse
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = embed_sparse(docs, "text", model="stub-sparse")
+    return out.select(
+        "doc_id",
+        F.size("sparse_embedding.indices").cast("long").alias("nnz"),
+        F.round(
+            F.aggregate(
+                F.col("sparse_embedding.values").cast("array<double>"),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("value_sum"),
+    )
+
+
+@q(
+    "embed_bgem3_stub",
+    None,
+    "mapInPandas joint dense/sparse/colbert triple (stub bge-m3 shape)",
+)
+def q_embed_bgem3_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.embed import embed_bgem3
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = embed_bgem3(docs, "text", model="stub-bgem3")
+    return out.select(
+        "doc_id",
+        F.size("bgem3.dense").cast("long").alias("dense_dim"),
+        F.size("bgem3.sparse.indices").cast("long").alias("sparse_nnz"),
+        F.size("bgem3.colbert").cast("long").alias("colbert_tokens"),
+    )
+
+
+@q(
+    "embed_image_stub",
+    None,
+    "mapInPandas image embedding over a binary column (deterministic fake decode; "
+    "real PIL decode is the marked swap-in point)",
+)
+def q_embed_image_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.vector import l2_norm
+    from fastembed_rs_spark.operators.embed import embed_image
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    out = embed_image(docs, "content", model="stub-image")
+    return out.select(
+        "doc_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(l2_norm("embedding"), 4).alias("norm"),
+    )
+
+
+@q(
+    "rerank_model_stub",
+    None,
+    "mapInPandas cross-encoder pair scoring (stub) + per-query ranking",
+)
+def q_rerank_model_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.embed import rerank_score
+
+    docs = t(spark, sf_dir, "documents")
+    qs = docs.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query")
+    )
+    cand = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.col("text").alias("document")
+    )
+    pairs = cand.crossJoin(F.broadcast(qs))
+    scored = rerank_score(pairs, "query", "document", model="stub-rerank")
+    return rerank(scored, F.col("score"), k=5).select("query_id", "doc_id", "score", "rank")
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    return dict(QUERIES)
