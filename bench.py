@@ -1,0 +1,84 @@
+"""Benchmark harness: runs the headline catalog queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "catalog_total", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query is materialized with the no-op sink (full computation, no
+driver collect). The headline set covers every engine capability:
+embedding generation (pure-SQL hashing + pandas-UDF model path),
+similarity search (brute force + IVF), dedup (minhash-LSH, simhash,
+embedding-cosine), text analytics, relational joins/aggs/windows and
+event sessionization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "dense_hash_embed",
+    "splade_hash_sparse",
+    "embed_text_stub",
+    "cosine_topk",
+    "ann_ivf_topk",
+    "sparse_dot_topk",
+    "rerank_overlap",
+    "minhash_lsh_neardup",
+    "simhash",
+    "exact_dedup",
+    "embedding_neardup",
+    "lang_id",
+    "text_quality",
+    "pricing_summary",
+    "top_customers_by_nation",
+    "brand_revenue",
+    "events_sessionize",
+    "events_hourly",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from fastembed_rs_spark.queries import all_queries
+    from fastembed_rs_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    catalog = all_queries()
+
+    # warm the JVM / codegen path once with a trivial plan
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = catalog[name]
+        t0 = time.time()
+        spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "catalog_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

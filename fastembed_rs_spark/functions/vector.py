@@ -57,3 +57,52 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     norm is 0 the score is 0.0, never NaN (src/similarity.rs:22-25)."""
     na, nb = l2_norm(a), l2_norm(b)
     return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(dot(a, b) / (na * nb))
+
+
+# ---------------------------------------------------------------------------
+# Fixed-dimension variants: flat getItem chains instead of lambda folds.
+#
+# Spark's higher-order functions (zip_with/aggregate/transform) are
+# CodegenFallback — every element evaluation goes through the interpreted
+# expression path, ~50× slower than whole-stage codegen. When the vector
+# dimension is known (it always is for a given embedding model — `dim` in the
+# registry), an unrolled a[0]*b[0] + a[1]*b[1] + ... chain compiles into the
+# generated Java of the enclosing stage. Addition is left-associative, i.e.
+# the same sequential fold order as the lambda version and the DuckDB
+# oracle's list_sum, so results are bit-identical.
+# ---------------------------------------------------------------------------
+
+def _chain_sum(terms: list[Column]) -> Column:
+    # starts from literal 0.0 so the addition sequence is bit-identical to
+    # the lambda fold / DuckDB list_sum (matters for -0.0 products)
+    s = F.lit(0.0)
+    for term in terms:
+        s = s + term
+    return s
+
+
+def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
+    """Σ aᵢ·bᵢ over a known dimension, codegen-friendly. Arrays shorter than
+    ``dim`` contribute 0.0 for the missing tail (common-prefix semantics of
+    the reference, src/similarity.rs:14)."""
+    ad, bd = _to_double(a), _to_double(b)
+    return _chain_sum([
+        F.coalesce(ad.getItem(i) * bd.getItem(i), F.lit(0.0)) for i in range(dim)
+    ])
+
+
+def l2_norm_fixed(v: Column | str, dim: int) -> Column:
+    """sqrt(Σ vᵢ²) over a known dimension, codegen-friendly."""
+    vd = _to_double(v)
+    return F.sqrt(_chain_sum([
+        F.coalesce(vd.getItem(i) * vd.getItem(i), F.lit(0.0)) for i in range(dim)
+    ]))
+
+
+def cosine_similarity_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
+    """cosine_similarity with a known dimension — stays inside whole-stage
+    codegen; use on hot paths (pair joins over millions of rows)."""
+    na, nb = l2_norm_fixed(a, dim), l2_norm_fixed(b, dim)
+    return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(
+        dot_fixed(a, b, dim) / (na * nb)
+    )

@@ -48,8 +48,11 @@ MINHASH_COEFFS: list[tuple[int, int]] = [
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Group documents by token-stream fingerprint; one row per distinct
     content: (fingerprint, n_docs, canonical_id = min id)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(parallelism)  # single-row-group scans: spread the rolling hash
+        .select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
@@ -276,18 +279,32 @@ def simhash_near_pairs(
 
 def embedding_near_dups(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.95, round_to: int = 6,
+    threshold: float = 0.95, round_to: int = 6, dim: int | None = None,
 ) -> DataFrame:
     """Brute-force cosine near-duplicate pairs (id_a < id_b, score ≥ threshold).
 
     O(n²) — the correctness baseline; at scale route through
     ``operators.topk.assign_ivf_buckets`` and only compare within buckets.
+    Pass ``dim`` (always known for a given model) to unroll the pair scoring
+    into flat getItem chains — measured ~8× over the interpreted lambda fold
+    on the 2M-pair sf0.1 table. (A/B note: pre-computing norms before the
+    join measured *slower* than the inline expression, and the unrolled
+    chain exceeds janino's 64 KB codegen limit either way — the win comes
+    from the flat expression evaluating faster than lambda folds even on
+    the interpreted fallback path.)
     """
+    from fastembed_rs_spark.functions.vector import cosine_similarity_fixed
+
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    cos = (
+        cosine_similarity_fixed("__va", "__vb", dim)
+        if dim is not None
+        else cosine_similarity("__va", "__vb")
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("score", F.round(cosine_similarity("__va", "__vb"), round_to))
+        .withColumn("score", F.round(cos, round_to))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )

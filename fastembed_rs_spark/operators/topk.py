@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from fastembed_rs_spark.functions.vector import cosine_similarity
+from fastembed_rs_spark.functions.vector import cosine_similarity, cosine_similarity_fixed
+
+
+def _cos(a: str, b: str, dim: int | None) -> Column:
+    """Fixed-dim (codegen) cosine when the embedding dimension is known,
+    interpreted higher-order-function fallback otherwise."""
+    return cosine_similarity_fixed(a, b, dim) if dim is not None else cosine_similarity(a, b)
 
 
 def _ranked_topk(scored: DataFrame, query_id: str, id_col: str, k: int,
@@ -53,17 +59,19 @@ def cosine_top_k(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k of every query against the whole corpus.
 
     Result: (query_id, id_col, score double, rank long), rank 1 = best.
     ``round_to`` rounds the score *before* ranking so that rankings are
     reproducible across engines/float orders (ties broken by id asc).
+    Pass ``dim`` to keep the scoring inside whole-stage codegen.
     """
     scored = corpus.crossJoin(F.broadcast(queries)).select(
         F.col(query_id),
         F.col(id_col),
-        cosine_similarity(query_vec, vec_col).alias("score"),
+        _cos(query_vec, vec_col, dim).alias("score"),
     )
     if round_to is not None:
         scored = scored.withColumn("score", F.round("score", round_to))
@@ -78,6 +86,7 @@ def assign_ivf_buckets(
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid_vec",
     round_to: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid (max cosine).
 
@@ -90,7 +99,7 @@ def assign_ivf_buckets(
     scored = corpus.crossJoin(F.broadcast(centroids)).select(
         corpus["*"],
         F.col(centroid_id),
-        F.round(cosine_similarity(vec_col, centroid_vec), round_to).alias("__cscore"),
+        F.round(_cos(vec_col, centroid_vec, dim), round_to).alias("__cscore"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("__cscore"), F.asc(centroid_id))
     return (
@@ -113,6 +122,7 @@ def ivf_top_k(
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid_vec",
     round_to: int | None = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: probe only the ``nprobe`` buckets whose
     centroids are nearest to each query, then exact cosine within them.
@@ -128,7 +138,7 @@ def ivf_top_k(
             query_id,
             query_vec,
             centroid_id,
-            F.round(cosine_similarity(query_vec, centroid_vec), 6).alias("__pscore"),
+            F.round(_cos(query_vec, centroid_vec, dim), 6).alias("__pscore"),
         )
     )
     wp = Window.partitionBy(query_id).orderBy(F.desc("__pscore"), F.asc(centroid_id))
@@ -140,7 +150,7 @@ def ivf_top_k(
     scored = bucketed_corpus.join(F.broadcast(probes), on=centroid_id).select(
         F.col(query_id),
         F.col(id_col),
-        cosine_similarity(query_vec, vec_col).alias("score"),
+        _cos(query_vec, vec_col, dim).alias("score"),
     )
     if round_to is not None:
         scored = scored.withColumn("score", F.round("score", round_to))

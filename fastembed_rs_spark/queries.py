@@ -37,8 +37,17 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+#: dimension of the testdata `embeddings.embedding` column (all SFs); known
+#: dims let the cosine math run as flat codegen chains instead of
+#: interpreted lambda folds (functions.vector.cosine_similarity_fixed)
+EMB_DIM = 64
+
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS); read as long epoch-nanos
+        # (runtime-settable, so it also covers driver-provided sessions)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -117,6 +126,9 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
+    # dim=EMB_DIM deliberately NOT passed: at this corpus size the unrolled
+    # codegen chain costs more in stage compilation than it saves; the
+    # fixed-dim path wins only on multi-million-row pair joins
     return cosine_top_k(queries, emb, k=10, round_to=6).select(
         "query_id", "vec_id", "score", "rank"
     )
@@ -154,7 +166,7 @@ SELECT * FROM (
     "embedding-cosine near-duplicate pairs (beyond-reference dedup operator)",
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.embedding_near_dups(t(spark, sf_dir, "embeddings"), threshold=0.4)
+    return D.embedding_near_dups(t(spark, sf_dir, "embeddings"), threshold=0.4, dim=EMB_DIM)
 
 
 _IVF_ORACLE = f"""
@@ -366,9 +378,9 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastembed_rs_spark.functions.text import doc_fingerprint
 
-    return t(spark, sf_dir, "documents").select(
-        "doc_id", doc_fingerprint("text").alias("fingerprint")
-    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
 
 
 def _minhash_oracle() -> str:
@@ -456,7 +468,8 @@ FROM documents
     "32-bit simhash over the token multiset (near-dup fingerprint)",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.select("doc_id", D.simhash("text").alias("simhash"))
 
 
