@@ -86,8 +86,10 @@ def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
     ``dim`` contribute 0.0 for the missing tail (common-prefix semantics of
     the reference, src/similarity.rs:14)."""
     ad, bd = _to_double(a), _to_double(b)
+    # F.get (not getItem): ANSI mode throws on out-of-bounds indexing,
+    # get() returns NULL which the coalesce folds to 0.0
     return _chain_sum([
-        F.coalesce(ad.getItem(i) * bd.getItem(i), F.lit(0.0)) for i in range(dim)
+        F.coalesce(F.get(ad, i) * F.get(bd, i), F.lit(0.0)) for i in range(dim)
     ])
 
 
@@ -95,7 +97,7 @@ def l2_norm_fixed(v: Column | str, dim: int) -> Column:
     """sqrt(Σ vᵢ²) over a known dimension, codegen-friendly."""
     vd = _to_double(v)
     return F.sqrt(_chain_sum([
-        F.coalesce(vd.getItem(i) * vd.getItem(i), F.lit(0.0)) for i in range(dim)
+        F.coalesce(F.get(vd, i) * F.get(vd, i), F.lit(0.0)) for i in range(dim)
     ]))
 
 

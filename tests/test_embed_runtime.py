@@ -1,0 +1,163 @@
+"""Model-runtime pipeline tests against the deterministic stub sessions —
+the engine analogue of the reference's golden/invariance suite
+(tests/text-embeddings.rs:494-523 batch invariance, :604-622 determinism,
+:180-210 sparse invariants)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fastembed_rs_spark.operators.embed import (
+    DynamicQuantizationError,
+    embed_bgem3,
+    embed_image,
+    embed_sparse,
+    embed_text,
+    rerank_score,
+)
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+    "a tiny doc",
+    "",
+    "the quick brown fox jumps over the lazy dog",  # exact dup of row 0
+    "numbers 123 and symbols !!!",
+    "short",
+    "yet another document about foxes and dogs",
+    "completely unrelated text regarding spacecraft telemetry",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], ["doc_id", "text"]
+    )
+
+
+def _emb_map(df, col="embedding"):
+    return {r["doc_id"]: list(r[col]) for r in df.collect()}
+
+
+def test_dense_norm_and_dim(spark, docs):
+    out = embed_text(docs, "text", model="stub-dense-mean")
+    rows = out.collect()
+    assert len(rows) == len(TEXTS)
+    for r in rows:
+        assert len(r["embedding"]) == 32
+        norm = math.sqrt(sum(x * x for x in r["embedding"]))
+        assert norm == pytest.approx(1.0, abs=1e-3)
+
+
+def test_dense_batch_invariance(spark, docs):
+    # reference: embed(batch=None) == embed(batch=3) (text-embeddings.rs:494-523)
+    a = _emb_map(embed_text(docs, "text", batch_size=256))
+    b = _emb_map(embed_text(docs, "text", batch_size=3))
+    assert a == b
+
+
+def test_dense_partition_invariance(spark, docs):
+    a = _emb_map(embed_text(docs.repartition(1), "text"))
+    b = _emb_map(embed_text(docs.repartition(7), "text"))
+    assert a == b
+
+
+def test_dense_determinism(spark, docs):
+    a = _emb_map(embed_text(docs, "text"))
+    b = _emb_map(embed_text(docs, "text"))
+    assert a == b
+
+
+def test_identical_texts_identical_embeddings(spark, docs):
+    m = _emb_map(embed_text(docs, "text"))
+    assert m[0] == m[4]
+
+
+def test_pooling_strategies_differ(spark, docs):
+    mean = _emb_map(embed_text(docs, "text", model="stub-dense-mean"))
+    cls = _emb_map(embed_text(docs, "text", model="stub-dense-cls"))
+    last = _emb_map(embed_text(docs, "text", model="stub-dense-last"))
+    assert mean[0] != cls[0] and mean[0] != last[0] and cls[0] != last[0]
+
+
+def test_dynamic_quant_guard(spark, docs):
+    with pytest.raises(DynamicQuantizationError):
+        embed_text(docs.repartition(4), "text", model="stub-dense-dynamic")
+    out = embed_text(
+        docs.repartition(4).coalesce(1), "text",
+        model="stub-dense-dynamic", batch_size=10_000,
+    )
+    assert out.count() == len(TEXTS)
+
+
+def test_sparse_invariants(spark, docs):
+    # all values > 0, indices ascending, len(indices) == len(values)
+    # (reference sparse invariants, tests/text-embeddings.rs:180-210)
+    rows = embed_sparse(docs, "text", model="stub-sparse").collect()
+    assert len(rows) == len(TEXTS)
+    nonempty = 0
+    for r in rows:
+        se = r["sparse_embedding"]
+        assert len(se["indices"]) == len(se["values"])
+        assert all(v > 0.0 for v in se["values"])
+        assert list(se["indices"]) == sorted(se["indices"])
+        nonempty += bool(se["indices"])
+    assert nonempty > 0
+
+
+def test_sparse_partition_invariance(spark, docs):
+    def m(df):
+        return {
+            r["doc_id"]: (list(r["sparse_embedding"]["indices"]),
+                          list(r["sparse_embedding"]["values"]))
+            for r in df.collect()
+        }
+    assert m(embed_sparse(docs.repartition(1), "text")) == m(
+        embed_sparse(docs.repartition(5), "text")
+    )
+
+
+def test_bgem3_triple_shapes(spark, docs):
+    rows = embed_bgem3(docs, "text", model="stub-bgem3").collect()
+    for r in rows:
+        trip = r["bgem3"]
+        assert len(trip["dense"]) == 32
+        assert len(trip["sparse"]["indices"]) == len(trip["sparse"]["values"])
+        # colbert keeps exactly the non-pad tokens minus CLS
+        n_tokens = len([t for t in TEXTS[r["doc_id"]].lower().split() if t])
+        assert len(trip["colbert"]) <= max(n_tokens + 2, 1)
+        for tok_vec in trip["colbert"]:
+            assert len(tok_vec) == 32
+
+
+def test_image_embed_shapes(spark):
+    df = spark.createDataFrame(
+        [(0, bytearray(b"fake-png-bytes-0")), (1, bytearray(b"other-bytes-1"))],
+        ["doc_id", "content"],
+    )
+    rows = embed_image(df, "content", model="stub-image").collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert len(r["embedding"]) == 32
+        norm = math.sqrt(sum(x * x for x in r["embedding"]))
+        assert norm == pytest.approx(1.0, abs=1e-3)
+    # determinism across runs
+    again = embed_image(df, "content", model="stub-image").collect()
+    assert [list(r["embedding"]) for r in rows] == [list(r["embedding"]) for r in again]
+
+
+def test_rerank_self_match_ranks_first(spark, docs):
+    # reference: query ≈ doc[0] must rank first (text-embeddings.rs:389-395)
+    query = TEXTS[0]
+    pairs = docs.select(
+        F.col("doc_id"), F.col("text").alias("document"), F.lit(query).alias("query")
+    )
+    scored = rerank_score(pairs, "query", "document", model="stub-rerank")
+    best = scored.orderBy(F.desc("score"), F.asc("doc_id")).first()
+    assert best["doc_id"] == 0
+    assert best["score"] == pytest.approx(1.0, abs=1e-6)

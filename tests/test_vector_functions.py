@@ -1,0 +1,74 @@
+"""Similarity math parity with the reference (src/similarity.rs) and
+bit-equality between the lambda-fold and fixed-dim formulations."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fastembed_rs_spark.functions.vector import (
+    cosine_similarity,
+    cosine_similarity_fixed,
+    dot,
+    dot_fixed,
+    l2_norm,
+    l2_normalize,
+)
+
+VECS = [
+    ([1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+    ([0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),   # zero-vector guard → 0.0
+    ([0.0, 0.0, 0.0], [0.0, 0.0, 0.0]),
+    ([1.0, -1.0, 2.5], [-1.0, 1.0, 0.5]),
+    ([1e-8, 2e-8, 0.0], [3e8, -1e8, 1.0]),
+]
+
+
+def _df(spark, pairs=VECS):
+    return spark.createDataFrame([(a, b) for a, b in pairs], ["a", "b"])
+
+
+def test_dot_matches_numpy(spark):
+    got = [r[0] for r in _df(spark).select(dot("a", "b")).collect()]
+    want = [float(np.dot(a, b)) for a, b in VECS]
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_dot_common_prefix(spark):
+    # reference stops at the shorter slice (src/similarity.rs:14)
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [10.0, 10.0])], ["a", "b"])
+    assert df.select(dot("a", "b")).collect()[0][0] == 30.0
+
+
+def test_cosine_zero_guard(spark):
+    got = [r[0] for r in _df(spark).select(cosine_similarity("a", "b")).collect()]
+    assert got[1] == 0.0 and got[2] == 0.0
+    assert not any(math.isnan(x) for x in got)
+    a, b = VECS[0]
+    want = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert got[0] == pytest.approx(want, rel=1e-12)
+
+
+def test_fixed_dim_bit_identical_to_fold(spark):
+    df = _df(spark)
+    fold = df.select(dot("a", "b"), cosine_similarity("a", "b"), l2_norm("a")).collect()
+    fixed = df.select(
+        dot_fixed("a", "b", 3), cosine_similarity_fixed("a", "b", 3),
+    ).collect()
+    for fr, xr in zip(fold, fixed):
+        assert fr[0] == xr[0]  # exact, not approx: same fold order
+        assert fr[1] == xr[1]
+
+
+def test_fixed_dim_short_array_tail_is_zero(spark):
+    df = spark.createDataFrame([([1.0, 2.0], [3.0, 4.0])], ["a", "b"])
+    assert df.select(dot_fixed("a", "b", 5)).collect()[0][0] == 11.0
+
+
+def test_l2_normalize_unit_norm(spark):
+    df = spark.createDataFrame([([3.0, 4.0],)], ["v"])
+    out = df.select(l2_normalize("v")).collect()[0][0]
+    assert out == pytest.approx([0.6, 0.8], rel=1e-9)
