@@ -174,6 +174,48 @@ def verify_candidates(
     return out
 
 
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """array<string> of space-joined word n-grams (duplicates kept)."""
+    from fastembed_rs_spark.functions.text import tokens
+
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    threshold: float = 0.1, round_to: int = 6,
+) -> DataFrame:
+    """All-pairs word-n-gram Jaccard ≥ threshold: (id_a, id_b, jaccard).
+
+    O(n²) over the input — meant for small candidate subsets (or downstream
+    of LSH candidates); the gram sets are materialized once per side before
+    the join so the n-gram construction is not re-run per pair."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    grams = df.select(
+        F.col(id_col), F.array_distinct(word_ngrams(text_col, n)).alias("__grams")
+    )
+    # stream side repartitioned so the O(n²) intersect work parallelizes even
+    # from a single-row-group scan
+    a = grams.repartition(parallelism).select(
+        F.col(id_col).alias("id_a"), F.col("__grams").alias("__ga")
+    )
+    b = grams.select(F.col(id_col).alias("id_b"), F.col("__grams").alias("__gb"))
+    inter = F.size(F.array_intersect("__ga", "__gb")).cast("double")
+    union = F.size("__ga").cast("double") + F.size("__gb").cast("double") - inter
+    jac = F.when(union == 0.0, F.lit(0.0)).otherwise(inter / union)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jac, round_to))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -305,9 +305,15 @@ def embed_image(
     model: str = "stub-image",
     out_col: str = "embedding",
     batch_size: int = 64,
+    preprocessor_config: dict | None = None,
 ) -> DataFrame:
     """Binary image column → ``out_col array<float>`` (L2-normalized).
-    Use ``spark.read.format('binaryFile')`` as the source for image files."""
+    Use ``spark.read.format('binaryFile')`` as the source for image files.
+
+    ``preprocessor_config``: a ``preprocessor_config.json`` dict — builds the
+    reference's config-driven Compose pipeline (CLIP / ConvNext / Bit
+    dialects, src/image_embedding/utils.rs:200-377) via
+    operators.preprocessing; default is the fixed stub pipeline."""
     spec = get_model_spec(model)
     out_schema = _with_schema(df, f"{out_col} array<float>")
 
@@ -315,10 +321,16 @@ def embed_image(
         from fastembed_rs_spark.models.runtime import get_session
 
         _tok, session = get_session(model)
+        if preprocessor_config is not None:
+            from fastembed_rs_spark.operators.preprocessing import load_preprocessor
+
+            pre = load_preprocessor(preprocessor_config)
+        else:
+            pre = preprocess_image
         for pdf in batches:
             for chunk in _chunks(pdf, batch_size):
                 pixels = np.stack([
-                    preprocess_image(decode_image(b if b is not None else b""))
+                    pre(decode_image(b if b is not None else b""))
                     for b in chunk[content_col]
                 ])
                 out = _run(session, {"pixel_values": pixels})

@@ -1,0 +1,193 @@
+"""Image preprocessing pipeline: a config-driven ``Compose`` of transforms.
+
+Re-expresses the reference's transform pipeline
+(src/image_embedding/utils.rs:29-198) and its ``preprocessor_config.json``
+interpreter (``load_preprocessor``, utils.rs:200-377) with the three
+processor dialects:
+
+* ``CLIPImageProcessor``        (utils.rs:208-259): resize shortest edge →
+  center crop → rescale → normalize
+* ``ConvNextFeatureExtractor``  (utils.rs:260-282): size ≥ 384 → direct
+  resize; else shortest-edge resize to size/crop_pct then center crop
+* ``BitImageProcessor``         (utils.rs:283-337): CLIP-shaped with
+  do_resize/do_center_crop/do_rescale/do_normalize flags
+
+All transforms are pure NumPy over HWC uint8 → CHW float32 — they run
+inside the ``mapInPandas`` embedding UDF, never as Spark expressions
+(columnar Arrow batch in, tensor batch out). PIL (not present in this
+container) is only needed for *decoding* and for exact Catmull-Rom resize;
+the NumPy bilinear fallback keeps the full pipeline runnable and
+deterministic. The swap-in point is ``resize_hwc``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+
+Transform = Callable[[np.ndarray], np.ndarray]
+
+
+# ---------------------------------------------------------------------------
+# transforms (utils.rs:33-167)
+# ---------------------------------------------------------------------------
+
+def convert_to_rgb(hwc: np.ndarray) -> np.ndarray:
+    """Force 3 channels (ConvertToRGB, utils.rs:33-41): grayscale is
+    broadcast, RGBA drops alpha."""
+    if hwc.ndim == 2:
+        hwc = hwc[:, :, None]
+    if hwc.shape[2] == 1:
+        return np.repeat(hwc, 3, axis=2)
+    if hwc.shape[2] >= 3:
+        return hwc[:, :, :3]
+    raise ValueError(f"cannot interpret image with {hwc.shape[2]} channels")
+
+
+def resize_hwc(hwc: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Exact resize (Resize, utils.rs:43-54). Real path: PIL Catmull-Rom
+    (``Image.BICUBIC``); fallback: separable bilinear in NumPy with
+    half-pixel centers (deterministic, dependency-free)."""
+    try:
+        from PIL import Image  # swap-in point: exact filter parity with the reference
+
+        img = Image.fromarray(hwc.astype(np.uint8))
+        return np.asarray(img.resize((width, height), Image.BICUBIC), dtype=np.uint8)
+    except ImportError:
+        pass
+    h, w = hwc.shape[:2]
+    if (h, w) == (height, width):
+        return hwc.astype(np.uint8)
+    ys = (np.arange(height) + 0.5) * h / height - 0.5
+    xs = (np.arange(width) + 0.5) * w / width - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    img = hwc.astype(np.float64)
+    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
+    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def resize_shortest_edge(hwc: np.ndarray, size: int) -> np.ndarray:
+    """Resize so the shortest edge equals ``size``, preserving aspect."""
+    h, w = hwc.shape[:2]
+    if h <= w:
+        return resize_hwc(hwc, size, max(1, round(w * size / h)))
+    return resize_hwc(hwc, max(1, round(h * size / w)), size)
+
+
+def center_crop(hwc: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Center crop; images smaller than the target are zero-padded centered
+    (CenterCrop, utils.rs:56-99)."""
+    h, w, c = hwc.shape
+    out = np.zeros((height, width, c), dtype=hwc.dtype)
+    # source window
+    sy = max(0, (h - height) // 2)
+    sx = max(0, (w - width) // 2)
+    # destination window (for padding branches)
+    dy = max(0, (height - h) // 2)
+    dx = max(0, (width - w) // 2)
+    ch = min(h, height)
+    cw = min(w, width)
+    out[dy:dy + ch, dx:dx + cw] = hwc[sy:sy + ch, sx:sx + cw]
+    return out
+
+
+def to_chw_float(hwc: np.ndarray) -> np.ndarray:
+    """HWC u8 → CHW f32 (PILToNDarray, utils.rs:101-121)."""
+    return hwc.transpose(2, 0, 1).astype(np.float32)
+
+
+def rescale(chw: np.ndarray, scale: float = 1.0 / 255.0) -> np.ndarray:
+    """× scale (Rescale, utils.rs:123-133)."""
+    return chw * np.float32(scale)
+
+
+def normalize(chw: np.ndarray, mean, std) -> np.ndarray:
+    """(x - mean[c]) / std[c] per channel (Normalize, utils.rs:135-167)."""
+    m = np.asarray(mean, dtype=np.float32)[:, None, None]
+    s = np.asarray(std, dtype=np.float32)[:, None, None]
+    return (chw - m) / s
+
+
+@dataclass
+class Compose:
+    """Ordered transform pipeline (Compose, utils.rs:169-198): HWC uint8 in,
+    CHW float32 out."""
+
+    steps: list[Callable] = field(default_factory=list)
+
+    def __call__(self, hwc: np.ndarray) -> np.ndarray:
+        x = hwc
+        for step in self.steps:
+            x = step(x)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# config interpreter (load_preprocessor, utils.rs:200-377)
+# ---------------------------------------------------------------------------
+
+_DEFAULT_MEAN = (0.48145466, 0.4578275, 0.40821073)  # CLIP defaults
+_DEFAULT_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def _size_hw(size) -> tuple[int, int]:
+    """preprocessor_config 'size' is an int, {'shortest_edge': n} or
+    {'height': h, 'width': w}."""
+    if isinstance(size, int):
+        return size, size
+    if "height" in size:
+        return int(size["height"]), int(size["width"])
+    n = int(size.get("shortest_edge"))
+    return n, n
+
+
+def load_preprocessor(config: dict) -> Compose:
+    """Build the transform pipeline from a ``preprocessor_config.json`` dict.
+    Dialect dispatch on ``image_processor_type`` (falls back to
+    ``feature_extractor_type``), mirroring utils.rs:200-377."""
+    kind = config.get("image_processor_type") or config.get(
+        "feature_extractor_type", "CLIPImageProcessor"
+    )
+    steps: list[Callable] = [convert_to_rgb]
+
+    if kind == "ConvNextFeatureExtractor":
+        # utils.rs:260-282: size >= 384 → direct (size,size) resize; smaller →
+        # shortest-edge resize to size/crop_pct then center crop to size
+        size, _ = _size_hw(config.get("size", 224))
+        crop_pct = float(config.get("crop_pct", 0.875))
+        if size >= 384:
+            steps.append(lambda x, s=size: resize_hwc(x, s, s))
+        else:
+            resize_to = int(size / crop_pct)
+            steps.append(lambda x, s=resize_to: resize_shortest_edge(x, s))
+            steps.append(lambda x, s=size: center_crop(x, s, s))
+    else:
+        # CLIPImageProcessor (utils.rs:208-259) and BitImageProcessor
+        # (utils.rs:283-337): flag-driven resize/crop
+        if config.get("do_resize", True):
+            h, w = _size_hw(config.get("size", {"shortest_edge": 224}))
+            if "height" in (config.get("size") or {}):
+                steps.append(lambda x, hh=h, ww=w: resize_hwc(x, hh, ww))
+            else:
+                steps.append(lambda x, s=h: resize_shortest_edge(x, s))
+        if config.get("do_center_crop", kind == "CLIPImageProcessor"):
+            ch, cw = _size_hw(config.get("crop_size", config.get("size", 224)))
+            steps.append(lambda x, hh=ch, ww=cw: center_crop(x, hh, ww))
+
+    steps.append(to_chw_float)
+    if config.get("do_rescale", True):
+        steps.append(lambda x: rescale(x, float(config.get("rescale_factor", 1 / 255))))
+    if config.get("do_normalize", True):
+        mean = tuple(config.get("image_mean", _DEFAULT_MEAN))
+        std = tuple(config.get("image_std", _DEFAULT_STD))
+        steps.append(lambda x: normalize(x, mean, std))
+    return Compose(steps)

@@ -747,6 +747,160 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# 6b. More dedup / text analysis / relational coverage
+# ===========================================================================
+
+_NGRAM_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len({duck_tokens('text')}) >= 3 THEN
+           list_transform(generate_series(1, len({duck_tokens('text')}) - 2),
+             i -> concat_ws(' ', {duck_tokens('text')}[i], {duck_tokens('text')}[i+1], {duck_tokens('text')}[i+2]))
+         ELSE [] END) AS grams
+  FROM documents
+)
+SELECT * FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CASE WHEN (len(a.grams) = 0 AND len(b.grams) = 0) THEN 0.0 ELSE
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+           / (CAST(len(a.grams) AS DOUBLE) + CAST(len(b.grams) AS DOUBLE)
+              - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)) END, 6) AS jaccard
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.5
+"""
+
+
+@q(
+    "ngram_jaccard_neardup",
+    _NGRAM_ORACLE,
+    "word-3-gram Jaccard near-duplicate pairs, full corpus, threshold 0.5 "
+    "(n-gram variant of the dedup family)",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+@q(
+    "bpe_token_count",
+    f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len({duck_tokens('text')}) AS BIGINT) AS n_ws_tokens
+FROM documents
+""",
+    "token counting: BPE-ish regex pieces vs whitespace tokens",
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), F.lit(0)))
+        .cast("long").alias("n_bpe_tokens"),
+        F.size(tokens("text")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+@q(
+    "shipping_priority",
+    """
+WITH rev AS (
+  SELECT l.l_orderkey,
+         round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+         CAST(epoch(o.o_orderdate) AS BIGINT) AS orderdate_epoch
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l.l_orderkey, orderdate_epoch
+)
+SELECT l_orderkey, revenue, orderdate_epoch,
+       row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rank
+FROM rev
+QUALIFY rank <= 10
+""",
+    "TPC-H Q3-shaped shipping priority: selective 3-way join + agg + global top-N",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            # o_orderdate is TIMESTAMP_NTZ; NTZ->LTZ uses the (UTC) session tz,
+            # LTZ->long is epoch seconds — matches DuckDB epoch() on the naive ts
+            F.col("o_orderdate").cast("timestamp_ltz").cast("long").alias("orderdate_epoch"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("l_orderkey", "revenue", "orderdate_epoch", "rank")
+    )
+
+
+@q(
+    "local_supplier_volume",
+    """
+SELECT n.n_name,
+       round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+    "TPC-H Q5-shaped local supplier volume: 6-way star join, dims broadcast",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue")
+        )
+    )
+
+
+# ===========================================================================
 # 7. Model-runtime queries (pandas-UDF path; rows-only driver check)
 # ===========================================================================
 

@@ -1,0 +1,5 @@
+from fastembed_rs_spark.streaming.pipelines import (  # noqa: F401
+    embed_stream,
+    sessionize_stream,
+    windowed_event_counts,
+)

@@ -1,0 +1,94 @@
+"""Structured Streaming wrappers around the batch operators.
+
+The reference is a synchronous batch library ("No dependency on Tokio",
+README.md:9) — streaming is a beyond-reference capability of this engine:
+the same embedding/dedup/analytics operators applied to unbounded input.
+
+Design: all transformations here are *expressed once* against the batch
+DataFrame API and reused — ``embed_stream`` applies the identical
+``mapInPandas`` embedding stage to a streaming DataFrame (Spark plans it
+incrementally; the per-worker session singleton amortizes across
+micro-batches exactly as it does across tasks), and the stateful pieces
+(windowed counts, sessionization) use event-time watermarks so state is
+bounded at 100 TB/day rates.
+
+At scale: watermark + window state lives in the state store keyed by
+(window, event_type) / (user_id, session window) — both uniform keys, no
+hot partitions; ``foreachBatch`` sinks let each micro-batch reuse the full
+batch writer (idempotent by batch id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def embed_stream(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    model: str = "stub-dense-mean",
+    out_col: str = "embedding",
+    batch_size: int = 256,
+) -> DataFrame:
+    """Streaming dense embedding: identical plan to operators.embed.embed_text,
+    applied to an unbounded DataFrame. Stateless → any output mode works."""
+    from fastembed_rs_spark.operators.embed import embed_text
+
+    return embed_text(stream_df, text_col, model=model, out_col=out_col,
+                      batch_size=batch_size)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts + value sums per key with a late-data watermark —
+    the streaming form of the batch ``events_hourly`` query.
+
+    ``ts_col`` must be a timestamp column. State per (window, key) is dropped
+    once the watermark passes the window end, bounding memory forever."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization via Spark's native session window (gap-based,
+    merging) — the incremental form of the batch ``events_sessionize`` query.
+
+    ``session_window`` keeps one merged window per (user, active session) in
+    the state store and finalizes it when the watermark passes; this is the
+    scalable replacement for the batch lag()+running-sum formulation."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,122 @@
+"""Structured Streaming pipelines driven end-to-end with the in-memory sink:
+a real streaming query runs (micro-batch engine, state store, watermark) and
+its output is compared against the equivalent batch computation."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from fastembed_rs_spark.streaming import (
+    embed_stream,
+    sessionize_stream,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture()
+def stream_dir(spark):
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_to_memory(stream, name):
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if name == "embeds" else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+EVENT_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("event_type", StringType()),
+    StructField("value", LongType()),
+])
+
+
+def _write_events(spark, path):
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "click", 1),
+        (2, 1, "2024-01-01 00:10:00", "click", 2),
+        (3, 1, "2024-01-01 00:50:00", "view", 3),   # same hour, new session? gap 40m>30m
+        (4, 2, "2024-01-01 01:05:00", "click", 4),
+        (5, 2, "2024-01-01 01:10:00", "view", 5),
+    ]
+    df = spark.createDataFrame(
+        [(e, u, t, ty, v) for e, u, t, ty, v in rows],
+        ["event_id", "user_id", "ts_s", "event_type", "value"],
+    ).select(
+        "event_id", "user_id",
+        F.to_timestamp("ts_s").alias("ts"), "event_type", "value",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_windowed_event_counts_stream_matches_batch(spark, stream_dir):
+    _write_events(spark, stream_dir)
+    src = spark.readStream.schema(EVENT_SCHEMA).parquet(stream_dir)
+    q = _run_to_memory(windowed_event_counts(src, window="1 hour"), "win_counts")
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    q.stop()
+    assert got[("2024-01-01 00:00:00", "click")] == (2, 3)
+    assert got[("2024-01-01 00:00:00", "view")] == (1, 3)
+    assert got[("2024-01-01 01:00:00", "click")] == (1, 4)
+    assert got[("2024-01-01 01:00:00", "view")] == (1, 5)
+
+
+def test_sessionize_stream(spark, stream_dir):
+    _write_events(spark, stream_dir)
+    src = spark.readStream.schema(EVENT_SCHEMA).parquet(stream_dir)
+    q = _run_to_memory(sessionize_stream(src, gap="30 minutes"), "sessions")
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    q.stop()
+    got = {(r["user_id"], str(r["session_start"])): r["n_events"] for r in rows}
+    # user 1: events at 00:00/00:10 merge (gap<30m), 00:50 starts a new session
+    assert got[(1, "2024-01-01 00:00:00")] == 2
+    assert got[(1, "2024-01-01 00:50:00")] == 1
+    assert got[(2, "2024-01-01 01:05:00")] == 2
+
+
+def test_embed_stream_matches_batch(spark, stream_dir):
+    texts = [(i, t) for i, t in enumerate(
+        ["streaming doc one", "another streaming document", "third", ""]
+    )]
+    spark.createDataFrame(texts, ["doc_id", "text"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stream_dir)
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("text", StringType()),
+    ])
+    src = spark.readStream.schema(schema).parquet(stream_dir)
+    q = _run_to_memory(embed_stream(src), "embeds")
+    stream_rows = {
+        r["doc_id"]: list(r["embedding"])
+        for r in spark.sql("SELECT * FROM embeds").collect()
+    }
+    q.stop()
+    from fastembed_rs_spark.operators.embed import embed_text
+
+    batch_rows = {
+        r["doc_id"]: list(r["embedding"])
+        for r in embed_text(
+            spark.read.parquet(stream_dir), "text"
+        ).collect()
+    }
+    assert stream_rows == batch_rows  # micro-batch == batch, bit-for-bit
