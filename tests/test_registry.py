@@ -1,0 +1,62 @@
+"""Registry parity with the reference model tables."""
+
+from __future__ import annotations
+
+import pytest
+
+from fastembed_rs_spark.models.registry import (
+    POOL_CLS,
+    POOL_LAST_TOKEN,
+    POOL_MEAN,
+    QUANT_DYNAMIC,
+    QUANT_STATIC,
+    get_model_spec,
+    list_models,
+)
+
+
+def test_dense_registry_size():
+    # reference registers 46 ONNX text models (src/models/text_embedding.rs)
+    # + 2 candle families; stubs add 4
+    dense = [m for m in list_models("dense") if not m.name.startswith("stub-")]
+    assert len(dense) == 48
+
+
+def test_reference_defaults():
+    # the reference's default model (src/models/text_embedding.rs:29-30)
+    spec = get_model_spec("BGESmallENV15")
+    assert spec.dim == 384 and spec.pooling == POOL_CLS
+
+    assert get_model_spec("AllMiniLML6V2").pooling == POOL_MEAN
+    assert get_model_spec("Qwen3Embedding06B").pooling == POOL_LAST_TOKEN
+
+
+def test_quantization_modes():
+    # impl.rs:233-283: MiniLM-Q dynamic, BGE-Q static, Gemma Q4 exempt
+    assert get_model_spec("AllMiniLML6V2Q").quantization == QUANT_DYNAMIC
+    assert get_model_spec("BGESmallENV15Q").quantization == QUANT_STATIC
+    assert get_model_spec("EmbeddingGemma300MQ4").quantization == "none"
+
+
+def test_output_key_overrides():
+    # Gemma family selects by name (text_embedding.rs:423-443)
+    assert get_model_spec("EmbeddingGemma300M").output_key == "sentence_embedding"
+    assert get_model_spec("BGESmallENV15").output_key is None
+
+
+def test_lookup_by_model_code_and_alias():
+    assert get_model_spec("Qdrant/all-MiniLM-L6-v2-onnx").name == "AllMiniLML6V2"
+    assert get_model_spec("BAAI/bge-small-en-v1.5").name == "BGESmallENV15"
+    assert get_model_spec("prithivida/Splade_PP_en_v1").name == "SPLADEPPV1"
+
+
+def test_kind_inventories():
+    assert len(list_models("image")) == 6   # 5 reference + stub
+    assert len(list_models("rerank")) == 5  # 4 reference + stub
+    assert len(list_models("sparse")) == 3  # 2 reference + stub
+    assert len(list_models("bgem3")) == 2   # 1 reference + stub
+
+
+def test_unknown_model_error_lists_known():
+    with pytest.raises(KeyError, match="unknown model"):
+        get_model_spec("not-a-model")
