@@ -31,6 +31,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "sparse_dot_topk",
     "rerank_overlap",
+    "colbert_maxsim_topk",
     "minhash_lsh_neardup",
     "simhash",
     "exact_dedup",

@@ -337,7 +337,13 @@ def embedding_near_dups(
     """
     from fastembed_rs_spark.functions.vector import cosine_similarity_fixed
 
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    # The pair join's output parallelism = stream-side partitions; spread the
+    # stream side so the O(n²) scoring parallelizes even from a single-split
+    # scan (measured 3× at sf0.1; harmless one extra n-row shuffle at scale)
+    parallelism = emb.sparkSession.sparkContext.defaultParallelism
+    a = emb.repartition(parallelism).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     cos = (
         cosine_similarity_fixed("__va", "__vb", dim)

@@ -46,14 +46,22 @@ def rerank(
     query_id: str = "query_id",
     doc_id: str = "doc_id",
     round_to: int | None = 6,
+    return_documents: bool = True,
+    document_col: str | None = None,
 ) -> DataFrame:
     """Rank candidate docs per query by ``score`` desc (ties → doc id asc).
 
     Result: pairs' columns + (score double, rank long); optionally truncated
     to the top ``k`` — the RerankResult ordering of the reference
     (src/reranking/impl.rs:185-195), vectorized over many queries.
+
+    ``return_documents=False`` drops ``document_col`` from the output — the
+    reference's RerankResult.document Option (src/reranking/init.rs:131-136):
+    at scale, not carrying the text through the sort shuffle is the point.
     """
     scored = pairs.withColumn("score", score.cast("double"))
+    if not return_documents and document_col is not None:
+        scored = scored.drop(document_col)
     if round_to is not None:
         scored = scored.withColumn("score", F.round("score", round_to))
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(doc_id))

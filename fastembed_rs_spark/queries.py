@@ -900,6 +900,57 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COLBERT_TOKENS = (
+    "list_transform(generate_series(0, 7), t -> "
+    "list_transform(generate_series(1, 8), i -> CAST({v}[t*8 + i] AS DOUBLE)))"
+)
+
+_MAXSIM = (
+    "list_sum(list_transform({q}, qt -> coalesce(list_max(list_transform({d}, dt -> "
+    "list_sum(list_transform(generate_series(1, 8), i -> qt[i] * dt[i])))), 0.0)))"
+)
+
+_COLBERT_ORACLE = f"""
+WITH toks AS (
+  SELECT vec_id, {_COLBERT_TOKENS.format(v='embedding')} AS tm FROM embeddings
+),
+qv AS (SELECT vec_id AS query_id, tm AS qtm FROM toks WHERE vec_id < 3),
+scored AS (
+  SELECT qv.query_id, t.vec_id,
+         round({_MAXSIM.format(q='qv.qtm', d='t.tm')}, 6) AS score
+  FROM qv CROSS JOIN toks t
+)
+SELECT query_id, vec_id, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+@q(
+    "colbert_maxsim_topk",
+    _COLBERT_ORACLE,
+    "late-interaction MaxSim top-k over multi-vector token matrices "
+    "(completes the reference's ColBERT output, src/bgem3_embedding/impl.rs:272-295; "
+    "token matrices sliced 8x8 from the dense embeddings so the oracle can mirror)",
+)
+def q_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.colbert import colbert_top_k
+
+    emb = t(spark, sf_dir, "embeddings")
+    token_matrix = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda tk: F.slice(F.col("embedding").cast("array<double>"), tk * 8 + 1, 8),
+    )
+    toks = emb.select(F.col("vec_id"), token_matrix.alias("colbert"))
+    queries = toks.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("colbert").alias("query_tokens")
+    )
+    return colbert_top_k(
+        queries, toks, k=5, id_col="vec_id", tokens_col="colbert", round_to=6
+    ).select("query_id", "vec_id", "score", "rank")
+
+
 # ===========================================================================
 # 7. Model-runtime queries (pandas-UDF path; rows-only driver check)
 # ===========================================================================

@@ -1,4 +1,5 @@
 from fastembed_rs_spark.streaming.pipelines import (  # noqa: F401
+    dedup_stream,
     embed_stream,
     sessionize_stream,
     windowed_event_counts,

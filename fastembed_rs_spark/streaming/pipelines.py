@@ -68,6 +68,28 @@ def windowed_event_counts(
     )
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop documents whose content fingerprint was
+    already seen within the watermark horizon — the incremental form of the
+    batch ``exact_dedup`` operator.
+
+    ``dropDuplicates`` keeps one state-store entry per fingerprint and evicts
+    it once the watermark passes, so state is bounded; fingerprints are
+    uniform hashes → no hot state-store partitions."""
+    from fastembed_rs_spark.functions.text import doc_fingerprint
+
+    return (
+        stream_df.withColumn("fingerprint", doc_fingerprint(text_col))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates(["fingerprint"])
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     ts_col: str = "ts",

@@ -120,3 +120,33 @@ def test_embed_stream_matches_batch(spark, stream_dir):
         ).collect()
     }
     assert stream_rows == batch_rows  # micro-batch == batch, bit-for-bit
+
+
+def test_dedup_stream(spark, stream_dir):
+    from fastembed_rs_spark.streaming import dedup_stream
+
+    rows = [
+        (0, "the same document text", "2024-01-01 00:00:00"),
+        (1, "THE SAME   document, text!", "2024-01-01 00:01:00"),  # dup fingerprint
+        (2, "a different document", "2024-01-01 00:02:00"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "ts_s"]).select(
+        "doc_id", "text", F.to_timestamp("ts_s").alias("ts")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(stream_dir)
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("ts", TimestampType()),
+    ])
+    src = spark.readStream.schema(schema).parquet(stream_dir)
+    q = (
+        dedup_stream(src, "text", "ts", watermark="1 hour")
+        .writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT doc_id FROM dedup_out").collect()
+    q.stop()
+    ids = sorted(r["doc_id"] for r in out)
+    assert len(ids) == 2 and 2 in ids and (0 in ids or 1 in ids)
