@@ -61,7 +61,8 @@ def hash_embed_coords(
 
     Mirrors the oracle SQL shape exactly; the norm join is keyed by doc id so
     both shuffles are uniform at scale."""
-    exploded = df.select(
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    exploded = df.select(F.col(id_col), F.col(text_col)).repartition(parallelism).select(
         F.col(id_col),
         F.explode(F.transform(token_hashes(text_col), lambda h: h % dim)).alias("bucket"),
     )
@@ -87,7 +88,8 @@ def splade_like_coords(
     explode → groupBy(id, bucket) with map-side combine — one shuffle keyed by
     (doc, term), uniform by construction (hash buckets), skew-safe.
     """
-    exploded = df.select(
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    exploded = df.select(F.col(id_col), F.col(text_col)).repartition(parallelism).select(
         F.col(id_col),
         F.explode(F.transform(token_hashes(text_col), lambda h: h % vocab)).alias("term_bucket"),
     )

@@ -150,6 +150,76 @@ def _size_hw(size) -> tuple[int, int]:
     return n, n
 
 
+# ---------------------------------------------------------------------------
+# Qwen3-VL pipeline: smart_resize + patch extraction
+# (src/models/qwen3.rs:193-336 — semantics re-expressed as vectorized NumPy)
+# ---------------------------------------------------------------------------
+
+def smart_resize(
+    height: int, width: int, factor: int,
+    min_pixels: int, max_pixels: int,
+) -> tuple[int, int]:
+    """Factor-aligned resize target (src/models/qwen3.rs:207-244): round each
+    side to a multiple of ``factor`` with Python ties-to-even rounding, then
+    scale uniformly if the area falls outside [min_pixels, max_pixels]."""
+    if height <= 0 or width <= 0:
+        raise ValueError("Image dimensions must be greater than zero")
+    if max(height, width) / min(height, width) > 200.0:
+        raise ValueError("Absolute aspect ratio must be <= 200")
+    # Python round() is ties-to-even, exactly the reference's rounding
+    h_bar = max(round(height / factor) * factor, factor)
+    w_bar = max(round(width / factor) * factor, factor)
+    area = float(height * width)
+    if h_bar * w_bar > max_pixels:
+        beta = (area / max_pixels) ** 0.5
+        h_bar = max(int(height / beta / factor) * factor, factor)
+        w_bar = max(int(width / beta / factor) * factor, factor)
+    elif h_bar * w_bar < min_pixels:
+        import math
+
+        beta = (min_pixels / area) ** 0.5
+        h_bar = max(math.ceil(height * beta / factor) * factor, factor)
+        w_bar = max(math.ceil(width * beta / factor) * factor, factor)
+    return h_bar, w_bar
+
+
+def qwen_vl_patches(
+    hwc: np.ndarray,
+    patch_size: int = 16,
+    temporal_patch_size: int = 2,
+    merge_size: int = 2,
+    min_pixels: int = 0,
+    max_pixels: int = 2**31,
+    rescale_factor: float = 1.0 / 255.0,
+    mean=(0.5, 0.5, 0.5),
+    std=(0.5, 0.5, 0.5),
+) -> tuple[np.ndarray, tuple[int, int, int]]:
+    """Qwen3-VL patch extraction (src/models/qwen3.rs:246-336): smart-resize
+    → normalize → split into patch tokens in MERGE-BLOCK order (all patches
+    of one merge block are contiguous), each row =
+    [channel][temporal repeat][ph][pw] of length 3·tps·ps².
+
+    Vectorized: one reshape/transpose instead of the reference's 9-deep pixel
+    loop. Returns (patches (grid_h·grid_w, 3·tps·ps²) float32,
+    (grid_t, grid_h, grid_w))."""
+    factor = patch_size * merge_size
+    h, w = hwc.shape[:2]
+    rh, rw = smart_resize(h, w, factor, min_pixels, max_pixels)
+    resized = resize_hwc(convert_to_rgb(hwc), rh, rw)
+    chw = normalize(rescale(to_chw_float(resized), rescale_factor), mean, std)
+
+    grid_h, grid_w = rh // patch_size, rw // patch_size
+    bh, bw = grid_h // merge_size, grid_w // merge_size
+    x = chw.reshape(3, bh, merge_size, patch_size, bw, merge_size, patch_size)
+    # output row order (gh_block, gw_block, mh, mw); row content (c, ph, pw)
+    x = x.transpose(1, 4, 2, 5, 0, 3, 6)
+    tokens = x.reshape(grid_h * grid_w, 3, patch_size * patch_size)
+    # temporal repeat inside each channel block: [c][tp][ph][pw]
+    tokens = np.repeat(tokens[:, :, None, :], temporal_patch_size, axis=2)
+    patches = tokens.reshape(grid_h * grid_w, 3 * temporal_patch_size * patch_size**2)
+    return patches.astype(np.float32), (1, grid_h, grid_w)
+
+
 def load_preprocessor(config: dict) -> Compose:
     """Build the transform pipeline from a ``preprocessor_config.json`` dict.
     Dialect dispatch on ``image_processor_type`` (falls back to

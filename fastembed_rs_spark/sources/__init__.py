@@ -1,0 +1,5 @@
+from fastembed_rs_spark.sources.io import (  # noqa: F401
+    read_documents,
+    read_images,
+    write_embeddings,
+)

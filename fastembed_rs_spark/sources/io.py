@@ -1,0 +1,99 @@
+"""Sources and sinks for the embedding engine.
+
+The reference reads texts from memory and images from file paths or raw
+bytes (src/image_embedding/impl.rs:119-186); model artifacts come from HF
+Hub with a local cache (src/common.rs:171-192). On Spark the equivalents are
+table-format readers + the ``binaryFile`` source, all with pushdown:
+
+* ``read_documents``  — parquet/json/csv/text into the canonical
+  (doc_id, text) shape; column pruning and predicate pushdown come free
+  from the declarative scan.
+* ``read_images``     — ``binaryFile`` datasource (path, modificationTime,
+  length, content) with a glob filter; ``pathGlobFilter`` prunes at
+  listing time, never reading non-matching bytes.
+* ``write_embeddings``— parquet sink partitioned/sized for downstream
+  similarity joins at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_TEXT_FORMATS = {"parquet", "json", "csv", "text"}
+
+
+def read_documents(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **options,
+) -> DataFrame:
+    """Read a document corpus into the canonical (doc_id, text, ...) shape.
+
+    ``text`` format has no id column — a stable one is synthesized from the
+    file name + line offset would require input_file_name bookkeeping; we use
+    ``monotonically_increasing_id`` (unique, not dense — fine as a dedup /
+    join key, do NOT use it as an ordinal)."""
+    if fmt not in _TEXT_FORMATS:
+        raise ValueError(f"unsupported document format {fmt!r}; use one of {_TEXT_FORMATS}")
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    df = reader.options(**options).load(path)
+    if fmt == "text":
+        df = df.select(
+            F.monotonically_increasing_id().alias(id_col),
+            F.col("value").alias(text_col),
+        )
+    return df
+
+
+def read_images(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.{png,jpg,jpeg,gif}",
+    id_from_path: bool = True,
+) -> DataFrame:
+    """Read images via the ``binaryFile`` datasource →
+    (path, content binary, length, modificationTime) — the Spark form of the
+    reference's path/bytes image inputs (src/image_embedding/impl.rs:119-159).
+
+    ``pathGlobFilter`` prunes non-matching files during listing (no bytes
+    read); pair with ``operators.embed.embed_image`` downstream."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    if id_from_path:
+        df = df.withColumn("image_id", F.regexp_extract(F.col("path"), r"([^/]+)$", 1))
+    return df
+
+
+def write_embeddings(
+    df: DataFrame,
+    path: str,
+    partition_by: str | None = None,
+    target_file_rows: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write an embedding table as parquet, shaped for downstream reads.
+
+    * ``partition_by``: hive-partition column (e.g. a date or corpus shard) —
+      enables partition pruning for incremental pipelines.
+    * ``target_file_rows``: coalesce/repartition so output files hold roughly
+      this many rows — embedding tables are wide (dim × 4 bytes per row), and
+      the default tiny-task output of a big shuffle produces file counts that
+      crush the driver/namenode at 100 TB.
+    """
+    out = df
+    if target_file_rows is not None:
+        n = max(1, df.count() // target_file_rows)
+        out = df.repartition(n)
+    writer = out.write.mode(mode)
+    if partition_by is not None:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(path)

@@ -1,0 +1,164 @@
+"""Sources/sinks, Qwen3-VL patch extraction, and the stateful streaming
+operator — each driven through its real surface."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fastembed_rs_spark.operators.preprocessing import (
+    normalize,
+    qwen_vl_patches,
+    rescale,
+    resize_hwc,
+    smart_resize,
+    to_chw_float,
+)
+from fastembed_rs_spark.sources import read_documents, read_images, write_embeddings
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="srcsink_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# smart_resize / patches
+# ---------------------------------------------------------------------------
+
+def test_smart_resize_alignment_and_bounds():
+    f = 32
+    h, w = smart_resize(100, 200, f, 0, 2**31)
+    assert h % f == 0 and w % f == 0
+    # ties-to-even: 48/32 = 1.5 → rounds to 2 (even), so 64
+    assert smart_resize(48, 48, 32, 0, 2**31) == (64, 64)
+    # 112/32 = 3.5 → rounds to 4 → 128
+    assert smart_resize(112, 112, 32, 0, 2**31) == (128, 128)
+    # max_pixels forces shrink, still aligned
+    h, w = smart_resize(1000, 1000, 32, 0, 128 * 128)
+    assert h % 32 == 0 and w % 32 == 0 and h * w <= 128 * 128
+    # min_pixels forces growth
+    h, w = smart_resize(40, 40, 32, 256 * 256, 2**31)
+    assert h * w >= 256 * 256
+    with pytest.raises(ValueError):
+        smart_resize(1, 300, 32, 0, 2**31)  # aspect > 200
+
+
+def test_qwen_vl_patches_match_naive_loop():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(64, 96, 3), dtype=np.uint8)
+    ps, tps, ms = 16, 2, 2
+    patches, (gt, gh, gw) = qwen_vl_patches(img, ps, tps, ms)
+    assert (gt, gh, gw) == (1, 4, 6)
+    assert patches.shape == (gh * gw, 3 * tps * ps * ps)
+
+    # naive loop oracle over the same resized/normalized tensor
+    rh, rw = smart_resize(64, 96, ps * ms, 0, 2**31)
+    chw = normalize(rescale(to_chw_float(resize_hwc(img, rh, rw))), (0.5,) * 3, (0.5,) * 3)
+    rows = []
+    for ghb in range(gh // ms):
+        for gwb in range(gw // ms):
+            for mh in range(ms):
+                for mw in range(ms):
+                    g_h, g_w = ghb * ms + mh, gwb * ms + mw
+                    vals = []
+                    for c in range(3):
+                        block = chw[c, g_h * ps:(g_h + 1) * ps, g_w * ps:(g_w + 1) * ps]
+                        for _ in range(tps):
+                            vals.extend(block.flatten().tolist())
+                    rows.append(vals)
+    naive = np.asarray(rows, dtype=np.float32)
+    assert np.array_equal(patches, naive)
+
+
+# ---------------------------------------------------------------------------
+# sources / sinks
+# ---------------------------------------------------------------------------
+
+def test_read_documents_text_and_csv(spark, tmpdir):
+    txt_dir = os.path.join(tmpdir, "txt")
+    os.makedirs(txt_dir)
+    with open(os.path.join(txt_dir, "a.txt"), "w") as f:
+        f.write("line one\nline two\n")
+    df = read_documents(spark, txt_dir, fmt="text")
+    rows = df.collect()
+    assert sorted(r["text"] for r in rows) == ["line one", "line two"]
+    assert len({r["doc_id"] for r in rows}) == 2
+
+    with pytest.raises(ValueError, match="unsupported"):
+        read_documents(spark, txt_dir, fmt="orcish")
+
+
+def test_read_images_binary_glob(spark, tmpdir):
+    img_dir = os.path.join(tmpdir, "imgs")
+    os.makedirs(img_dir)
+    for name, content in [("a.png", b"\x89PNGxxxx"), ("b.jpg", b"\xff\xd8\xffyy"),
+                          ("skip.txt", b"not an image")]:
+        with open(os.path.join(img_dir, name), "wb") as f:
+            f.write(content)
+    df = read_images(spark, img_dir)
+    rows = {r["image_id"]: bytes(r["content"]) for r in df.collect()}
+    assert set(rows) == {"a.png", "b.jpg"}  # glob pruned skip.txt at listing
+    assert rows["a.png"].startswith(b"\x89PNG")
+
+    # end-to-end: binaryFile source → embed_image
+    from fastembed_rs_spark.operators.embed import embed_image
+
+    out = embed_image(df, "content", model="stub-image").collect()
+    assert len(out) == 2 and all(len(r["embedding"]) == 32 for r in out)
+
+
+def test_write_embeddings_roundtrip(spark, tmpdir):
+    from fastembed_rs_spark.operators.embed import embed_text
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i}", "en" if i % 2 else "fr") for i in range(20)],
+        ["doc_id", "text", "lang"],
+    )
+    emb = embed_text(docs, "text")
+    path = os.path.join(tmpdir, "emb")
+    write_embeddings(emb, path, partition_by="lang", target_file_rows=10)
+    back = spark.read.parquet(path)
+    assert back.count() == 20
+    assert set(back.columns) == {"doc_id", "text", "lang", "embedding"}
+    # hive partitioning materialized → partition pruning possible
+    assert os.path.isdir(os.path.join(path, "lang=en"))
+
+
+# ---------------------------------------------------------------------------
+# applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+def test_running_user_stats_stateful(spark, tmpdir):
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+    from fastembed_rs_spark.streaming.stateful import running_user_stats
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10),
+        (1, "2024-01-01 00:01:00", 5),
+        (2, "2024-01-01 00:02:00", 7),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_s", "value"]).select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), F.col("value").cast("double")
+    )
+    src_dir = os.path.join(tmpdir, "events")
+    df.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    src = spark.readStream.schema(schema).parquet(src_dir)
+    q = (
+        running_user_stats(src)
+        .writeStream.format("memory").queryName("user_stats")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: (r["n_events"], r["total_value"])
+           for r in spark.sql("SELECT * FROM user_stats").collect()}
+    q.stop()
+    assert got == {1: (2, 15.0), 2: (1, 7.0)}
