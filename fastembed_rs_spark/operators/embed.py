@@ -140,9 +140,19 @@ def embed_text(
     model: str = "stub-dense-mean",
     out_col: str = "embedding",
     batch_size: int = DEFAULT_BATCH_SIZE,
+    pack_by_length: bool = False,
 ) -> DataFrame:
-    """Append ``out_col array<float>`` — dense, pooled, L2-normalized."""
+    """Append ``out_col array<float>`` — dense, pooled, L2-normalized.
+
+    ``pack_by_length=True`` range-repartitions by text length first so each
+    padded inference batch holds similar-length docs (batch-longest padding
+    wastes compute proportional to in-batch length variance — SURVEY §4);
+    embeddings are identical either way (masked pooling)."""
     spec = get_model_spec(model)
+    if pack_by_length:
+        from fastembed_rs_spark.operators.scale import repartition_by_length
+
+        df = repartition_by_length(df, text_col)
     df = _enforce_quant_constraint(df, spec)
     out_schema = _with_schema(df, f"{out_col} array<float>")
 

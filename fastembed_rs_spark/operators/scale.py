@@ -1,0 +1,97 @@
+"""Scale patterns: length-aware batching, skew salting, bucketed joins.
+
+These are the "custom work Catalyst won't invent" items from SURVEY §4:
+
+* ``repartition_by_length`` — the reference pads each inference batch to its
+  longest sequence (PaddingStrategy::BatchLongest, src/common.rs:106-113), so
+  a batch mixing a 5-token and a 500-token doc wastes ~99% of the compute on
+  padding for the short rows. Range-partitioning by text length co-batches
+  similar lengths; embeddings are unchanged (masked pooling is
+  padding-invariant) but padded-token throughput improves by the length
+  variance of the corpus.
+* ``salted_aggregate`` — two-stage aggregation for skewed group keys: stage 1
+  aggregates on (key, salt) spreading one hot key over N reducers, stage 2
+  merges the partials. Works for any algebraic aggregate (sum/count/min/max).
+* ``write_bucketed`` / no-shuffle joins — persisting both sides of a
+  recurring join bucketed by the key lets Spark plan a SortMergeJoin with
+  ZERO Exchange: at 100 TB the shuffle is the cost, and bucketing pays it
+  once at write time instead of per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def repartition_by_length(
+    df: DataFrame,
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Range-repartition by text length so each Arrow batch (and therefore
+    each padded inference batch) holds similar-length documents.
+
+    Safe for correctness: per-document embeddings do not depend on batch
+    composition (tests pin partition invariance); this only changes the
+    padding waste. Use directly in front of ``embed_text``."""
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartitionByRange(num_partitions, F.length(F.col(text_col)))
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Two-stage skew-safe aggregation.
+
+    ``aggs`` maps output column → (input column, fn) with fn in
+    {sum, count, min, max}. Stage 1 groups by (keys..., salt) — a hot key's
+    rows spread over ``salt_buckets`` reducers; stage 2 merges partials by
+    the true keys (count partials merge by SUM).
+
+    Example::
+
+        salted_aggregate(li, ["l_returnflag"], {"qty": ("l_quantity", "sum"),
+                                                "n": ("l_quantity", "count")})
+    """
+    merge_fn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    for out, (_, fn) in aggs.items():
+        if fn not in merge_fn:
+            raise ValueError(f"{out}: non-algebraic aggregate {fn!r} cannot be salted")
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(*key_cols, "__salt").agg(*[
+        getattr(F, fn)(col).alias(out) for out, (col, fn) in aggs.items()
+    ])
+    return partial.groupBy(*key_cols).agg(*[
+        getattr(F, merge_fn[fn])(out).alias(out) for out, (_, fn) in aggs.items()
+    ])
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) table. Joining two
+    tables bucketed by the same column into the same bucket count plans with
+    no Exchange on either side — verify with ``assert_no_shuffle_join``."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
+def assert_no_shuffle_join(joined: DataFrame) -> bool:
+    """True iff the executed plan of ``joined`` contains a join but no
+    Exchange (shuffle) — the co-located-join property bucketing buys."""
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    return ("Join" in plan) and ("Exchange" not in plan)

@@ -1,0 +1,95 @@
+"""Scale patterns: length-aware batching invariance, salted aggregation
+equivalence, and the bucketed no-shuffle join property (checked on the
+actual executed plan)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastembed_rs_spark.operators.scale import (
+    assert_no_shuffle_join,
+    repartition_by_length,
+    salted_aggregate,
+    write_bucketed,
+)
+
+
+def test_length_repartition_preserves_embeddings(spark):
+    from fastembed_rs_spark.operators.embed import embed_text
+
+    docs = spark.createDataFrame(
+        [(i, "word " * (1 + (i * 37) % 100)) for i in range(50)], ["doc_id", "text"]
+    )
+    plain = {r["doc_id"]: list(r["embedding"]) for r in embed_text(docs, "text").collect()}
+    packed = {
+        r["doc_id"]: list(r["embedding"])
+        for r in embed_text(repartition_by_length(docs, "text", 8), "text").collect()
+    }
+    assert plain == packed  # padding-invariant pooling ⇒ identical vectors
+
+
+def test_length_repartition_co_batches(spark):
+    docs = spark.createDataFrame(
+        [(i, "x" * (10 if i < 50 else 1000)) for i in range(100)], ["doc_id", "text"]
+    )
+    parts = (
+        repartition_by_length(docs, "text", 4)
+        .select(F.spark_partition_id().alias("p"), F.length("text").alias("l"))
+        .groupBy("p")
+        .agg(F.min("l").alias("lo"), F.max("l").alias("hi"))
+        .collect()
+    )
+    # no partition mixes the short and the long population
+    assert all(not (r["lo"] == 10 and r["hi"] == 1000) for r in parts)
+
+
+def test_salted_aggregate_equals_plain(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    plain = {
+        r["l_returnflag"]: (r["qty"], r["n"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("qty"), F.count("l_quantity").alias("n"))
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: (r["qty"], r["n"])
+        for r in salted_aggregate(
+            li, ["l_returnflag"],
+            {"qty": ("l_quantity", "sum"), "n": ("l_quantity", "count")},
+            salt_buckets=16,
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert salted[k][1] == plain[k][1]
+        assert salted[k][0] == pytest.approx(plain[k][0], rel=1e-9)
+
+
+def test_salted_aggregate_rejects_non_algebraic(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    with pytest.raises(ValueError, match="non-algebraic"):
+        salted_aggregate(li, ["l_returnflag"], {"a": ("l_quantity", "avg")})
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        write_bucketed(orders, "b_orders", "o_custkey", num_buckets=8)
+        write_bucketed(
+            cust.withColumn("c_custkey", F.col("c_custkey")), "b_cust", "c_custkey", num_buckets=8
+        )
+        joined = spark.table("b_orders").join(
+            spark.table("b_cust"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        assert assert_no_shuffle_join(joined)
+        # sanity: same row count as the plain shuffle join
+        plain = orders.join(cust, orders.o_custkey == cust.c_custkey)
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
