@@ -78,6 +78,70 @@ def cosine_top_k(
     return _ranked_topk(scored, query_id, id_col, k)
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Lloyd's k-means over a vector column, expressed as DataFrame algebra —
+    the training step that turns ``ivf_top_k`` from "modulo-sampled anchors"
+    into a real IVF index.
+
+    Per iteration: assign every vector to its nearest centroid (broadcast
+    centroids, cosine argmax — the same plan as ``assign_ivf_buckets``), then
+    recompute each centroid as the mean of its members via
+    posexplode → groupBy(centroid, dim) avg → collect_list reassembly.
+    Each iteration is 2 shuffles (assign window by id, mean by centroid+dim);
+    centroids are ``localCheckpoint``-ed so lineage doesn't grow with iters.
+
+    Initialization: deterministic sample of k vectors (sort by a seeded hash
+    of the id — reproducible without a full shuffle of the corpus).
+    Returns (centroid_id int, centroid_vec array<double>).
+    """
+    hashed = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"),
+        F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("__h"),
+    )
+    init = (
+        hashed.orderBy("__h").limit(k)
+        .select(F.col("__v").alias("centroid_vec"))
+        .withColumn("centroid_id", F.row_number().over(
+            Window.orderBy(F.monotonically_increasing_id())) - 1)
+        .select("centroid_id", "centroid_vec")
+    )
+    centroids = init.localCheckpoint()
+    points = hashed.select(id_col, "__v").localCheckpoint()
+    for _ in range(iters):
+        scored = points.crossJoin(
+            F.broadcast(centroids.withColumnRenamed("centroid_vec", "__c"))
+        ).select(
+            id_col, "__v", "centroid_id",
+            cosine_similarity("__v", "__c").alias("__s"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("__s"), F.asc("centroid_id"))
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, "__v", "centroid_id")
+        )
+        means = (
+            assigned.select("centroid_id", F.posexplode("__v").alias("__d", "__x"))
+            .groupBy("centroid_id", "__d")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("__d", "__m"))).alias("__dm"))
+            .select(
+                "centroid_id",
+                F.transform("__dm", lambda s: s["__m"]).alias("centroid_vec"),
+            )
+        )
+        centroids = means.localCheckpoint()
+    return centroids
+
+
 def assign_ivf_buckets(
     corpus: DataFrame,
     centroids: DataFrame,

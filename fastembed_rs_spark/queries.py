@@ -956,6 +956,25 @@ def q_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 @q(
+    "ann_ivf_trained",
+    None,
+    "k-means-trained IVF: Lloyd's iterations as DataFrame algebra, then probe "
+    "(iterative algorithm — not SQL-expressible, rows-only check)",
+)
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.topk import train_ivf_centroids
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb, k=8, iters=3)
+    bucketed = assign_ivf_buckets(emb, centroids)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = ivf_top_k(queries, bucketed, centroids, k=5, nprobe=2, round_to=6)
+    return out.select("query_id", "vec_id", "score", "rank")
+
+
+@q(
     "embed_text_stub",
     None,
     "mapInPandas dense embedding (stub session): checks schema/batching plumbing; "

@@ -176,3 +176,24 @@ def test_sessionize_semantics(spark):
     rows = {(r["user_id"], r["session_id"]): (r["n_events"], r["duration_s"])
             for r in agg.collect()}
     assert rows == {(1, 1): (3, 900), (1, 2): (1, 0), (2, 1): (1, 0)}
+
+
+def test_train_ivf_centroids_recovers_clusters(spark):
+    import numpy as np
+    from fastembed_rs_spark.operators.topk import train_ivf_centroids
+
+    rng = np.random.default_rng(5)
+    centers = np.eye(3, 8) * 10.0
+    pts = np.vstack([c + rng.normal(scale=0.3, size=(30, 8)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, pts[i].tolist()) for i in range(len(pts))], ["vec_id", "embedding"]
+    )
+    cent = train_ivf_centroids(df, k=3, iters=4)
+    got = np.array([r["centroid_vec"] for r in cent.collect()])
+    assert got.shape == (3, 8)
+    for c in centers:
+        cos = (got @ c) / (np.linalg.norm(got, axis=1) * np.linalg.norm(c))
+        assert cos.max() > 0.99  # each true center recovered by some centroid
+    # buckets are balanced on this symmetric data
+    buckets = assign_ivf_buckets(df, cent).groupBy("centroid_id").count().collect()
+    assert sorted(r["count"] for r in buckets) == [30, 30, 30]
