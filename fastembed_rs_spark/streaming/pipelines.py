@@ -68,6 +68,40 @@ def windowed_event_counts(
     )
 
 
+def embed_to_parquet_stream(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    model: str = "stub-dense-mean",
+    partition_by: str | None = None,
+):
+    """Continuously embed a document stream and append to a parquet dataset
+    via ``foreachBatch`` — each micro-batch reuses the full batch writer
+    (``sources.io.write_embeddings`` shape), idempotent per batch id.
+
+    Returns the started StreamingQuery; caller owns stop/await. The
+    checkpoint dir carries the source offsets, so a restart resumes exactly
+    where the last committed batch ended — the incremental ingest pattern
+    for a growing 100 TB corpus."""
+    from fastembed_rs_spark.operators.embed import embed_text
+
+    embedded = embed_text(stream_df, text_col, model=model)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        writer = batch_df.write.mode("append")
+        if partition_by is not None:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(path)
+
+    return (
+        embedded.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_stream(
     stream_df: DataFrame,
     text_col: str = "text",

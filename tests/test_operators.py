@@ -197,3 +197,28 @@ def test_train_ivf_centroids_recovers_clusters(spark):
     # buckets are balanced on this symmetric data
     buckets = assign_ivf_buckets(df, cent).groupBy("centroid_id").count().collect()
     assert sorted(r["count"] for r in buckets) == [30, 30, 30]
+
+
+def test_ivf_recall_at_10_vs_brute(spark):
+    """Measured recall of the trained-IVF probe path against the exact
+    brute-force top-k on the real sf0.001 embeddings (deterministic data +
+    seeded init → a stable, pinnable number)."""
+    from fastembed_rs_spark.operators.topk import train_ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_top_k(queries, emb, k=10, round_to=6)
+    truth = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+
+    centroids = train_ivf_centroids(emb, k=10, iters=3)
+    bucketed = assign_ivf_buckets(emb, centroids)
+    approx = ivf_top_k(queries, bucketed, centroids, k=10, nprobe=3, round_to=6)
+    got = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+
+    recall = len(truth & got) / len(truth)
+    # probing 3 of 10 trained buckets on this corpus measures exactly 0.60
+    # (fully deterministic: seeded init + exact assignment); bound leaves
+    # margin in case the plan's float fold order ever shifts a tie
+    assert recall >= 0.5, f"recall@10 = {recall}"

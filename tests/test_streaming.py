@@ -150,3 +150,31 @@ def test_dedup_stream(spark, stream_dir):
     q.stop()
     ids = sorted(r["doc_id"] for r in out)
     assert len(ids) == 2 and 2 in ids and (0 in ids or 1 in ids)
+
+
+def test_embed_to_parquet_stream_resumes(spark, stream_dir):
+    import os
+    from fastembed_rs_spark.streaming import embed_to_parquet_stream
+
+    src_dir = os.path.join(stream_dir, "src")
+    out_dir = os.path.join(stream_dir, "out")
+    ckpt = os.path.join(stream_dir, "ckpt")
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("text", StringType()),
+    ])
+    spark.createDataFrame([(0, "first doc"), (1, "second doc")], schema) \
+        .coalesce(1).write.mode("append").parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = embed_to_parquet_stream(stream, out_dir, ckpt)
+    q.awaitTermination(120); q.stop()
+    assert spark.read.parquet(out_dir).count() == 2
+
+    # new files arrive; a RESTARTED query embeds only them (offsets in ckpt)
+    spark.createDataFrame([(2, "third doc")], schema) \
+        .coalesce(1).write.mode("append").parquet(src_dir)
+    stream2 = spark.readStream.schema(schema).parquet(src_dir)
+    q2 = embed_to_parquet_stream(stream2, out_dir, ckpt)
+    q2.awaitTermination(120); q2.stop()
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 3  # 2 + 1, no re-embedding of the first batch
+    assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) == [0, 1, 2]
