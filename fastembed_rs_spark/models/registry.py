@@ -50,6 +50,10 @@ class ModelSpec:
     additional_files: tuple[str, ...] = ()
     kind: str = "dense"  # dense | sparse | bgem3 | image | rerank
     vocab_size: int = 30000  # used by sparse heads / stub tokenizer
+    #: sparse post-processing: "splade" (log1p∘relu of vocab logits,
+    #: impl.rs:225-254) or "bgem3" (linear head on hidden states +
+    #: max-by-token-id, impl.rs:256-304)
+    sparse_method: str = "splade"
     backend: str = "onnx"  # onnx | candle (qwen3 / nomic-moe families)
 
 
@@ -165,7 +169,8 @@ register(ModelSpec(
     description="SPLADE post-processing (src/sparse_text_embedding/impl.rs:225-254)",
 ), "prithivida/Splade_PP_en_v1")
 register(ModelSpec(
-    name="SparseBGEM3", dim=0, kind="sparse", vocab_size=250002,
+    name="SparseBGEM3", dim=1024, kind="sparse", vocab_size=250002,
+    sparse_method="bgem3",
     model_code="BAAI/bge-m3-sparse", model_file="onnx/model.onnx",
     description="BGE-M3 sparse head: embedded linear weights, max-by-token-id "
                 "(src/sparse_text_embedding/impl.rs:256-304)",
@@ -215,6 +220,9 @@ register(ModelSpec(name="stub-dense-dynamic", dim=32, pooling=POOL_MEAN, kind="d
                    description="stub carrying the dynamic-quantization single-batch constraint"))
 register(ModelSpec(name="stub-sparse", dim=256, pooling=POOL_MEAN, kind="sparse",
                    vocab_size=256, description="NumPy stub SPLADE-shaped sparse head"))
+register(ModelSpec(name="stub-sparse-bgem3", dim=32, kind="sparse", vocab_size=997,
+                   sparse_method="bgem3",
+                   description="NumPy stub: bgem3-style linear sparse head over hidden states"))
 register(ModelSpec(name="stub-bgem3", dim=32, kind="bgem3", vocab_size=997,
                    description="NumPy stub emitting (dense, sparse, colbert) triple"))
 register(ModelSpec(name="stub-image", dim=32, kind="image", vocab_size=0,

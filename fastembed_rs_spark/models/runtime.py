@@ -74,5 +74,39 @@ def get_session(model_name: str):
     return _SESSIONS[model_name]
 
 
+_SPARSE_LINEAR: dict[str, tuple] = {}
+
+
+def get_sparse_linear(model_name: str):
+    """(weight (H,), bias) of the bgem3 sparse head — per-worker cached.
+
+    Real path: the safetensors blob shipped as package data / broadcast
+    (models.safetensors_io.bgem3_sparse_linear, mirroring the reference's
+    embedded weights, bgem3_weights.rs:16-27). Offline fallback: a
+    deterministic pseudo-random head so the full pipeline stays testable."""
+    if model_name not in _SPARSE_LINEAR:
+        import numpy as np
+
+        spec = get_model_spec(model_name)
+        blob_path = os.path.join(
+            cache_dir(), spec.model_code.replace("/", "--"), "sparse_linear.safetensors"
+        )
+        if os.path.exists(blob_path):
+            from fastembed_rs_spark.models.safetensors_io import bgem3_sparse_linear
+
+            with open(blob_path, "rb") as f:
+                _SPARSE_LINEAR[model_name] = bgem3_sparse_linear(f.read())
+        else:
+            from fastembed_rs_spark.models.stub import rolling_hash
+
+            # NOT hash(): Python string hashing is per-process randomized,
+            # which would give each worker different weights
+            rng = np.random.default_rng(rolling_hash(model_name) % (2**32))
+            w = rng.normal(scale=0.3, size=spec.dim).astype(np.float32)
+            _SPARSE_LINEAR[model_name] = (w, np.float32(0.05))
+    return _SPARSE_LINEAR[model_name]
+
+
 def clear_sessions() -> None:
     _SESSIONS.clear()
+    _SPARSE_LINEAR.clear()

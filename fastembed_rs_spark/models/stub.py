@@ -180,4 +180,7 @@ SESSIONS = {
 
 
 def build_stub_session(spec: ModelSpec):
+    if spec.kind == "sparse" and spec.sparse_method == "bgem3":
+        # bgem3 sparse head consumes hidden states, not vocab logits
+        return StubDenseSession(spec)
     return SESSIONS[spec.kind](spec)

@@ -181,30 +181,56 @@ def embed_sparse(
     out_col: str = "sparse_embedding",
     batch_size: int = DEFAULT_BATCH_SIZE,
 ) -> DataFrame:
-    """Append ``out_col struct<indices array<int>, values array<float>>`` —
-    SPLADE post-processing: relu → log1p → ·mask → max over sequence → keep
-    strictly positive pairs, indices ascending
-    (src/sparse_text_embedding/impl.rs:225-254)."""
+    """Append ``out_col struct<indices array<int>, values array<float>>``.
+
+    Two post-processing methods, selected by the model's ``sparse_method``:
+
+    * ``splade``: relu → log1p → ·mask → max over sequence → keep strictly
+      positive (vocab_index, value) pairs (src/sparse_text_embedding/impl.rs:225-254)
+    * ``bgem3``: per-token ``relu(hidden·w + b)`` via the model's embedded
+      linear head (safetensors — models.safetensors_io), max-aggregated per
+      TOKEN ID with special ids {0,1,2,3} and pad positions skipped, indices
+      ascending (impl.rs:256-304, bgem3_weights.rs:16-43)
+    """
     spec = get_model_spec(model)
     df = _enforce_quant_constraint(df, spec)
     out_schema = _with_schema(df, f"{out_col} struct<indices: array<int>, values: array<float>>")
+    special_ids = {0, 1, 2, 3}  # impl.rs:264
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from fastembed_rs_spark.models.runtime import get_session
+        from fastembed_rs_spark.models.runtime import get_session, get_sparse_linear
 
         tokenizer, session = get_session(model)
         for pdf in batches:
             for chunk in _chunks(pdf, batch_size):
                 texts = chunk[text_col].fillna("").astype(str).tolist()
                 ids, mask = _encode(tokenizer, texts)
-                logits = _run(session, {"input_ids": ids, "attention_mask": mask})["logits"]
-                weights = np.log1p(np.maximum(logits, 0.0)) * mask[..., None]
-                scores = weights.max(axis=1)  # (B, V) — seq-axis max (impl.rs:235)
+                outputs = _run(session, {"input_ids": ids, "attention_mask": mask})
                 rows = []
-                for r in scores:
-                    idx = np.nonzero(r > 0.0)[0]
-                    rows.append({"indices": idx.astype(np.int32).tolist(),
-                                 "values": r[idx].astype(np.float32).tolist()})
+                if spec.sparse_method == "bgem3":
+                    hidden = select_output(outputs, spec.output_key)  # (B,T,H)
+                    w, b = get_sparse_linear(model)
+                    tok_w = np.maximum(hidden @ w + b, 0.0)  # (B,T)
+                    for i in range(len(texts)):
+                        agg: dict[int, float] = {}
+                        for t_pos in range(ids.shape[1]):
+                            tid = int(ids[i, t_pos])
+                            if mask[i, t_pos] == 0 or tid in special_ids:
+                                continue
+                            wt = float(tok_w[i, t_pos])
+                            if wt > agg.get(tid, 0.0):
+                                agg[tid] = wt  # max per token id (impl.rs:289-294)
+                        idx = sorted(k for k, v in agg.items() if v > 0.0)
+                        rows.append({"indices": [int(x) for x in idx],
+                                     "values": [float(agg[x]) for x in idx]})
+                else:
+                    logits = outputs["logits"]
+                    weights = np.log1p(np.maximum(logits, 0.0)) * mask[..., None]
+                    scores = weights.max(axis=1)  # (B, V) — seq-axis max (impl.rs:235)
+                    for r in scores:
+                        idx = np.nonzero(r > 0.0)[0]
+                        rows.append({"indices": idx.astype(np.int32).tolist(),
+                                     "values": r[idx].astype(np.float32).tolist()})
                 res = chunk.copy()
                 res[out_col] = rows
                 yield res

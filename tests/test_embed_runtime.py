@@ -161,3 +161,28 @@ def test_rerank_self_match_ranks_first(spark, docs):
     best = scored.orderBy(F.desc("score"), F.asc("doc_id")).first()
     assert best["doc_id"] == 0
     assert best["score"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_sparse_bgem3_method(spark, docs):
+    # bgem3-style sparse: linear head on hidden states, max per token id,
+    # special ids skipped, indices ascending (impl.rs:256-304)
+    rows = embed_sparse(docs, "text", model="stub-sparse-bgem3").collect()
+    assert len(rows) == len(TEXTS)
+    nonempty = 0
+    for r in rows:
+        se = r["sparse_embedding"]
+        assert len(se["indices"]) == len(se["values"])
+        assert all(v > 0.0 for v in se["values"])
+        assert list(se["indices"]) == sorted(se["indices"])
+        assert all(i not in (0, 1, 2, 3) for i in se["indices"])
+        nonempty += bool(se["indices"])
+    assert nonempty > 0
+    # duplicate texts → identical sparse vectors; partition invariance
+    m = {r["doc_id"]: (tuple(r["sparse_embedding"]["indices"]),
+                       tuple(r["sparse_embedding"]["values"])) for r in rows}
+    assert m[0] == m[4]
+    again = {r["doc_id"]: (tuple(r["sparse_embedding"]["indices"]),
+                           tuple(r["sparse_embedding"]["values"]))
+             for r in embed_sparse(docs.repartition(5), "text",
+                                   model="stub-sparse-bgem3").collect()}
+    assert m == again

@@ -53,7 +53,7 @@ def test_lookup_by_model_code_and_alias():
 def test_kind_inventories():
     assert len(list_models("image")) == 6   # 5 reference + stub
     assert len(list_models("rerank")) == 5  # 4 reference + stub
-    assert len(list_models("sparse")) == 3  # 2 reference + stub
+    assert len(list_models("sparse")) == 4  # 2 reference + 2 stubs (splade/bgem3)
     assert len(list_models("bgem3")) == 2   # 1 reference + stub
 
 
