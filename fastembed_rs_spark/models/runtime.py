@@ -7,7 +7,9 @@ initialized **per-Python-worker singleton**: the first Arrow batch a worker
 sees builds the session, subsequent batches (and subsequent tasks, with
 ``spark.python.worker.reuse=true``) reuse it. Model artifacts resolve via the
 same env vars the reference uses: ``FASTEMBED_CACHE_DIR`` / ``HF_HOME``
-(src/common.rs:12-16,176-182).
+(src/common.rs:12-16,176-182). NOTE: executors capture the environment at
+launch — set these BEFORE creating the SparkSession (or via
+``spark.executorEnv.*``); setting them mid-session silently falls back.
 
 If ``onnxruntime`` + ``tokenizers`` are importable and the model artifacts are
 cached locally, real inference runs; otherwise the deterministic NumPy stubs
