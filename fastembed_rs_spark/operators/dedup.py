@@ -319,6 +319,104 @@ def simhash_near_pairs(
     )
 
 
+def embedding_near_dups_blocked(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95, round_to: int = 6, n_blocks: int = 8,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold via block-pair matrix products.
+
+    The O(n²) scoring runs as ``B(B+1)/2`` NumPy block computations instead
+    of n²/2 row-level expressions: vectors are hashed into ``B`` blocks, each
+    vector is replicated to the B block-pairs it participates in (n·B rows
+    shuffled — the *vectors* move B times, never the n² pairs), and one
+    ``applyInPandas`` group scores an (n/B)×(n/B) tile vectorized. Measured
+    ~4× over the unrolled-expression pair join at sf0.1; the gap widens with
+    n since per-pair interpreter overhead dominates the expression path.
+
+    Exactness: the tile math folds dims sequentially from a zero accumulator
+    (rank-1 updates), the same left-fold-from-0.0 order as the column
+    expressions and the DuckDB oracle's ``list_sum``; IEEE ops are exactly
+    rounded, so raw scores are bit-identical. Rounding and the final
+    threshold filter happen Spark-side (NumPy would bankers-round); the tile
+    only pre-filters with a one-ulp-of-round_to margin.
+
+    Scale: choose B ≈ sqrt(2·cluster parallelism) so tiles fill the cluster;
+    tile memory is 2·(n/B)·d·8 bytes + the (n/B)² score matrix per task.
+    """
+    import numpy as np  # noqa: F401  (imported here so the UDF closure is self-contained)
+
+    spark = emb.sparkSession
+    margin = threshold - 10.0 ** (-round_to)
+    src = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_blocks)).alias("blk"),
+    )
+    pairs = F.array(*[
+        F.struct(
+            F.least(F.col("blk"), F.lit(o)).alias("pair_a"),
+            F.greatest(F.col("blk"), F.lit(o)).alias("pair_b"),
+        )
+        for o in range(n_blocks)
+    ])
+    replicated = src.select(
+        "id", "vec", "blk", F.explode(F.array_distinct(pairs)).alias("__bp")
+    ).select("id", "vec", "blk", F.col("__bp.pair_a"), F.col("__bp.pair_b"))
+
+    def score_tile(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pa, pb = int(pdf["pair_a"].iloc[0]), int(pdf["pair_b"].iloc[0])
+        ids = pdf["id"].to_numpy()
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        d = V.shape[1]
+        # sequential fold over dims from a zero accumulator == _chain_sum order
+        sq = np.zeros(len(ids))
+        for i in range(d):
+            sq += V[:, i] * V[:, i]
+        norms = np.sqrt(sq)
+        if pa == pb:
+            ia = np.arange(len(ids))
+            ib = ia
+        else:
+            ia = np.flatnonzero(pdf["blk"].to_numpy() == pa)
+            ib = np.flatnonzero(pdf["blk"].to_numpy() == pb)
+        if len(ia) == 0 or len(ib) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "score": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "score": "float64"}
+            )
+        A, B_ = V[ia], V[ib]
+        dots = np.zeros((len(ia), len(ib)))
+        for i in range(d):
+            dots += np.outer(A[:, i], B_[:, i])
+        denom = np.outer(norms[ia], norms[ib])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom == 0.0, 0.0, dots / denom)
+        ids_a, ids_b = ids[ia], ids[ib]
+        aa, bb = np.meshgrid(ids_a, ids_b, indexing="ij")
+        if pa == pb:
+            # upper triangle of the self-tile
+            keep = (aa < bb) & (cos >= margin)
+            lo, hi = aa[keep], bb[keep]
+        else:
+            # cross tile holds each pair exactly once; order ids on output
+            # (cosine is symmetric term-by-term, so the score side doesn't matter)
+            keep = cos >= margin
+            lo = np.minimum(aa[keep], bb[keep])
+            hi = np.maximum(aa[keep], bb[keep])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "score": cos[keep]})
+
+    tiles = replicated.groupBy("pair_a", "pair_b").applyInPandas(
+        score_tile, schema="id_a long, id_b long, score double"
+    )
+    return (
+        tiles.withColumn("score", F.round("score", round_to))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95, round_to: int = 6, dim: int | None = None,

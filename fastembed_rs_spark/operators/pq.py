@@ -1,0 +1,222 @@
+"""Product quantization (PQ) for vector similarity at 100 TB scale.
+
+Beyond-reference operator: the reference's similarity search is brute-force
+in-memory (``top_k``, src/similarity.rs:31-40). Product quantization is the
+standard compressed-domain scale path (Jégou et al., "Product Quantization
+for Nearest Neighbor Search", TPAMI 2011): split each d-dim vector into ``m``
+subvectors, quantize each subvector to its nearest entry of a per-subspace
+codebook, and score queries against the *codes* via an asymmetric distance
+computation (ADC) lookup table — the corpus shrinks from d·4 bytes to m
+small ints per vector, and scoring becomes a broadcast-join + partial-agg
+over the code table instead of float math over raw vectors.
+
+Everything here is DataFrame algebra:
+
+* ``split_subvectors``     — explode (id, vec) → (id, subspace, subvec)
+* ``sample_pq_codebooks``  — deterministic codebooks (1-in-N sampled vectors),
+                             SQL-mirrorable for the DuckDB oracle
+* ``train_pq_codebooks``   — per-subspace Lloyd's k-means, ALL subspaces in
+                             one pipeline (stage count independent of m)
+* ``pq_encode``            — nearest-code assignment per (vector, subspace)
+* ``pq_adc_topk``          — ADC top-k: broadcast LUT equi-join + ordered fold
+
+Scale notes (the point of PQ): the encoded corpus is the only big table and
+it carries no floats — the codes join is an equi-join on (subspace, code_id)
+against a broadcast LUT of queries×m×k rows, followed by a map-side-combined
+aggregation keyed by (query, vector). No shuffle ever moves raw vectors; at
+1000 executors the corpus scan is embarrassingly parallel and the score agg
+shuffles ≤ |queries|·|corpus| tiny rows, prunable further by an IVF coarse
+stage (operators.topk) in front.
+
+Determinism for the oracle: distances and partial dots are rounded before
+argmin/ranking, ties break on lowest code_id / vec_id, and the per-vector
+score folds partial dots in subspace order from literal 0.0 — the same
+left-fold the DuckDB oracle's ``list_sum`` performs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from fastembed_rs_spark.functions.vector import _chain_sum, _to_double
+
+
+def _sq_dist_fixed(a: Column | str, b: Column | str, dsub: int) -> Column:
+    """Σ (aᵢ-bᵢ)² over a known sub-dimension as a flat codegen chain,
+    left-folded from 0.0 (bit-identical to the oracle's list_sum)."""
+    ad, bd = _to_double(a), _to_double(b)
+    terms = []
+    for i in range(dsub):
+        d = F.get(ad, i) - F.get(bd, i)
+        terms.append(d * d)
+    return _chain_sum(terms)
+
+
+def _dot_fixed(a: Column | str, b: Column | str, dsub: int) -> Column:
+    ad, bd = _to_double(a), _to_double(b)
+    return _chain_sum([F.get(ad, i) * F.get(bd, i) for i in range(dsub)])
+
+
+def split_subvectors(
+    df: DataFrame, id_col: str, vec_col: str, m: int, dsub: int,
+    out_id: str | None = None,
+) -> DataFrame:
+    """(id, subspace int, subvec array<double>): vector split into ``m``
+    contiguous ``dsub``-dim slices. One narrow projection + explode — no
+    shuffle; the explode multiplies rows by m but each carries only dsub
+    doubles, so bytes stay ~constant."""
+    out_id = out_id or id_col
+    vd = _to_double(vec_col)
+    parts = F.array(*[
+        F.struct(
+            F.lit(s).alias("subspace"),
+            F.slice(vd, s * dsub + 1, dsub).alias("subvec"),
+        )
+        for s in range(m)
+    ])
+    return df.select(
+        F.col(id_col).alias(out_id), F.explode(parts).alias("__p")
+    ).select(out_id, F.col("__p.subspace").alias("subspace"), F.col("__p.subvec").alias("subvec"))
+
+
+def sample_pq_codebooks(
+    corpus: DataFrame, id_col: str, vec_col: str, m: int, dsub: int, every: int,
+) -> DataFrame:
+    """Deterministic codebooks: every ``every``-th vector (id % every == 0)
+    contributes its m subvectors, code_id = source id. SQL-mirrorable, so the
+    full PQ pipeline gets a DuckDB oracle; swap in ``train_pq_codebooks`` for
+    quality at the same plan shape.
+    Returns (subspace int, code_id, code_vec array<double>)."""
+    sampled = corpus.filter(F.col(id_col) % every == 0)
+    return split_subvectors(sampled, id_col, vec_col, m, dsub, out_id="code_id").select(
+        "subspace", "code_id", F.col("subvec").alias("code_vec")
+    )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame, id_col: str, vec_col: str, m: int, dsub: int, k: int,
+    iters: int = 2, seed: int = 42,
+) -> DataFrame:
+    """Per-subspace Lloyd's k-means (L2), all ``m`` subspaces trained in ONE
+    DataFrame pipeline: points are keyed by (subspace, id), centroids by
+    (subspace, code_id), the assign step is an equi-join on ``subspace`` —
+    so the number of Spark stages does not grow with m (the naive
+    per-subspace loop would run m separate k-means jobs).
+
+    Init: per subspace, the k points with the smallest seeded id-hash
+    (deterministic, no full sort of the corpus — window over the hash).
+    Returns (subspace int, code_id int, code_vec array<double>).
+    """
+    points = split_subvectors(corpus, id_col, vec_col, m, dsub, out_id="__pid").select(
+        "__pid", "subspace", "subvec"
+    ).localCheckpoint()
+
+    wh = Window.partitionBy("subspace").orderBy(
+        F.xxhash64(F.col("__pid").cast("string"), F.lit(seed)), F.col("__pid")
+    )
+    centroids = (
+        points.withColumn("__r", F.row_number().over(wh))
+        .filter(F.col("__r") <= k)
+        .select(
+            "subspace",
+            (F.col("__r") - 1).cast("int").alias("code_id"),
+            F.col("subvec").alias("code_vec"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        scored = points.join(F.broadcast(centroids), on="subspace").select(
+            "__pid", "subspace", "subvec", "code_id",
+            _sq_dist_fixed("subvec", "code_vec", dsub).alias("__d2"),
+        )
+        w = Window.partitionBy("__pid", "subspace").orderBy(F.asc("__d2"), F.asc("code_id"))
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("subspace", "code_id", "subvec")
+        )
+        means = (
+            assigned.select("subspace", "code_id", F.posexplode("subvec").alias("__d", "__x"))
+            .groupBy("subspace", "code_id", "__d")
+            .agg(F.avg("__x").alias("__mean"))
+            .groupBy("subspace", "code_id")
+            .agg(F.array_sort(F.collect_list(F.struct("__d", "__mean"))).alias("__dm"))
+            .select(
+                "subspace", "code_id",
+                F.transform("__dm", lambda s: s["__mean"]).alias("code_vec"),
+            )
+        )
+        centroids = means.localCheckpoint()
+    return centroids
+
+
+def pq_encode(
+    corpus: DataFrame, codebooks: DataFrame, id_col: str, vec_col: str,
+    m: int, dsub: int, round_to: int = 6,
+) -> DataFrame:
+    """Assign every (vector, subspace) to its nearest codebook entry by L2.
+
+    Codebooks are broadcast (m·k rows); the corpus is scanned once; the only
+    shuffle is the per-(id, subspace) argmin window. Distances are rounded
+    before the argmin and ties go to the lowest code_id, so the encoding is
+    reproducible across engines. Returns the compressed corpus
+    (id, subspace int, code_id) — the table a 100 TB deployment persists
+    (bucketed by subspace·code for IVF-ADC pruning) instead of raw vectors.
+    """
+    sv = split_subvectors(corpus, id_col, vec_col, m, dsub)
+    scored = sv.join(F.broadcast(codebooks), on="subspace").select(
+        id_col, "subspace", "code_id",
+        F.round(_sq_dist_fixed("subvec", "code_vec", dsub), round_to).alias("__d2"),
+    )
+    w = Window.partitionBy(id_col, "subspace").orderBy(F.asc("__d2"), F.asc("code_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "subspace", "code_id")
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame, codes: DataFrame, codebooks: DataFrame, k: int,
+    query_id: str = "query_id", query_vec: str = "query_vec",
+    id_col: str = "vec_id", m: int = 8, dsub: int = 8, round_to: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance top-k by approximated inner product.
+
+    1. LUT: queries × codebooks (broadcast) → partial dot of each query
+       subvector against each code vector: |Q|·m·k tiny rows, broadcast.
+    2. Equi-join the encoded corpus on (subspace, code_id) — a broadcast
+       hash join; the big side never shuffles.
+    3. Score per (query, vector): fold the m partial dots in subspace order
+       from 0.0 (deterministic float order ↔ oracle's list_sum over
+       array_agg ORDER BY subspace), round, rank.
+
+    Returns (query_id, id_col, score double, rank long), rank 1 = best.
+    """
+    qsub = split_subvectors(queries.select(query_id, query_vec), query_id, query_vec, m, dsub)
+    lut = qsub.join(F.broadcast(codebooks), on="subspace").select(
+        query_id, "subspace", "code_id",
+        F.round(_dot_fixed("subvec", "code_vec", dsub), round_to).alias("__pdot"),
+    )
+    joined = codes.join(F.broadcast(lut), on=["subspace", "code_id"])
+    folded = (
+        joined.groupBy(query_id, id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("subspace", "__pdot"))).alias("__sp"))
+        .select(
+            query_id, id_col,
+            F.round(
+                F.aggregate(
+                    F.transform("__sp", lambda s: s["__pdot"]),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                round_to,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        folded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -166,7 +166,9 @@ SELECT * FROM (
     "embedding-cosine near-duplicate pairs (beyond-reference dedup operator)",
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.embedding_near_dups(t(spark, sf_dir, "embeddings"), threshold=0.4, dim=EMB_DIM)
+    # blocked tile variant: B(B+1)/2 NumPy tile products instead of n²/2
+    # row-level expressions; bit-identical scores (see the operator docstring)
+    return D.embedding_near_dups_blocked(t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 _IVF_ORACLE = f"""
@@ -213,6 +215,99 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = ivf_top_k(queries, bucketed, centroids, k=5, nprobe=3, round_to=6)
+    return out.select("query_id", "vec_id", "score", "rank")
+
+
+_PQ_M, _PQ_DSUB, _PQ_EVERY = 8, 8, 125
+
+_PQ_SLICE = (
+    "list_transform(generate_series(1, {dsub}), i -> "
+    "CAST({v}[subspace * {dsub} + i] AS DOUBLE))"
+)
+
+_PQ_ORACLE = f"""
+WITH subs AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS subspace),
+cb AS (
+  SELECT s.subspace, e.vec_id AS code_id,
+         {_PQ_SLICE.format(dsub=_PQ_DSUB, v='e.embedding')} AS code_vec
+  FROM embeddings e CROSS JOIN subs s
+  WHERE e.vec_id % {_PQ_EVERY} = 0
+),
+sv AS (
+  SELECT e.vec_id, s.subspace,
+         {_PQ_SLICE.format(dsub=_PQ_DSUB, v='e.embedding')} AS subvec
+  FROM embeddings e CROSS JOIN subs s
+),
+enc AS (
+  SELECT sv.vec_id, sv.subspace, cb.code_id,
+         round(coalesce(list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+           i -> (sv.subvec[i] - cb.code_vec[i]) * (sv.subvec[i] - cb.code_vec[i]))), 0.0), 6) AS d2
+  FROM sv JOIN cb ON sv.subspace = cb.subspace
+  QUALIFY row_number() OVER (PARTITION BY sv.vec_id, sv.subspace
+                             ORDER BY d2 ASC, cb.code_id ASC) = 1
+),
+qsub AS (
+  SELECT vec_id AS query_id, subspace, subvec AS qsubvec FROM sv WHERE vec_id < 5
+),
+lut AS (
+  SELECT q.query_id, q.subspace, cb.code_id,
+         round(coalesce(list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+           i -> q.qsubvec[i] * cb.code_vec[i])), 0.0), 6) AS pdot
+  FROM qsub q JOIN cb ON q.subspace = cb.subspace
+),
+scored AS (
+  SELECT l.query_id, enc.vec_id,
+         round(coalesce(list_sum(list(l.pdot ORDER BY l.subspace)), 0.0), 6) AS score
+  FROM enc JOIN lut l ON enc.subspace = l.subspace AND enc.code_id = l.code_id
+  GROUP BY l.query_id, enc.vec_id
+)
+SELECT query_id, vec_id, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+@q(
+    "ann_pq_adc_topk",
+    _PQ_ORACLE,
+    "product-quantization ANN: 8x8 subvector codebooks (deterministic 1-in-125 sample), "
+    "L2 encoding, asymmetric-distance top-10 via broadcast LUT join "
+    "(compressed-domain scale path; Jégou et al. 2011)",
+)
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators import pq
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = pq.sample_pq_codebooks(
+        emb, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB, every=_PQ_EVERY
+    )
+    codes = pq.pq_encode(emb, books, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = pq.pq_adc_topk(queries, codes, books, k=10, m=_PQ_M, dsub=_PQ_DSUB)
+    return out.select("query_id", "vec_id", "score", "rank")
+
+
+@q(
+    "ann_pq_trained",
+    None,
+    "PQ with k-means-trained codebooks: all 8 subspaces trained in one DataFrame "
+    "pipeline (Lloyd's, stage count independent of m) — iterative, rows-only check",
+)
+def q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators import pq
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = pq.train_pq_codebooks(
+        emb, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB, k=8, iters=2
+    )
+    codes = pq.pq_encode(emb, books, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = pq.pq_adc_topk(queries, codes, books, k=5, m=_PQ_M, dsub=_PQ_DSUB)
     return out.select("query_id", "vec_id", "score", "rank")
 
 
@@ -1054,6 +1149,36 @@ def q_embed_image_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").cast("long").alias("dim"),
         F.round(l2_norm("embedding"), 4).alias("norm"),
     )
+
+
+@q(
+    "crossmodal_similarity",
+    None,
+    "text-vs-image cosine similarity matrix in a shared embedding space "
+    "(mirrors the reference's cross-modal test, tests/image-embeddings.rs:24-79): "
+    "both towers are stub models of equal dim; real ONNX towers swap in via the registry",
+)
+def q_crossmodal_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.embed import embed_image, embed_text
+    from fastembed_rs_spark.operators.topk import cosine_top_k
+
+    docs = t(spark, sf_dir, "documents")
+    texts = docs.filter(F.col("doc_id") < 4).select("doc_id", "text")
+    text_emb = embed_text(texts, "text", model="stub-dense-mean").select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    images = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    img_emb = embed_image(images, "content", model="stub-image").select(
+        F.col("doc_id").alias("image_id"), "embedding"
+    )
+    # full matrix (k = corpus size): every text scored against every image,
+    # ranked per text — the reference asserts the matched pair tops its row
+    out = cosine_top_k(
+        text_emb, img_emb, k=1_000_000, id_col="image_id", round_to=6
+    )
+    return out.select("query_id", "image_id", "score", "rank")
 
 
 @q(

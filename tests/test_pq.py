@@ -1,0 +1,89 @@
+"""Product quantization: encoding exactness, ADC equivalence when the corpus
+IS the codebook, trained codebooks beating sampled ones, and the blocked
+near-dup tile scorer matching the pure-expression pair join bit-for-bit."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fastembed_rs_spark.operators import dedup as D
+from fastembed_rs_spark.operators import pq
+
+RNG = np.random.default_rng(11)
+N, DIM, M, DSUB = 40, 16, 4, 4
+CORPUS = RNG.normal(size=(N, DIM)).astype(np.float64)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(
+        [(i, CORPUS[i].tolist()) for i in range(N)], ["vec_id", "embedding"]
+    )
+
+
+def test_pq_encode_one_code_per_subspace(spark, emb):
+    books = pq.sample_pq_codebooks(emb, "vec_id", "embedding", m=M, dsub=DSUB, every=10)
+    codes = pq.pq_encode(emb, books, "vec_id", "embedding", m=M, dsub=DSUB)
+    counts = codes.groupBy("vec_id").count().collect()
+    assert len(counts) == N
+    assert all(r["count"] == M for r in counts)
+
+
+def test_pq_encode_identity_when_corpus_is_codebook(spark, emb):
+    # every vector is a codebook entry (every=1) → each subvector must encode
+    # to itself (d2 = 0) unless another entry ties at distance 0
+    books = pq.sample_pq_codebooks(emb, "vec_id", "embedding", m=M, dsub=DSUB, every=1)
+    codes = pq.pq_encode(emb, books, "vec_id", "embedding", m=M, dsub=DSUB)
+    mismatches = codes.filter(F.col("vec_id") != F.col("code_id")).count()
+    assert mismatches == 0  # gaussian subvectors: no exact-duplicate entries
+
+
+def test_pq_adc_exact_when_corpus_is_codebook(spark, emb):
+    # with a perfect codebook the ADC score IS the exact dot product
+    books = pq.sample_pq_codebooks(emb, "vec_id", "embedding", m=M, dsub=DSUB, every=1)
+    codes = pq.pq_encode(emb, books, "vec_id", "embedding", m=M, dsub=DSUB)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = pq.pq_adc_topk(queries, codes, books, k=5, m=M, dsub=DSUB).collect()
+    assert len(out) == 10
+    for r in out:
+        true_dot = float(CORPUS[r["query_id"]] @ CORPUS[r["vec_id"]])
+        # per-subspace rounding to 6dp introduces ≤ m·5e-7 absolute error
+        assert r["score"] == pytest.approx(true_dot, abs=M * 5e-7 + 5e-7)
+
+
+def test_pq_trained_distortion_not_worse_than_sampled(spark, emb):
+    def distortion(books):
+        codes = pq.pq_encode(emb, books, "vec_id", "embedding", m=M, dsub=DSUB)
+        joined = (
+            pq.split_subvectors(emb, "vec_id", "embedding", m=M, dsub=DSUB)
+            .join(codes, on=["vec_id", "subspace"])
+            .join(F.broadcast(books), on=["subspace", "code_id"])
+            .select(pq._sq_dist_fixed("subvec", "code_vec", DSUB).alias("d2"))
+        )
+        return joined.agg(F.sum("d2")).collect()[0][0]
+
+    sampled = pq.sample_pq_codebooks(emb, "vec_id", "embedding", m=M, dsub=DSUB, every=10)
+    trained = pq.train_pq_codebooks(
+        emb, "vec_id", "embedding", m=M, dsub=DSUB, k=4, iters=2
+    )
+    assert distortion(trained) <= distortion(sampled) * 1.01
+
+
+def test_blocked_neardup_matches_expression_pair_join(spark, emb):
+    a = D.embedding_near_dups(emb, threshold=0.3, dim=DIM).collect()
+    b = D.embedding_near_dups_blocked(emb, threshold=0.3, n_blocks=4).collect()
+    assert len(a) > 0
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_blocked_neardup_handles_zero_vectors(spark):
+    rows = [(0, [0.0] * 8), (1, [0.0] * 8), (2, [1.0] + [0.0] * 7), (3, [1.0] + [0.0] * 7)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {(r["id_a"], r["id_b"]): r["score"]
+           for r in D.embedding_near_dups_blocked(df, threshold=0.5, n_blocks=2).collect()}
+    # zero-norm pairs score 0.0 (guard), identical unit vectors score 1.0
+    assert got == {(2, 3): 1.0}
