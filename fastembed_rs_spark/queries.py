@@ -334,7 +334,11 @@ FROM tf JOIN norm ON tf.doc_id = norm.doc_id
     "(SQL-verifiable analogue of TextEmbedding::embed, src/text_embedding/impl.rs:432-449)",
 )
 def q_dense_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return EH.hash_embed_coords(t(spark, sf_dir, "documents"), "doc_id", "text", dim=64)
+    # NumPy kernel (exact integer hash math — bit-identical to the
+    # expression path, see operators/fast_text.py's exactness argument)
+    from fastembed_rs_spark.operators.fast_text import hash_embed_coords_fast
+
+    return hash_embed_coords_fast(t(spark, sf_dir, "documents"), "doc_id", "text", dim=64)
 
 
 _SPLADE_ORACLE = f"""
@@ -355,7 +359,9 @@ FROM toks GROUP BY doc_id, term_bucket
     "(src/sparse_text_embedding/impl.rs:225-254 analogue)",
 )
 def q_splade_hash_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return EH.splade_like_coords(t(spark, sf_dir, "documents"), "doc_id", "text", vocab=30000)
+    from fastembed_rs_spark.operators.fast_text import splade_like_coords_fast
+
+    return splade_like_coords_fast(t(spark, sf_dir, "documents"), "doc_id", "text", vocab=30000)
 
 
 _SPARSE_DOT_ORACLE = f"""
@@ -386,9 +392,11 @@ QUALIFY rank <= 10
     "(lexical search parity for sparse embeddings)",
 )
 def q_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.fast_text import splade_like_coords_fast
+
     docs = t(spark, sf_dir, "documents")
     # un-rounded coordinate values; only the final dot is rounded
-    coords = EH.splade_like_coords(docs, "doc_id", "text", vocab=30000, round_to=None)
+    coords = splade_like_coords_fast(docs, "doc_id", "text", vocab=30000, round_to=None)
     qc = coords.filter(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("query_id"), "term_bucket", "value"
     )
@@ -462,7 +470,9 @@ FROM documents GROUP BY fingerprint
     "exact dedup by token-stream fingerprint (hash groupBy)",
 )
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.exact_dedup(t(spark, sf_dir, "documents"), "doc_id", "text")
+    from fastembed_rs_spark.operators.fast_text import exact_dedup_fast
+
+    return exact_dedup_fast(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @q(
@@ -471,11 +481,9 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rolling-hash document fingerprint (whitespace/punct-insensitive)",
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastembed_rs_spark.functions.text import doc_fingerprint
+    from fastembed_rs_spark.operators.fast_text import doc_fingerprints_fast
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+    return doc_fingerprints_fast(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 def _minhash_oracle() -> str:
@@ -529,10 +537,15 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.2
     "verified by exact Jaccard >= 0.2 (canonical 100TB near-dedup)",
 )
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.fast_text import (
+        minhash_signatures_fast,
+        verify_candidates_fast,
+    )
+
     docs = t(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(docs, "doc_id", "text", k_shingle=5)
+    sigs = minhash_signatures_fast(docs, "doc_id", "text", k_shingle=5)
     cand = D.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
-    return D.verify_candidates(cand, docs, "doc_id", "text", k_shingle=5, threshold=0.2)
+    return verify_candidates_fast(cand, docs, "doc_id", "text", k_shingle=5, threshold=0.2)
 
 
 def _simhash_sql(hashes_expr: str) -> str:

@@ -1,0 +1,84 @@
+"""The NumPy fast-text kernels must be BIT-IDENTICAL to the Catalyst
+expression paths they replace — same rows, same values, including edge cases
+(empty docs, docs shorter than the shingle width, punctuation-only docs,
+non-ASCII text where Python/Java/DuckDB lower() and codepoints must agree)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastembed_rs_spark.functions.text import char_shingles, doc_fingerprint
+from fastembed_rs_spark.operators import dedup as D
+from fastembed_rs_spark.operators import embed_hash as EH
+from fastembed_rs_spark.operators import fast_text as FT
+
+DOCS = [
+    (0, "The quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox JUMPS over the lazy dog!"),
+    (2, ""),
+    (3, "ab"),
+    (4, "!!! ... ???"),
+    (5, "École élémentaire — l'été 2024, naïve café"),
+    (6, "numbers 123 456 and 123 again 123"),
+    (7, "x" * 300),
+    (8, "word " * 60),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_hash_embed_coords_fast_matches_expression(spark, docs):
+    slow = EH.hash_embed_coords(docs, "doc_id", "text", dim=16)
+    fast = FT.hash_embed_coords_fast(docs, "doc_id", "text", dim=16)
+    assert _rows(fast) == _rows(slow)
+
+
+def test_splade_coords_fast_matches_expression(spark, docs):
+    slow = EH.splade_like_coords(docs, "doc_id", "text", vocab=97)
+    fast = FT.splade_like_coords_fast(docs, "doc_id", "text", vocab=97)
+    assert _rows(fast) == _rows(slow)
+
+
+def test_minhash_signatures_fast_matches_expression(spark, docs):
+    slow = D.minhash_signatures(docs, "doc_id", "text", k_shingle=5)
+    fast = FT.minhash_signatures_fast(docs, "doc_id", "text", k_shingle=5)
+    assert _rows(fast) == _rows(slow)
+
+
+def test_doc_fingerprints_fast_matches_expression(spark, docs):
+    slow = docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+    fast = FT.doc_fingerprints_fast(docs, "doc_id", "text")
+    assert _rows(fast) == _rows(slow)
+
+
+def test_shingle_sets_fast_matches_expression(spark, docs):
+    slow = docs.select(
+        "doc_id", F.array_distinct(char_shingles("text", 5)).alias("shingles")
+    )
+    got = {r["doc_id"]: sorted(r["shingles"]) for r in FT.shingle_sets_fast(
+        docs, "doc_id", "text", 5).collect()}
+    want = {r["doc_id"]: sorted(r["shingles"]) for r in slow.collect()}
+    assert got == want
+
+
+def test_verify_candidates_fast_matches_expression(spark, docs):
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 8), (2, 3), (4, 5), (6, 7)], ["id_a", "id_b"]
+    )
+    slow = D.verify_candidates(cand, docs, "doc_id", "text", 5, threshold=0.0)
+    fast = FT.verify_candidates_fast(cand, docs, "doc_id", "text", 5, threshold=0.0)
+    assert _rows(fast) == _rows(slow)
+
+
+def test_exact_dedup_fast_matches_expression(spark, docs):
+    slow = D.exact_dedup(docs, "doc_id", "text")
+    fast = FT.exact_dedup_fast(docs, "doc_id", "text")
+    assert _rows(fast) == _rows(slow)
