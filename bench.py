@@ -29,6 +29,7 @@ HEADLINE = [
     "embed_text_stub",
     "cosine_topk",
     "ann_ivf_topk",
+    "ann_pq_adc_topk",
     "sparse_dot_topk",
     "rerank_overlap",
     "colbert_maxsim_topk",

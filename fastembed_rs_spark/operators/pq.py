@@ -130,11 +130,14 @@ def train_pq_codebooks(
             "__pid", "subspace", "subvec", "code_id",
             _sq_dist_fixed("subvec", "code_vec", dsub).alias("__d2"),
         )
-        w = Window.partitionBy("__pid", "subspace").orderBy(F.asc("__d2"), F.asc("code_id"))
         assigned = (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("subspace", "code_id", "subvec")
+            scored.groupBy("__pid", "subspace")
+            .agg(F.min(F.struct("__d2", "code_id", "subvec")).alias("__best"))
+            .select(
+                "subspace",
+                F.col("__best.code_id").alias("code_id"),
+                F.col("__best.subvec").alias("subvec"),
+            )
         )
         means = (
             assigned.select("subspace", "code_id", F.posexplode("subvec").alias("__d", "__x"))
@@ -169,11 +172,13 @@ def pq_encode(
         id_col, "subspace", "code_id",
         F.round(_sq_dist_fixed("subvec", "code_vec", dsub), round_to).alias("__d2"),
     )
-    w = Window.partitionBy(id_col, "subspace").orderBy(F.asc("__d2"), F.asc("code_id"))
+    # argmin as min(struct(d2, code_id)): hash aggregation with map-side
+    # combine (no sort, one pre-reduced row per group per map partition);
+    # struct ordering = smallest distance, ties to lowest code_id
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "subspace", "code_id")
+        scored.groupBy(id_col, "subspace")
+        .agg(F.min(F.struct("__d2", "code_id")).alias("__best"))
+        .select(id_col, "subspace", F.col("__best.code_id").alias("code_id"))
     )
 
 

@@ -121,11 +121,9 @@ def train_ivf_centroids(
             id_col, "__v", "centroid_id",
             cosine_similarity("__v", "__c").alias("__s"),
         )
-        w = Window.partitionBy(id_col).orderBy(F.desc("__s"), F.asc("centroid_id"))
-        assigned = (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(id_col, "__v", "centroid_id")
+        assigned = argmax_assign(
+            scored, keys=[id_col], choice_col="centroid_id", score_col="__s",
+            carry=["__v"],
         )
         means = (
             assigned.select("centroid_id", F.posexplode("__v").alias("__d", "__x"))
@@ -142,6 +140,33 @@ def train_ivf_centroids(
     return centroids
 
 
+def argmax_assign(
+    scored: DataFrame, keys: list[str], choice_col: str, score_col: str,
+    carry: list[str],
+) -> DataFrame:
+    """Deterministic distributed argmax: per ``keys`` group, pick the
+    ``choice_col`` with the highest ``score_col``, ties to the LOWEST choice.
+
+    Implemented as ``max(struct(score, -choice, choice, carry...))`` — a
+    hash aggregation with map-side partial combine, so (unlike a
+    row_number window) nothing is sorted and the shuffle carries one
+    pre-reduced row per (key, map partition) instead of the full k-way
+    scored table. This is the shape that survives a 100 TB corpus ×
+    k-centroid cross score."""
+    packed = F.struct(
+        F.col(score_col).alias("__s"),
+        (-F.col(choice_col)).alias("__negc"),
+        F.col(choice_col).alias(choice_col),
+        *[F.col(c).alias(c) for c in carry],
+    )
+    agg = scored.groupBy(*keys).agg(F.max(packed).alias("__best"))
+    return agg.select(
+        *keys,
+        F.col(f"__best.{choice_col}").alias(choice_col),
+        *[F.col(f"__best.{c}").alias(c) for c in carry],
+    )
+
+
 def assign_ivf_buckets(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -155,8 +180,9 @@ def assign_ivf_buckets(
     """Assign every corpus vector to its nearest centroid (max cosine).
 
     Centroids are broadcast (they are tiny by construction); the corpus is
-    scanned once and never shuffled except the argmin window, which is keyed
-    by corpus id — at scale you'd persist the result bucketed/partitioned by
+    scanned once; the nearest-centroid argmax is a ``max(struct(...))``
+    aggregation (map-side combined — see ``argmax_assign``), never a sort.
+    At scale you'd persist the result bucketed/partitioned by
     ``centroid_id`` so searches prune partitions.
     Deterministic: ties on rounded score go to the lowest centroid id.
     """
@@ -165,12 +191,11 @@ def assign_ivf_buckets(
         F.col(centroid_id),
         F.round(_cos(vec_col, centroid_vec, dim), round_to).alias("__cscore"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__cscore"), F.asc(centroid_id))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__cscore")
-    )
+    other = [c for c in corpus.columns if c != id_col]
+    return argmax_assign(
+        scored, keys=[id_col], choice_col=centroid_id, score_col="__cscore",
+        carry=other,
+    ).select(id_col, *other, centroid_id)
 
 
 def ivf_top_k(
