@@ -190,11 +190,57 @@ def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3,
     threshold: float = 0.1, round_to: int = 6,
 ) -> DataFrame:
-    """All-pairs word-n-gram Jaccard ≥ threshold: (id_a, id_b, jaccard).
+    """Word-n-gram Jaccard ≥ threshold pairs: (id_a, id_b, jaccard).
 
-    O(n²) over the input — meant for small candidate subsets (or downstream
-    of LSH candidates); the gram sets are materialized once per side before
-    the join so the n-gram construction is not re-run per pair."""
+    Inverted-index shape: explode distinct grams to a postings table, self
+    equi-join on the gram, count shared grams per (id_a, id_b), and derive
+    the union from the per-doc set sizes (|A|+|B|-inter). A pair with zero
+    shared grams has jaccard 0 < threshold, so for threshold > 0 this is
+    value-identical to the all-pairs formulation while doing work
+    proportional to Σ_gram df(gram)² instead of n²·|grams| — word n-grams
+    are near-unique outside true near-dups, so that sum stays ~linear.
+
+    At corpus scale the residual risk is a hot gram (boilerplate) fanning
+    out d² join rows; the standard mitigation is a document-frequency cap
+    on postings (drops only pairs whose overlap is exclusively boilerplate)
+    plus AQE skew-join for the rest.
+
+    threshold ≤ 0 must keep zero-overlap pairs and falls back to the
+    all-pairs cross join."""
+    if threshold <= 0:
+        return _ngram_jaccard_allpairs(df, id_col, text_col, n, threshold, round_to)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sized = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(parallelism)  # single-row-group scans: spread gram hashing
+        .select(F.col(id_col), F.array_distinct(word_ngrams(text_col, n)).alias("__grams"))
+        .select(F.col(id_col), F.explode("__grams").alias("__g"), F.size("__grams").alias("__sz"))
+    )
+    a = sized.select(
+        F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__g"
+    )
+    b = sized.select(
+        F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"), "__g"
+    )
+    inter = F.count("*").cast("double")
+    union = F.col("__sza").cast("double") + F.col("__szb").cast("double") - F.col("__inter")
+    return (
+        a.join(b, on=[a["__g"] == b["__g"], F.col("id_a") < F.col("id_b")])
+        # sizes are functionally dependent on the ids — carrying them as
+        # grouping keys avoids a second join back to the size table
+        .groupBy("id_a", "id_b", "__sza", "__szb")
+        .agg(inter.alias("__inter"))
+        .withColumn("jaccard", F.round(F.col("__inter") / union, round_to))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _ngram_jaccard_allpairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    threshold: float = 0.1, round_to: int = 6,
+) -> DataFrame:
+    """All-pairs cross-join variant (O(n²) — small candidate subsets only)."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     grams = df.select(
         F.col(id_col), F.array_distinct(word_ngrams(text_col, n)).alias("__grams")
