@@ -1,0 +1,152 @@
+"""Distinct-count sketches as pure DataFrame algebra: KMV (k-minimum
+values) and an HLL-style register sketch.
+
+Spark ships ``approx_count_distinct`` (HLL++), but its register layout and
+hashing are engine-internal — a DuckDB oracle can't reproduce them. These
+sketches instead build on the repo's canonical rolling hash
+(functions/text.py), ALL INTEGER MATH until the final estimate, so both
+engines produce bit-identical registers and the driver hash-check applies
+to a *sketch*, not just exact counts.
+
+Scale shape (the reason sketches exist at 100 TB):
+- KMV: per-partition top-k smallest hashes (TakeOrderedAndProject — no
+  full shuffle of the distinct set), k rows to the driver-side merge.
+- HLL: groupBy(bucket).max(rho) — partial aggregation map-side combines
+  to at most m rows per partition, one m-row shuffle, one-row result.
+  m = 2^p registers; standard error ≈ 1.04/sqrt(m).
+
+The 2^-register harmonic sum is computed in *integers* (terms
+2^(SHIFT - rho), SHIFT=50) so summation order cannot perturb the float
+result — see driver-contract notes on cross-engine float folds.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fastembed_rs_spark.functions.text import HASH_MOD
+
+SHIFT = 50  # fixed-point exponent for the exact integer harmonic sum
+
+
+def _bitlen(x: Column) -> Column:
+    """bit_length(x) for x >= 0 via the binary string — exact integer
+    semantics in both engines (bin(0) = '0' is special-cased to 0)."""
+    return F.when(x == 0, F.lit(0)).otherwise(F.length(F.bin(x)))
+
+
+def kmv_sketch(hashes: DataFrame, hash_col: str, k: int = 256) -> DataFrame:
+    """KMV distinct estimate from a column of uniform hashes in
+    [0, HASH_MOD). Returns one row: (kmv_k, kmv_est).
+
+    est = (k-1) * M / h_(k)  where h_(k) is the k-th smallest DISTINCT
+    hash; when fewer than k distinct hashes exist the exact distinct count
+    is returned (the sketch is lossless below k).
+    """
+    top = hashes.select(F.col(hash_col).alias("h")).distinct().orderBy("h").limit(k)
+    return top.agg(
+        F.count("h").alias("kmv_k"),
+        F.round(
+            F.when(
+                F.count("h") < k, F.count("h").cast("double")
+            ).otherwise((k - 1) * F.lit(float(HASH_MOD)) / F.max("h")),
+            4,
+        ).alias("kmv_est"),
+    )
+
+
+def duck_kmv(hash_expr_rows: str, k: int = 256) -> str:
+    """DuckDB mirror of kmv_sketch: `hash_expr_rows` is a SQL subquery
+    yielding one column `h`."""
+    return f"""
+WITH tops AS (
+  SELECT DISTINCT h FROM ({hash_expr_rows}) ORDER BY h LIMIT {k}
+)
+SELECT count(h) AS kmv_k,
+       round(CASE WHEN count(h) < {k} THEN CAST(count(h) AS DOUBLE)
+             ELSE ({k} - 1) * CAST({HASH_MOD} AS DOUBLE) / max(h) END, 4) AS kmv_est
+FROM tops
+"""
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_sketch(hashes: DataFrame, hash_col: str, p: int = 9) -> DataFrame:
+    """HLL-style distinct estimate over uniform hashes in [0, HASH_MOD).
+
+    bucket = h mod m; rho = (#leading zero bits of w = h div m, within its
+    W-bit budget) + 1. Registers are max(rho) per bucket; empty buckets
+    count as rho=0. Returns one row (hll_m, hll_est) with the standard
+    small-range linear-counting correction.
+    """
+    m = 1 << p
+    w_bits = (HASH_MOD // m).bit_length()
+    h = F.col(hash_col)
+    regs = (
+        hashes.select(
+            (h % m).alias("bucket"),
+            F.shiftright(h.cast("long"), p).alias("w"),  # h div 2^p, exact int
+        )
+        .groupBy("bucket")
+        .agg(F.max(w_bits - _bitlen(F.col("w")) + 1).alias("rho"))
+    )
+    agg = regs.withColumn(
+        # exact power-of-two term; SQL shiftleft takes column bit counts
+        "term", F.expr(f"shiftleft(cast(1 as bigint), {SHIFT} - rho)")
+    ).agg(
+        F.count("*").alias("present"),
+        F.sum("term").alias("s_present"),
+    )
+    alpha = _alpha(m)
+    s_total = (
+        F.col("s_present") + (m - F.col("present")) * F.lit(1 << SHIFT)
+    ).cast("double")
+    raw = F.lit(alpha * m * m * float(1 << SHIFT)) / s_total
+    zeros = F.lit(m) - F.col("present")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0), m * F.log(F.lit(float(m)) / zeros)
+    ).otherwise(raw)
+    return agg.select(F.lit(m).alias("hll_m"), F.round(est, 4).alias("hll_est"))
+
+
+def duck_hll(hash_expr_rows: str, p: int = 9) -> str:
+    m = 1 << p
+    w_bits = (HASH_MOD // m).bit_length()
+    alpha = _alpha(m)
+    # explicit ::DOUBLE — DuckDB parses bare float literals as DECIMAL,
+    # which both overflows and computes different (decimal) arithmetic
+    numer = f"(({alpha!r}::DOUBLE) * {m} * {m} * ({float(1 << SHIFT)!r}::DOUBLE))"
+    return f"""
+WITH regs AS (
+  SELECT h % {m} AS bucket,
+         max({w_bits} - (CASE WHEN h // {m} = 0 THEN 0 ELSE length(bin(h // {m})) END) + 1) AS rho
+  FROM ({hash_expr_rows}) GROUP BY 1
+), agg AS (
+  SELECT count(*) AS present,
+         CAST(sum(CAST((CAST(1 AS BIGINT) << ({SHIFT} - rho)) AS HUGEINT)) AS BIGINT)
+           AS s_present
+  FROM regs
+), tot AS (
+  -- exact integer total register sum, ONE cast to double (identical
+  -- correctly-rounded conversion in both engines)
+  SELECT present,
+         CAST(s_present + ({m} - present) * {1 << SHIFT} AS DOUBLE) AS s_total
+  FROM agg
+)
+SELECT {m} AS hll_m,
+       round(CASE WHEN {numer} / s_total <= ({2.5 * m!r}::DOUBLE) AND present < {m}
+             THEN {m} * ln(CAST({m} AS DOUBLE) / ({m} - present))
+             ELSE {numer} / s_total END, 4) AS hll_est
+FROM tot
+"""

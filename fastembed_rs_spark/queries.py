@@ -1214,5 +1214,262 @@ def q_rerank_model_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rerank(scored, F.col("score"), k=5).select("query_id", "doc_id", "score", "rank")
 
 
+# ===========================================================================
+# 8. Time-series joins, LSH ANN, BM25, distinct sketches
+# ===========================================================================
+
+@q(
+    "events_asof_join",
+    f"""
+WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+     v AS (SELECT * FROM events WHERE event_type = 'view')
+SELECT event_id, user_id, ts_us, view_event_id, view_value, lag_s FROM (
+  SELECT c.event_id, c.user_id,
+         CAST(epoch_us(c.ts) AS BIGINT) AS ts_us,
+         v.event_id AS view_event_id,
+         round(v.value, 4) AS view_value,
+         (CAST(epoch_us(c.ts) AS BIGINT) - CAST(epoch_us(v.ts) AS BIGINT))
+           // 1000000 AS lag_s,
+         row_number() OVER (
+           PARTITION BY c.event_id
+           ORDER BY epoch_us(v.ts) DESC NULLS LAST, v.event_id DESC NULLS LAST
+         ) AS rn
+  FROM c LEFT JOIN v
+    ON c.user_id = v.user_id AND epoch_us(v.ts) <= epoch_us(c.ts)
+) WHERE rn = 1
+""",
+    "as-of join: each click matched to the user's most recent view at-or-"
+    "before it (union + carry-forward window — one shuffle, no pair blow-up)",
+)
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.asof import asof_join
+
+    # work in MICROseconds on both sides: DuckDB reads the nano parquet at
+    # micro precision, so nano-resolution matching could disagree with the
+    # oracle on same-microsecond pairs
+    ev = t(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    j = asof_join(
+        clicks, views, on="user_id", left_ts="ts_us", right_ts="ts_us",
+        payload_cols=["event_id", "value"],
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("matched.event_id").alias("view_event_id"),
+        F.round(F.col("matched.value"), 4).alias("view_value"),
+        F.expr("(ts_us - matched_ts) div 1000000").alias("lag_s"),
+    )
+
+
+@q(
+    "events_range_join",
+    f"""
+WITH e AS (SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS tus FROM events
+           WHERE event_type = 'error'),
+     c AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS tus, value FROM events
+           WHERE event_type = 'click')
+SELECT e.event_id, CAST(count(*) AS BIGINT) AS n_clicks,
+       round(sum(c.value), 2) AS click_value
+FROM e JOIN c ON abs(e.tus - c.tus) <= {60 * 1_000_000}
+GROUP BY e.event_id
+""",
+    "banded range join: clicks within ±60s of each error, equi-joinified "
+    "via band-width buckets (3× left fan-out instead of a theta cross join)",
+)
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.asof import banded_range_join
+
+    # microseconds both sides (oracle precision — see events_asof_join)
+    ev = t(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts div 1000"))
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "ts_us")
+    clicks = ev.filter(F.col("event_type") == "click").select("ts_us", "value")
+    j = banded_range_join(errors, clicks, "ts_us", "ts_us", band=60 * 1_000_000)
+    return j.groupBy("event_id").agg(
+        F.count("*").cast("long").alias("n_clicks"),
+        F.round(F.sum("value"), 2).alias("click_value"),
+    )
+
+
+def _lsh_planes() -> list[list[float]]:
+    from fastembed_rs_spark.operators.lsh import hyperplanes
+
+    return hyperplanes(dim=EMB_DIM, n_bits=16, seed=7)
+
+
+_LSH_BANDS = 4  # 4 bands x 4 bits
+
+
+def _lsh_oracle() -> str:
+    planes = _lsh_planes()
+    r = len(planes) // _LSH_BANDS
+
+    def dot_plane(p: list[float]) -> str:
+        lit = "[" + ", ".join(repr(w) for w in p) + "]"
+        return (
+            f"list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit}::DOUBLE[])[i]))"
+        )
+
+    def band_key(b: int) -> str:
+        key = "CAST(0 AS BIGINT)"
+        for i in range(r):
+            bit = f"(CASE WHEN {dot_plane(planes[b * r + i])} >= 0 THEN 1 ELSE 0 END)"
+            key = f"({key} * 2 + {bit})"
+        return key
+
+    keys = ", ".join(
+        f"{band_key(b)} AS k{b}" for b in range(_LSH_BANDS)
+    )
+    band_match = " OR ".join(f"q.k{b} = e.k{b}" for b in range(_LSH_BANDS))
+    return f"""
+WITH sig AS (SELECT vec_id, embedding, {keys} FROM embeddings),
+     q AS (SELECT vec_id AS query_id, embedding AS qe,
+                  {', '.join(f'k{b}' for b in range(_LSH_BANDS))}
+           FROM sig WHERE vec_id < 5),
+     cand AS (
+       SELECT q.query_id, q.qe, e.vec_id, e.embedding
+       FROM q JOIN sig e ON {band_match}
+     )
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT query_id, vec_id,
+         round({_dk_cos('qe', 'embedding')}, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round({_dk_cos('qe', 'embedding')}, 6) DESC,
+                                     vec_id ASC) AS rank
+  FROM cand
+) WHERE rank <= 10
+"""
+
+
+@q(
+    "ann_lsh_topk",
+    _lsh_oracle(),
+    "random-hyperplane LSH ANN: 4 bands x 4 bits -> band-bucket equi-join "
+    "candidates -> exact cosine verify -> top-10 (the LSH scale path beside "
+    "IVF and PQ; seeded hyperplanes inlined into both engines)",
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.lsh import lsh_top_k
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_top_k(
+        qs, emb, planes=_lsh_planes(), bands=_LSH_BANDS, k=10,
+        id_col="vec_id", dim=EMB_DIM,
+    ).select("query_id", "vec_id", "score", "rank")
+
+
+def _bm25_oracle() -> str:
+    from fastembed_rs_spark.operators.lexical import B, K1
+
+    return f"""
+WITH tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({duck_tokens('text')}) AS token FROM documents)
+  GROUP BY doc_id, token
+),
+dl AS (SELECT doc_id, SUM(tf) AS doclen FROM tf GROUP BY doc_id),
+stats AS (SELECT CAST(SUM(doclen) AS DOUBLE) / COUNT(*) AS avgdl,
+                 COUNT(*) AS n FROM dl),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+qt AS (SELECT doc_id AS query_id, unnest(list_distinct({duck_tokens('text')})) AS token
+       FROM documents WHERE doc_id < 3),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(SUM(
+           ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({K1} + 1))
+           / (tf.tf + {K1} * (1 - {B} + {B} * dl.doclen / stats.avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN qt ON tf.token = qt.token
+  JOIN df ON tf.token = df.token
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY qt.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id ASC) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+@q(
+    "bm25_topk",
+    _bm25_oracle(),
+    "BM25 lexical retrieval: corpus tf/df/avgdl statistics + per-query "
+    "top-10 (exact-statistics counterpart of the SPLADE sparse scorer)",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.lexical import bm25_top_k
+
+    docs = t(spark, sf_dir, "documents")
+    qs = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    return bm25_top_k(docs, qs, k=10)
+
+
+_TOKEN_HASH_ROWS = (
+    "SELECT " + duck_token_hash("token") + " AS h FROM "
+    "(SELECT unnest(" + duck_tokens("text") + ") AS token FROM documents)"
+)
+
+
+@q(
+    "kmv_distinct",
+    None,  # filled below (needs operator import at module load)
+    "KMV distinct-token sketch: 256 minimum hash values -> estimate "
+    "(per-partition top-k, no full shuffle of the distinct set)",
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import token_hashes
+    from fastembed_rs_spark.operators.sketch import kmv_sketch
+
+    docs = t(spark, sf_dir, "documents")
+    hashes = docs.select(F.explode(token_hashes("text")).alias("h"))
+    return kmv_sketch(hashes, "h", k=256)
+
+
+@q(
+    "hll_distinct",
+    None,  # filled below
+    "HLL-style distinct-token sketch: 512 integer registers, exact integer "
+    "harmonic sum (order-independent), linear-counting small-range path",
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import token_hashes
+    from fastembed_rs_spark.operators.sketch import hll_sketch
+
+    docs = t(spark, sf_dir, "documents")
+    hashes = docs.select(F.explode(token_hashes("text")).alias("h"))
+    return hll_sketch(hashes, "h", p=9)
+
+
+def _fill_sketch_oracles() -> None:
+    from fastembed_rs_spark.operators.sketch import duck_hll, duck_kmv
+
+    QUERIES["kmv_distinct"] = QuerySpec(
+        spark=QUERIES["kmv_distinct"].spark,
+        oracle=duck_kmv(_TOKEN_HASH_ROWS, k=256),
+        description=QUERIES["kmv_distinct"].description,
+    )
+    QUERIES["hll_distinct"] = QuerySpec(
+        spark=QUERIES["hll_distinct"].spark,
+        oracle=duck_hll(_TOKEN_HASH_ROWS, p=9),
+        description=QUERIES["hll_distinct"].description,
+    )
+
+
+_fill_sketch_oracles()
+
+
 def all_queries() -> dict[str, QuerySpec]:
     return dict(QUERIES)
