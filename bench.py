@@ -44,6 +44,12 @@ HEADLINE = [
     "brand_revenue",
     "events_sessionize",
     "events_hourly",
+    "events_asof_join",
+    "events_range_join",
+    "ann_lsh_topk",
+    "bm25_topk",
+    "kmv_distinct",
+    "hll_distinct",
 ]
 
 

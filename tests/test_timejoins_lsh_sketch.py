@@ -1,0 +1,335 @@
+"""Tests for operators/asof.py, operators/lsh.py, operators/lexical.py and
+operators/sketch.py — semantics pinned against independent references
+(pandas merge_asof, naive cross joins, exact distinct counts)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fastembed_rs_spark.operators.asof import asof_join, banded_range_join
+from fastembed_rs_spark.operators.lexical import bm25_top_k
+from fastembed_rs_spark.operators.lsh import (
+    band_keys,
+    band_keys_fast,
+    hyperplanes,
+    lsh_top_k,
+)
+from fastembed_rs_spark.operators.sketch import hll_sketch, kmv_sketch
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+def _asof_frames(seed=1, n_left=200, n_right=150, n_keys=7):
+    rng = random.Random(seed)
+    left = pd.DataFrame(
+        {
+            "lid": range(n_left),
+            "k": [rng.randrange(n_keys) for _ in range(n_left)],
+            "t": [rng.randrange(0, 10_000) for _ in range(n_left)],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rid": range(n_right),
+            "k": [rng.randrange(n_keys) for _ in range(n_right)],
+            "t": [rng.randrange(0, 10_000) for _ in range(n_right)],
+            "payload": [rng.random() for _ in range(n_right)],
+        }
+    )
+    return left, right
+
+
+def _expected_backward(left, right, strict=False, tolerance=None):
+    """Driver-independent reference: per left row, the right row with max
+    (t, rid) among t <= left.t (or <) within the key and tolerance."""
+    out = {}
+    for lrow in left.itertuples():
+        best = None
+        for rrow in right.itertuples():
+            if rrow.k != lrow.k:
+                continue
+            ok = rrow.t < lrow.t if strict else rrow.t <= lrow.t
+            if tolerance is not None:
+                ok = ok and (lrow.t - rrow.t) <= tolerance
+            if ok and (best is None or (rrow.t, rrow.rid) > (best.t, best.rid)):
+                best = rrow
+        out[lrow.lid] = None if best is None else best.rid
+    return out
+
+
+def test_asof_backward_matches_reference(spark):
+    left, right = _asof_frames()
+    got = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="k",
+        left_ts="t",
+        right_ts="t",
+        payload_cols=["rid", "payload"],
+    ).collect()
+    expected = _expected_backward(left, right)
+    assert len(got) == len(left)
+    for row in got:
+        assert expected[row.lid] == row.matched.rid, row.lid
+
+
+def test_asof_strict_and_tolerance(spark):
+    left, right = _asof_frames(seed=2)
+    sl, sr = spark.createDataFrame(left), spark.createDataFrame(right)
+    strict = asof_join(
+        sl, sr, on="k", left_ts="t", right_ts="t",
+        payload_cols=["rid"], strict=True,
+    ).collect()
+    exp_strict = _expected_backward(left, right, strict=True)
+    for row in strict:
+        assert exp_strict[row.lid] == row.matched.rid
+
+    tol = asof_join(
+        sl, sr, on="k", left_ts="t", right_ts="t",
+        payload_cols=["rid"], tolerance=500,
+    ).collect()
+    exp_tol = _expected_backward(left, right, tolerance=500)
+    for row in tol:
+        assert exp_tol[row.lid] == row.matched.rid
+
+
+def test_asof_forward_is_backward_on_negated_axis(spark):
+    left, right = _asof_frames(seed=3)
+    fwd = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="k", left_ts="t", right_ts="t",
+        payload_cols=["rid"], direction="forward",
+    ).collect()
+    # reference: min (t) with t >= left.t; ties -> max rid is NOT implied by
+    # negation (payload sorts ascending) — assert on t only where unique
+    for row in fwd:
+        cands = [
+            r for r in right.itertuples()
+            if r.k == row.k and r.t >= row.t
+        ]
+        if not cands:
+            assert row.matched.rid is None
+        else:
+            best_t = min(c.t for c in cands)
+            got_t = next(c.t for c in cands if c.rid == row.matched.rid)
+            assert got_t == best_t
+
+
+# ---------------------------------------------------------------------------
+# banded range join
+# ---------------------------------------------------------------------------
+
+def test_banded_range_join_matches_cross_filter(spark):
+    rng = random.Random(11)
+    left = pd.DataFrame(
+        {"lid": range(300), "v": [rng.randrange(0, 5_000) for _ in range(300)]}
+    )
+    right = pd.DataFrame(
+        {"rid": range(300), "w": [rng.randrange(0, 5_000) for _ in range(300)]}
+    )
+    band = 137
+    got = (
+        banded_range_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            "v", "w", band=band,
+        )
+        .select("lid", "rid")
+        .collect()
+    )
+    expected = {
+        (lr.lid, rr.rid)
+        for lr in left.itertuples()
+        for rr in right.itertuples()
+        if abs(lr.v - rr.w) <= band
+    }
+    assert {(r.lid, r.rid) for r in got} == expected
+    assert len(got) == len(expected)  # exactly-once: no dup pairs
+
+
+def test_banded_range_join_extra_key(spark):
+    rng = random.Random(12)
+    left = pd.DataFrame(
+        {
+            "lid": range(200),
+            "g": [rng.randrange(3) for _ in range(200)],
+            "v": [rng.randrange(0, 2_000) for _ in range(200)],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rid": range(200),
+            "g": [rng.randrange(3) for _ in range(200)],
+            "w": [rng.randrange(0, 2_000) for _ in range(200)],
+        }
+    )
+    got = (
+        banded_range_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            "v", "w", band=100, extra_key="g",
+        )
+        .select("lid", "rid")
+        .collect()
+    )
+    expected = {
+        (lr.lid, rr.rid)
+        for lr in left.itertuples()
+        for rr in right.itertuples()
+        if lr.g == rr.g and abs(lr.v - rr.w) <= 100
+    }
+    assert {(r.lid, r.rid) for r in got} == expected
+
+
+# ---------------------------------------------------------------------------
+# LSH
+# ---------------------------------------------------------------------------
+
+def _vec_df(spark, n=80, dim=16, seed=5):
+    rng = random.Random(seed)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_band_keys_fast_matches_expression(spark):
+    planes = hyperplanes(dim=16, n_bits=8, seed=3)
+    df = _vec_df(spark)
+    expr = (
+        df.select(
+            "vec_id",
+            F.posexplode(band_keys(F.col("embedding"), planes, 4)).alias(
+                "band", "bkey"
+            ),
+        )
+        .collect()
+    )
+    fast = band_keys_fast(df, "embedding", planes, 4, ["vec_id"]).collect()
+    assert sorted((r.vec_id, r.band, r.bkey) for r in expr) == sorted(
+        (r.vec_id, r.band, r.bkey) for r in fast
+    )
+
+
+def test_hyperplanes_deterministic_and_bounded():
+    a = hyperplanes(8, 4, seed=9)
+    b = hyperplanes(8, 4, seed=9)
+    assert a == b
+    assert all(-1.0 <= w < 1.0 for row in a for w in row)
+    assert hyperplanes(8, 4, seed=10) != a
+
+
+def test_lsh_topk_subset_of_exact_with_decent_recall(spark):
+    from fastembed_rs_spark.operators.topk import cosine_top_k
+
+    dim = 16
+    df = _vec_df(spark, n=120, dim=dim, seed=6)
+    qs = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    planes = hyperplanes(dim=dim, n_bits=12, seed=4)
+    approx = lsh_top_k(qs, df, planes=planes, bands=4, k=5, dim=dim).collect()
+    exact = cosine_top_k(qs, df, k=5, id_col="vec_id", round_to=6).collect()
+    exact_pairs = {(r.query_id, r.vec_id) for r in exact}
+    approx_pairs = {(r.query_id, r.vec_id) for r in approx}
+    # self-match always shares every band
+    for q in range(4):
+        assert (q, q) in approx_pairs
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, recall
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+def test_bm25_hand_computed_tiny_corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "cherry date elderberry"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(100, "apple cherry")], "query_id long, query_text string"
+    )
+    got = {
+        r.doc_id: r.score
+        for r in bm25_top_k(docs, qs, k=10).collect()
+    }
+    # reference computation
+    n, avgdl, k1, b = 3, 8 / 3, 1.2, 0.75
+
+    def idf(df_):
+        return math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
+
+    def term(tf, dl, df_):
+        return idf(df_) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp = {
+        0: term(2, 3, 1),           # apple: tf=2 in doc0, df=1
+        1: term(1, 2, 2),           # cherry in doc1 (dl=2), df=2
+        2: term(1, 3, 2),           # cherry in doc2 (dl=3), df=2
+    }
+    assert set(got) == set(exp)
+    for d, s in exp.items():
+        assert got[d] == pytest.approx(s, abs=1e-6)
+
+
+def test_bm25_self_query_ranks_self_first(spark):
+    rows = [(i, f"unique{i} shared common word{i % 3}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = docs.filter(F.col("doc_id") == 7).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    top = bm25_top_k(docs, qs, k=3).filter(F.col("rank") == 1).collect()
+    assert top[0].doc_id == 7
+
+
+# ---------------------------------------------------------------------------
+# sketches
+# ---------------------------------------------------------------------------
+
+def _hash_df(spark, n_distinct, copies=3, seed=13):
+    from fastembed_rs_spark.functions.text import HASH_MOD
+
+    rng = random.Random(seed)
+    vals = rng.sample(range(HASH_MOD), n_distinct) * copies
+    return spark.createDataFrame([(v,) for v in vals], "h long")
+
+
+def test_kmv_exact_below_k(spark):
+    df = _hash_df(spark, n_distinct=100)
+    row = kmv_sketch(df, "h", k=256).collect()[0]
+    assert row.kmv_k == 100
+    assert row.kmv_est == 100.0
+
+
+def test_kmv_estimate_within_tolerance(spark):
+    n = 5000
+    row = kmv_sketch(_hash_df(spark, n), "h", k=256).collect()[0]
+    assert row.kmv_k == 256
+    # std error ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma
+    assert abs(row.kmv_est - n) / n < 0.25, row.kmv_est
+
+
+def test_hll_estimate_within_tolerance(spark):
+    n = 5000
+    row = hll_sketch(_hash_df(spark, n), "h", p=9).collect()[0]
+    assert row.hll_m == 512
+    # std error ~ 1.04/sqrt(512) ~ 4.6%; allow ~4 sigma
+    assert abs(row.hll_est - n) / n < 0.2, row.hll_est
+
+
+def test_hll_small_range_linear_counting_is_tight(spark):
+    n = 40
+    row = hll_sketch(_hash_df(spark, n, seed=17), "h", p=9).collect()[0]
+    assert abs(row.hll_est - n) <= 3, row.hll_est
