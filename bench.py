@@ -50,6 +50,7 @@ HEADLINE = [
     "bm25_topk",
     "kmv_distinct",
     "hll_distinct",
+    "neardup_components",
 ]
 
 

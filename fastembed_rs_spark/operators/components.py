@@ -1,0 +1,75 @@
+"""Connected components over a pair-edge DataFrame — the step that turns
+the dedup family's PAIRS (minhash/simhash/ngram/embedding near-dups) into
+CLUSTERS with one canonical representative, which is what a training-data
+dedup pipeline actually deletes against.
+
+Algorithm: min-label propagation. Every node starts labeled with itself;
+each round every node takes the min label among itself and its neighbours;
+fixpoint = components labeled by their minimum member id. Rounds needed =
+graph diameter (near-dup clusters are tiny and dense — single digits).
+
+Spark shape per round: one join (labels ⋈ edges) + one groupBy(min) — both
+map-side combinable; lineage is truncated every round with
+``localCheckpoint`` so the plan doesn't double per iteration (the classic
+iterative-DataFrame trap). Convergence is detected with ONE scalar per
+round: Σcomp strictly decreases until fixpoint (labels only ever drop to a
+smaller id, so the sum is a monotone potential function). At 100 TB use
+the same loop with persisted labels and a diameter cap; for adversarial
+long-chain graphs switch to the large-star/small-star alternation
+(Kiveris et al., "Connected Components in MapReduce"), which converges in
+O(log²) rounds — near-dup graphs never need it.
+
+DuckDB oracle mirror: transitive closure via WITH RECURSIVE + min over the
+reach set (exact same fixpoint by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; component =
+    min node id in the connected component. Σcomp (long) is the potential
+    function — fine up to ~10^9 nodes of id ~10^9; beyond that switch the
+    convergence probe to a decimal sum."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.localCheckpoint()
+
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("comp")
+        )
+        labels = (
+            labels.select("node", "comp")
+            .union(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def component_summary(labels: DataFrame) -> DataFrame:
+    """(node, component, cluster_size) — size attached per component so a
+    downstream keep-one-per-cluster filter is a single comparison."""
+    sizes = labels.groupBy("comp").agg(F.count("*").cast("long").alias("cluster_size"))
+    return labels.join(sizes, "comp").select(
+        F.col("node"), F.col("comp").alias("component"), F.col("cluster_size")
+    )

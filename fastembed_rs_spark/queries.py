@@ -1359,8 +1359,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return lsh_top_k(
-        qs, emb, planes=_lsh_planes(), bands=_LSH_BANDS, k=10,
-        id_col="vec_id", dim=EMB_DIM,
+        qs, emb, planes=_lsh_planes(), bands=_LSH_BANDS, k=10, id_col="vec_id",
     ).select("query_id", "vec_id", "score", "rank")
 
 
@@ -1451,6 +1450,44 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     hashes = docs.select(F.explode(token_hashes("text")).alias("h"))
     return hll_sketch(hashes, "h", p=9)
+
+
+_EDGE_SQL = f"""
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round({_dk_cos('a.embedding', 'b.embedding')}, 6) >= 0.4
+"""
+
+
+@q(
+    "neardup_components",
+    f"""
+WITH RECURSIVE edges AS ({_EDGE_SQL}),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY component)
+SELECT comp.node, comp.component, sizes.cluster_size
+FROM comp JOIN sizes ON comp.component = sizes.component
+""",
+    "connected components over embedding near-dup pairs (min-label "
+    "propagation; turns dedup PAIRS into CLUSTERS with a canonical min-id "
+    "representative) — oracle = transitive closure via WITH RECURSIVE",
+)
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.components import (
+        component_summary,
+        connected_components,
+    )
+
+    edges = QUERIES["embedding_neardup"].spark(spark, sf_dir).select("id_a", "id_b")
+    return component_summary(connected_components(edges))
 
 
 def _fill_sketch_oracles() -> None:

@@ -333,3 +333,65 @@ def test_hll_small_range_linear_counting_is_tight(spark):
     n = 40
     row = hll_sketch(_hash_df(spark, n, seed=17), "h", p=9).collect()[0]
     assert abs(row.hll_est - n) <= 3, row.hll_est
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+def _union_find_reference(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    from fastembed_rs_spark.operators.components import (
+        component_summary,
+        connected_components,
+    )
+
+    rng = random.Random(21)
+    edges = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.comp for r in connected_components(df).collect()}
+    ref = _union_find_reference(edges)
+    # canonicalize reference labels to min member id per component
+    comp_members = {}
+    for n, c in ref.items():
+        comp_members.setdefault(c, []).append(n)
+    ref_min = {n: min(comp_members[c]) for n, c in ref.items()}
+    assert got == ref_min
+
+    summary = component_summary(connected_components(df)).collect()
+    sizes = {}
+    for r in summary:
+        sizes.setdefault(r.component, set()).add(r.node)
+    for r in summary:
+        assert r.cluster_size == len(sizes[r.component])
+
+
+def test_connected_components_chain_and_islands(spark):
+    # a path graph (worst diameter) plus two disjoint pairs
+    edges = [(i, i + 1) for i in range(10)] + [(100, 101), (200, 201)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    from fastembed_rs_spark.operators.components import connected_components
+
+    got = {r.node: r.comp for r in connected_components(df).collect()}
+    assert all(got[i] == 0 for i in range(11))
+    assert got[100] == got[101] == 100
+    assert got[200] == got[201] == 200
