@@ -51,6 +51,9 @@ HEADLINE = [
     "kmv_distinct",
     "hll_distinct",
     "neardup_components",
+    "price_histogram",
+    "heavy_hitters",
+    "deterministic_sample",
 ]
 
 

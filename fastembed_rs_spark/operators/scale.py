@@ -95,3 +95,35 @@ def assert_no_shuffle_join(joined: DataFrame) -> bool:
     Exchange (shuffle) — the co-located-join property bucketing buys."""
     plan = joined._jdf.queryExecution().executedPlan().toString()
     return ("Join" in plan) and ("Exchange" not in plan)
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, pct_mille: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic ``pct_mille``/1000 sample keyed on a column: keeps rows
+    where rolling_hash(key || salt) % 1000 < pct_mille.
+
+    Properties a pipeline needs that ``df.sample()`` lacks: reproducible
+    across runs/engines (no RNG state), stable under repartition, and
+    consistent across tables — sampling two tables by the same key keeps
+    JOINABLE rows together (hash agreement), so a 1% dev slice of a 100 TB
+    corpus still joins. Change ``salt`` to draw an independent sample.
+
+    The rolling hash alone is poorly mixed on short sequential keys
+    (consecutive ids land in runs — measured 19% kept at pct_mille=100), so
+    the bucket goes through a Fibonacci multiplicative mix first: top bits
+    of h * 2654435761 mod 2^32 — exact int64 math, same in the oracle.
+    """
+    from fastembed_rs_spark.functions.text import token_hash
+
+    key = F.concat(F.col(key_col).cast("string"), F.lit(salt))
+    return (
+        df.withColumn("__sg_h", token_hash(key))
+        .filter(
+            F.expr(
+                "((__sg_h * 2654435761) % 4294967296) * 1000 div 4294967296"
+            )
+            < pct_mille
+        )
+        .drop("__sg_h")
+    )

@@ -1452,6 +1452,93 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_sketch(hashes, "h", p=9)
 
 
+@q(
+    "price_histogram",
+    """
+WITH mm AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+            FROM lineitem),
+binned AS (
+  SELECT least(19, CAST(floor((l_extendedprice - mm.mn)
+                              / ((mm.mx - mm.mn) / 20)) AS INT)) AS bin,
+         mm.mn AS mn, mm.mx AS mx
+  FROM lineitem CROSS JOIN mm
+),
+counts AS (
+  SELECT bin, mn, mx, CAST(count(*) AS BIGINT) AS n
+  FROM binned GROUP BY bin, mn, mx
+)
+SELECT bin,
+       round(mn + bin * ((mx - mn) / 20), 4) AS lo,
+       round(mn + (bin + 1) * ((mx - mn) / 20), 4) AS hi,
+       n,
+       CAST(sum(n) OVER (ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+FROM counts
+""",
+    "equi-width price histogram with cumulative counts (reproducible "
+    "approximate-quantile building block; two narrow passes, no sort)",
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.stats import equiwidth_histogram
+
+    return equiwidth_histogram(t(spark, sf_dir, "lineitem"), "l_extendedprice", bins=20)
+
+
+@q(
+    "heavy_hitters",
+    f"""
+WITH counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest({duck_tokens('text')}) AS token FROM documents)
+  GROUP BY token
+)
+SELECT token, n,
+       row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+FROM counts
+QUALIFY rank <= 50
+""",
+    "exact top-50 corpus tokens (map-side combine + TakeOrdered; the "
+    "heavy-hitter primitive for stopword/df cutoffs)",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.stats import heavy_hitter_tokens
+
+    return heavy_hitter_tokens(t(spark, sf_dir, "documents"), "text", k=50)
+
+
+@q(
+    "deterministic_sample",
+    f"""
+WITH sampled AS (
+  SELECT lang FROM documents
+  WHERE (({duck_token_hash("CAST(doc_id AS VARCHAR)")} * 2654435761)
+         % 4294967296) * 1000 // 4294967296 < 100
+)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_total,
+       coalesce(s.n_sampled, 0) AS n_sampled
+FROM documents d
+LEFT JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
+           FROM sampled GROUP BY lang) s USING (lang)
+GROUP BY d.lang, s.n_sampled
+""",
+    "deterministic 10% hash sample keyed on doc_id (reproducible across "
+    "engines/runs, join-consistent across tables), counted per language",
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.scale import hash_sample
+
+    docs = t(spark, sf_dir, "documents")
+    sampled = (
+        hash_sample(docs, "doc_id", pct_mille=100)
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_sampled"))
+    )
+    totals = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n_total"))
+    return totals.join(sampled, "lang", "left").select(
+        "lang", "n_total", F.coalesce("n_sampled", F.lit(0).cast("long")).alias("n_sampled")
+    )
+
+
 _EDGE_SQL = f"""
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -1,0 +1,76 @@
+"""Tests for operators/stats.py and operators/scale.py::hash_sample."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastembed_rs_spark.operators.scale import hash_sample
+from fastembed_rs_spark.operators.stats import equiwidth_histogram, heavy_hitter_tokens
+
+
+def test_histogram_counts_match_numpy(spark):
+    import numpy as np
+
+    rng = random.Random(31)
+    vals = [round(rng.uniform(10, 500), 2) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r.bin: r for r in equiwidth_histogram(df, "x", bins=10).collect()}
+    counts, edges = np.histogram(vals, bins=10, range=(min(vals), max(vals)))
+    for b in range(10):
+        n = got[b].n if b in got else 0
+        assert n == counts[b], b
+    # cumulative reaches the total; edges agree to rounding
+    assert max(r.cum_n for r in got.values()) == len(vals)
+    assert got[0].lo == pytest.approx(min(vals), abs=1e-4)
+    assert got[9].hi == pytest.approx(max(vals), abs=1e-4)
+
+
+def test_histogram_max_value_clamped_into_last_bin(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(11)], "x double")
+    rows = {r.bin: r.n for r in equiwidth_histogram(df, "x", bins=5).collect()}
+    assert sum(rows.values()) == 11
+    assert max(rows) == 4  # x=10.0 lands in bin 4, not a phantom bin 5
+
+
+def test_heavy_hitters_match_counter(spark):
+    rng = random.Random(32)
+    words = [f"w{rng.randrange(40)}" for _ in range(3000)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i * 30 : (i + 1) * 30])) for i in range(100)],
+        "doc_id long, text string",
+    )
+    got = heavy_hitter_tokens(docs, "text", k=10).collect()
+    ref = Counter(words)
+    # rank order: count desc, token asc
+    expected = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.token, r.n) for r in sorted(got, key=lambda r: r.rank)] == expected
+
+
+def test_hash_sample_deterministic_and_partition_stable(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = sorted(r.k for r in hash_sample(df, "k", 100).collect())
+    b = sorted(r.k for r in hash_sample(df.repartition(13), "k", 100).collect())
+    assert a == b
+    # roughly 10%: binomial(2000, .1) — allow 5 sigma (~67)
+    assert abs(len(a) - 200) < 70
+
+
+def test_hash_sample_join_consistent_across_tables(spark):
+    left = spark.range(0, 1000).withColumnRenamed("id", "k")
+    right = spark.range(0, 1000).selectExpr("id as k", "id * 2 as v")
+    ls = {r.k for r in hash_sample(left, "k", 150).collect()}
+    rs = {r.k for r in hash_sample(right, "k", 150).collect()}
+    assert ls == rs  # same keys survive in both tables
+
+
+def test_hash_sample_salt_draws_independent_sample(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r.k for r in hash_sample(df, "k", 100).collect()}
+    b = {r.k for r in hash_sample(df, "k", 100, salt="x").collect()}
+    assert a != b
+    # overlap ~ 10% of each sample, far below identity
+    assert len(a & b) < len(a) * 0.5
