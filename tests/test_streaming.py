@@ -178,3 +178,82 @@ def test_embed_to_parquet_stream_resumes(spark, stream_dir):
     back = spark.read.parquet(out_dir)
     assert back.count() == 3  # 2 + 1, no re-embedding of the first batch
     assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) == [0, 1, 2]
+
+
+def test_asof_stream_single_batch_matches_batch_operator(spark, stream_dir):
+    """One micro-batch == the batch asof_join bit-for-bit."""
+    import random
+
+    from fastembed_rs_spark.operators.asof import asof_join
+    from fastembed_rs_spark.streaming.asof_stream import asof_stream
+
+    rng = random.Random(41)
+    rows = [
+        (i, rng.randrange(5), rng.randrange(0, 100_000),
+         "view" if rng.random() < 0.5 else "click", float(i))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string, value double"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(stream_dir + "/ev")
+
+    src = spark.readStream.schema(df.schema).parquet(stream_dir + "/ev")
+    got_q = asof_stream(
+        src.filter(F.col("event_type") == "click"),
+        src.filter(F.col("event_type") == "view"),
+    )
+    q = (
+        got_q.writeStream.format("memory").queryName("asof_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {
+        r.event_id: (r.matched_event_id, r.matched_ts, r.matched_value)
+        for r in spark.sql("select * from asof_out").collect()
+    }
+
+    batch = asof_join(
+        df.filter(F.col("event_type") == "click"),
+        df.filter(F.col("event_type") == "view"),
+        on="user_id", left_ts="ts", right_ts="ts",
+        payload_cols=["event_id", "value"],
+    ).collect()
+    expected = {
+        r.event_id: (r.matched.event_id, r.matched_ts, r.matched.value)
+        for r in batch
+    }
+    assert got == expected
+    assert len(got) == sum(1 for r in rows if r[3] == "click")
+
+
+def test_asof_stream_state_carries_across_batches(spark, stream_dir):
+    """A right event in batch 1 matches left events in batch 2."""
+    from fastembed_rs_spark.streaming.asof_stream import asof_stream
+
+    schema = "event_id long, user_id long, ts long, event_type string, value double"
+    b1 = spark.createDataFrame([(1, 7, 100, "view", 1.5)], schema)
+    b2 = spark.createDataFrame([(2, 7, 200, "click", 0.0)], schema)
+    b1.coalesce(1).write.mode("overwrite").parquet(stream_dir + "/ev")
+
+    src = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stream_dir + "/ev")
+    q = (
+        asof_stream(
+            src.filter(F.col("event_type") == "click"),
+            src.filter(F.col("event_type") == "view"),
+        )
+        .writeStream.format("memory").queryName("asof_cross")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.coalesce(1).write.mode("append").parquet(stream_dir + "/ev")
+        q.processAllAvailable()
+        rows = spark.sql("select * from asof_cross").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    assert rows[0].matched_event_id == 1 and rows[0].matched_ts == 100
