@@ -54,6 +54,8 @@ HEADLINE = [
     "price_histogram",
     "heavy_hitters",
     "deterministic_sample",
+    "small_quantity_revenue",
+    "large_order_customers",
 ]
 
 

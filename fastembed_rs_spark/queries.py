@@ -1453,6 +1453,83 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "small_quantity_revenue",
+    """
+WITH pa AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13' AND l.l_quantity < pa.qty_cut
+""",
+    "TPC-H Q17-shaped small-quantity revenue: correlated per-part average "
+    "as a self-agg join (l_quantity is integer-valued -> exact avg, "
+    "engine-independent threshold)",
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    pa = li.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_brand") == "Brand#13")),
+                li["l_partkey"] == part["p_partkey"])
+        .join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "large_order_customers",
+    """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 280
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(epoch(o.o_orderdate) AS BIGINT) AS orderdate_epoch,
+       round(o.o_totalprice, 2) AS o_totalprice, big.total_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+    "TPC-H Q18-shaped large-volume orders: group-HAVING on the fact table "
+    "first (map-side combine), then dimension joins on the tiny survivor "
+    "set (exact integer quantity sums -> engine-independent HAVING)",
+)
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 280)
+    )
+    # LTZ->long is epoch seconds — matches DuckDB epoch() on the naive ts
+    od_epoch = (
+        F.col("o_orderdate").cast("timestamp_ltz").cast("long").alias("orderdate_epoch")
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name", "c_custkey", "o_orderkey", od_epoch,
+            F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty",
+        )
+    )
+
+
+@q(
     "price_histogram",
     """
 WITH mm AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
