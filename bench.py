@@ -86,12 +86,19 @@ def main() -> int:
         .write.mode("overwrite").format("noop").save()
     )
 
+    # two runs per query, report the min: run 1 pays one-time plan/codegen
+    # compilation (janino, AQE re-plans), run 2 is the steady-state
+    # throughput a long-lived cluster session sees. Declared in the JSON.
+    RUNS = 2
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = catalog[name]
-        t0 = time.time()
-        spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for r in range(RUNS):
+            t0 = time.time()
+            spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -100,6 +107,8 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs_per_query": RUNS,
+        "agg": "min",
         "sf": sf,
     }))
     spark.stop()

@@ -1,0 +1,96 @@
+"""Arrow-batched NumPy kernel for corpus × small-matrix cosine scoring —
+the vector-math sibling of fast_text.py's hash kernels.
+
+Used by the IVF assignment path: scoring every corpus vector against a
+small broadcastable set (centroids) is `rows × set` interpreted lambda
+evaluations on the expression path (~5M fold steps at sf0.1 — the
+dominant cost of ann_ivf_topk). The kernel vectorizes ACROSS rows while
+looping dims/centroids, so each row's arithmetic happens in the exact
+left-fold order of the expression path (functions/vector.py::dot /
+l2_norm) and the emitted raw doubles are bit-identical.
+
+Parity contract (same argument as fast_text.py):
+- float32 -> float64 casts are exact; each mul/add is one correctly-
+  rounded IEEE op in the same sequence as the Catalyst fold.
+- zero-norm guard: score = 0.0 when either norm is 0 (reference
+  semantics, src/similarity.rs:22-25).
+- NO rounding in the kernel: numpy.round is banker's-on-binary, Spark's
+  F.round is HALF_UP-on-decimal — callers round Spark-side, and ONLY
+  then rank/argmax, so tie semantics match the DuckDB oracle.
+
+Scale: the centroid set is collected to the driver and shipped in the
+closure — valid precisely because IVF/k-means centroid sets are tiny by
+construction (k ≤ thousands); the corpus streams through mapInPandas
+without a shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+from pyspark.sql import DataFrame
+
+
+def pairwise_cosine_fast(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    targets: Sequence[tuple[int, Sequence[float]]],
+    target_id_name: str = "centroid_id",
+    score_name: str = "score",
+) -> DataFrame:
+    """(id_col, target_id, raw cosine score) for every (row, target) pair.
+
+    ``targets`` = [(target_id, vector), ...] — small, driver-side.
+    Emits RAW doubles; round Spark-side before any ranking.
+    """
+    import numpy as np
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, {target_id_name} long, {score_name} double"
+    tids = [int(t[0]) for t in targets]
+    tvecs = [np.asarray(t[1], dtype=np.float64) for t in targets]
+    # centroid norms: same left fold as l2_norm over each centroid vector
+    tnorms = []
+    for tv in tvecs:
+        acc = 0.0
+        for x in tv:
+            acc = acc + x * x
+        tnorms.append(float(np.sqrt(acc)))
+    src = df.select(id_col, vec_col)
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n, dim = V.shape
+            # row norms, exact left fold across dims
+            nacc = np.zeros(n, dtype=np.float64)
+            for j in range(dim):
+                nacc = nacc + V[:, j] * V[:, j]
+            vnorm = np.sqrt(nacc)
+            ids = pdf[id_col].to_numpy()
+            t_cnt = len(tids)
+            out_scores = np.empty(n * t_cnt, dtype=np.float64)
+            for ti, (tv, tn) in enumerate(zip(tvecs, tnorms)):
+                d = min(dim, len(tv))
+                acc = np.zeros(n, dtype=np.float64)
+                for j in range(d):
+                    acc = acc + V[:, j] * tv[j]
+                denom = vnorm * tn
+                score = np.where(
+                    (vnorm == 0.0) | (tn == 0.0), 0.0, acc / np.where(denom == 0.0, 1.0, denom)
+                )
+                out_scores[ti::t_cnt] = score
+            yield pd.DataFrame(
+                {
+                    id_col: ids.repeat(t_cnt),
+                    target_id_name: np.tile(np.asarray(tids, dtype=np.int64), n),
+                    score_name: out_scores,
+                }
+            )
+
+    return src.mapInPandas(gen, schema=schema)

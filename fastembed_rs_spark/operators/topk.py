@@ -198,6 +198,42 @@ def assign_ivf_buckets(
     ).select(id_col, *other, centroid_id)
 
 
+def assign_ivf_buckets_fast(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+    round_to: int = 6,
+) -> DataFrame:
+    """``assign_ivf_buckets`` with the corpus × centroid scoring routed
+    through the NumPy kernel (operators/fast_vector.py) — bit-identical
+    buckets (pinned by test), ~3× at sf0.1 (the rows × k interpreted
+    lambda folds were the dominant ann_ivf cost).
+
+    Collects the centroid set to the driver (tiny by construction — the
+    same bound that makes it broadcastable). Rounding happens Spark-side
+    on the kernel's raw doubles BEFORE the argmax, so tie semantics match
+    the expression path and the DuckDB oracle exactly."""
+    from fastembed_rs_spark.operators.fast_vector import pairwise_cosine_fast
+
+    rows = centroids.select(centroid_id, centroid_vec).collect()
+    targets = [(r[0], list(r[1])) for r in rows]
+    pairs = pairwise_cosine_fast(
+        corpus, id_col, vec_col, targets,
+        target_id_name=centroid_id, score_name="__raw",
+    )
+    scored = pairs.select(
+        id_col, centroid_id, F.round("__raw", round_to).alias("__cscore")
+    )
+    best = argmax_assign(
+        scored, keys=[id_col], choice_col=centroid_id,
+        score_col="__cscore", carry=[],
+    )
+    return corpus.join(best.select(id_col, centroid_id), id_col)
+
+
 def ivf_top_k(
     queries: DataFrame,
     bucketed_corpus: DataFrame,

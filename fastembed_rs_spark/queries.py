@@ -31,7 +31,12 @@ from fastembed_rs_spark.operators import dedup as D
 from fastembed_rs_spark.operators import embed_hash as EH
 from fastembed_rs_spark.operators import textstats as TS
 from fastembed_rs_spark.operators.rerank import rerank, token_overlap_score
-from fastembed_rs_spark.operators.topk import assign_ivf_buckets, cosine_top_k, ivf_top_k
+from fastembed_rs_spark.operators.topk import (
+    assign_ivf_buckets,
+    assign_ivf_buckets_fast,
+    cosine_top_k,
+    ivf_top_k,
+)
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -210,7 +215,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
     )
-    bucketed = assign_ivf_buckets(emb, centroids)
+    bucketed = assign_ivf_buckets_fast(emb, centroids)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

@@ -395,3 +395,63 @@ def test_connected_components_chain_and_islands(spark):
     assert all(got[i] == 0 for i in range(11))
     assert got[100] == got[101] == 100
     assert got[200] == got[201] == 200
+
+
+# ---------------------------------------------------------------------------
+# fast IVF assignment kernel
+# ---------------------------------------------------------------------------
+
+def test_assign_ivf_buckets_fast_bit_identical(spark):
+    from fastembed_rs_spark.operators.topk import (
+        assign_ivf_buckets,
+        assign_ivf_buckets_fast,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    slow = {
+        r.vec_id: r.centroid_id
+        for r in assign_ivf_buckets(emb, centroids).collect()
+    }
+    fast = {
+        r.vec_id: r.centroid_id
+        for r in assign_ivf_buckets_fast(emb, centroids).collect()
+    }
+    assert slow == fast
+    assert len(fast) == emb.count()
+
+
+def test_pairwise_cosine_fast_matches_expression(spark):
+    from fastembed_rs_spark.functions.vector import cosine_similarity
+    from fastembed_rs_spark.operators.fast_vector import pairwise_cosine_fast
+
+    rng = random.Random(51)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(12)]) for i in range(60)]
+    targets = [(j, [rng.uniform(-1, 1) for _ in range(12)]) for j in range(5)]
+    # include a zero vector on each side to pin the guard
+    rows.append((60, [0.0] * 12))
+    targets.append((5, [0.0] * 12))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    tgt = spark.createDataFrame(targets, "centroid_id long, centroid_vec array<float>")
+    expr = {
+        (r.vec_id, r.centroid_id): r.score
+        for r in df.crossJoin(tgt)
+        .select(
+            "vec_id", "centroid_id",
+            cosine_similarity("embedding", "centroid_vec").alias("score"),
+        )
+        .collect()
+    }
+    # kernel targets must be float32-rounded like the expression side reads
+    # them from the array<float> column
+    import numpy as np
+
+    t32 = [(j, np.asarray(v, dtype=np.float32).tolist()) for j, v in targets]
+    fast = {
+        (r.vec_id, r.centroid_id): r.score
+        for r in pairwise_cosine_fast(df, "vec_id", "embedding", t32).collect()
+    }
+    assert expr == fast  # exact equality, not approx
