@@ -56,6 +56,7 @@ HEADLINE = [
     "deterministic_sample",
     "small_quantity_revenue",
     "large_order_customers",
+    "corpus_curation",
 ]
 
 

@@ -35,6 +35,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     hops_per_round: int = 2,
+    collect_threshold: int = 0,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component =
     min node id in the connected component. Σcomp (long) is the potential
@@ -45,10 +46,40 @@ def connected_components(
     checkpoint + convergence probe: the checkpoint materialization and the
     probe job are the per-round fixed costs, and near-dup diameters are
     tiny, so 2 hops/round measured ~20% faster than 1 at sf0.1 with
-    identical results. Raise it for long-chain graphs."""
+    identical results. Raise it for long-chain graphs.
+
+    ``collect_threshold`` > 0 enables the small-graph tier: if the edge
+    set (already materialized for the loop) has at most that many rows,
+    run union-find on the driver instead — a dedup pair set after quality
+    and exact-dedup filtering is typically tiny relative to the corpus,
+    and each distributed round costs several fixed-overhead jobs. 10^6
+    edges ≈ 16 MB driver memory; above the threshold the distributed loop
+    runs unchanged. Both tiers produce identical labels (pinned by test).
+    """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint()
+
+    if collect_threshold and sym.count() <= collect_threshold:
+        pair_rows = sym.collect()
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pair_rows:
+            ra, rb = find(r.a), find(r.b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        labels = [(n, find(n)) for n in parent]
+        node_type = edges.schema[src].dataType.simpleString()
+        return edges.sparkSession.createDataFrame(
+            labels, f"node {node_type}, comp {node_type}"
+        )
 
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "comp", F.col("node")

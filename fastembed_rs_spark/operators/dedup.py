@@ -209,13 +209,11 @@ def ngram_jaccard_pairs(
     all-pairs cross join."""
     if threshold <= 0:
         return _ngram_jaccard_allpairs(df, id_col, text_col, n, threshold, round_to)
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    sized = (
-        df.select(F.col(id_col), F.col(text_col))
-        .repartition(parallelism)  # single-row-group scans: spread gram hashing
-        .select(F.col(id_col), F.array_distinct(word_ngrams(text_col, n)).alias("__grams"))
-        .select(F.col(id_col), F.explode("__grams").alias("__g"), F.size("__grams").alias("__sz"))
-    )
+    from fastembed_rs_spark.operators.fast_text import word_ngram_postings_fast
+
+    # postings via the Python kernel — string-exact, skips the interpreted
+    # transform/array_distinct/explode chain (measured ~2x on the stage)
+    sized = word_ngram_postings_fast(df, id_col, text_col, n)
     a = sized.select(
         F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__g"
     )

@@ -301,3 +301,110 @@ def exact_dedup_fast(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.min(id_col).alias("canonical_id"),
         )
     )
+
+
+def word_ngram_postings_fast(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, __g, __sz) distinct word-n-gram postings via mapInPandas —
+    replaces the interpreted transform/array_distinct/explode chain in
+    ngram_jaccard_pairs. String-exact by construction: same token regex
+    (TOKEN_SPLIT_RE via Python re), grams are space-joined token windows,
+    distinctness is a set — no float math anywhere."""
+    import pandas as pd
+
+    schema = f"{id_col} {_out_id_type(df, id_col)}, __g string, __sz int"
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    src = df.select(id_col, text_col).repartition(parallelism)
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            ids, grams_out, sizes = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = _tokens(text or "")
+                gs = {
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                } if len(toks) >= n else set()
+                for g in gs:
+                    ids.append(did)
+                    grams_out.append(g)
+                    sizes.append(len(gs))
+            if ids:
+                yield pd.DataFrame({id_col: ids, "__g": grams_out, "__sz": sizes})
+
+    return src.mapInPandas(gen, schema=schema)
+
+
+def text_stat_counts_fast(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep_cols: tuple[str, ...] = (),
+    with_fingerprint: bool = False,
+) -> DataFrame:
+    """All integer text statistics in ONE Python pass: (id, keep...,
+    n_tokens, tok_chars, sw_any, hits_<lang>..., n_chars, n_punct
+    [, fingerprint]).
+
+    Replaces the interpreted token-lambda expressions that Catalyst
+    re-inlines once per derived metric (tokens() evaluated 4-6x per row in
+    quality_score / predicted_lang — measured 10s at sf0.1 for the
+    curation pipeline's quality stage, ~1s through this kernel).
+
+    Exactness: pure integer counts from the same token regex
+    (TOKEN_SPLIT_RE), set membership against the same STOPWORDS constants,
+    and the same [^a-zA-Z0-9 ] punct class — Python re and Java regex
+    agree on these explicit ASCII classes for any input. The float
+    ratios/scores stay Spark-side (textstats *_from_counts builders), so
+    rounding and arithmetic order match the oracle exactly.
+    """
+    import pandas as pd
+
+    from fastembed_rs_spark.operators.textstats import LANGS, NON_WORD_CLASS, STOPWORDS
+
+    sw_sets = {lang: set(ws) for lang, ws in STOPWORDS.items()}
+    all_sw = set().union(*sw_sets.values())
+    punct_re = re.compile(NON_WORD_CLASS)
+    keep = [c for c in keep_cols if c != id_col]
+    hit_cols = [f"hits_{lang}" for lang in LANGS]
+    schema = ", ".join(
+        [f"{id_col} {_out_id_type(df, id_col)}"]
+        + [f"{c} {df.schema[c].dataType.simpleString()}" for c in keep]
+        + ["n_tokens long", "tok_chars long", "sw_any long"]
+        + [f"{h} long" for h in hit_cols]
+        + ["n_chars long", "n_punct long"]
+        + (["fingerprint long"] if with_fingerprint else [])
+    )
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sel = [id_col, *keep] + ([] if text_col in (id_col, *keep) else [text_col])
+    src = df.select(*sel).repartition(parallelism)
+
+    def gen(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = {c: pdf[c] for c in (id_col, *keep)}
+            stats: dict[str, list[int]] = {
+                k: [] for k in
+                ("n_tokens", "tok_chars", "sw_any", *hit_cols, "n_chars", "n_punct")
+            }
+            joined: list[str] = []
+            for text in pdf[text_col]:
+                text = text or ""
+                toks = _tokens(text)
+                stats["n_tokens"].append(len(toks))
+                stats["tok_chars"].append(sum(len(t) for t in toks))
+                stats["sw_any"].append(sum(1 for t in toks if t in all_sw))
+                for lang in LANGS:
+                    stats[f"hits_{lang}"].append(
+                        sum(1 for t in toks if t in sw_sets[lang])
+                    )
+                stats["n_chars"].append(len(text))
+                stats["n_punct"].append(len(punct_re.findall(text)))
+                if with_fingerprint:
+                    joined.append(" ".join(toks))
+            out.update(stats)
+            if with_fingerprint:
+                out["fingerprint"] = _rolling_hash_many(joined)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(gen, schema=schema)

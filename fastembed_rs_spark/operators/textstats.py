@@ -91,3 +91,51 @@ def quality_score(text: Column | str) -> Column:
     return (
         F.lit(0.4) * len_score + F.lit(0.3) * shape_score + F.lit(0.3) * sw_score
     ) * (F.lit(1.0) - p_penalty)
+
+
+# ---------------------------------------------------------------------------
+# From-counts builders (pair with fast_text.text_stat_counts_fast): the same
+# arithmetic in the same order as the expression path above, operating on
+# the kernel's exact integer count columns — so scores, rounding and tie
+# semantics stay bit-identical to the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+def avg_token_len_from_counts() -> Column:
+    n = F.col("n_tokens").cast("double")
+    return F.when(n == 0.0, F.lit(0.0)).otherwise(
+        F.col("tok_chars").cast("double") / n
+    )
+
+
+def stopword_ratio_from_counts() -> Column:
+    n = F.col("n_tokens").cast("double")
+    return F.when(n == 0.0, F.lit(0.0)).otherwise(
+        F.col("sw_any").cast("double") / n
+    )
+
+
+def punct_ratio_from_counts() -> Column:
+    total = F.col("n_chars").cast("double")
+    return F.when(total == 0.0, F.lit(0.0)).otherwise(
+        F.col("n_punct").cast("double") / total
+    )
+
+
+def quality_score_from_counts() -> Column:
+    n = F.col("n_tokens").cast("double")
+    len_score = F.least(n / F.lit(50.0), F.lit(1.0))
+    atl = avg_token_len_from_counts()
+    shape_score = F.when((atl >= 3.0) & (atl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw_score = F.least(stopword_ratio_from_counts() * F.lit(4.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * len_score + F.lit(0.3) * shape_score + F.lit(0.3) * sw_score
+    ) * (F.lit(1.0) - punct_ratio_from_counts())
+
+
+def predicted_lang_from_counts() -> Column:
+    hit_cols = {lang: F.col(f"hits_{lang}") for lang in LANGS}
+    best = F.greatest(*hit_cols.values())
+    expr = F.lit("und")
+    for lang in reversed(LANGS):
+        expr = F.when((hit_cols[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr

@@ -623,14 +623,17 @@ FROM hits
     "stopword-hit language identification with deterministic argmax",
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.fast_text import text_stat_counts_fast
+
     docs = t(spark, sf_dir, "documents")
-    return docs.select(
+    counts = text_stat_counts_fast(docs, "doc_id", "text")
+    return counts.select(
         "doc_id",
-        TS.predicted_lang("text").alias("pred_lang"),
-        TS.stopword_hits("text", "en").alias("en_hits"),
-        TS.stopword_hits("text", "fr").alias("fr_hits"),
-        TS.stopword_hits("text", "es").alias("es_hits"),
-        TS.stopword_hits("text", "de").alias("de_hits"),
+        TS.predicted_lang_from_counts().alias("pred_lang"),
+        F.col("hits_en").alias("en_hits"),
+        F.col("hits_fr").alias("fr_hits"),
+        F.col("hits_es").alias("es_hits"),
+        F.col("hits_de").alias("de_hits"),
     )
 
 
@@ -672,14 +675,17 @@ FROM m
     "token counting + quality scoring (length/punct/stopword heuristics)",
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.fast_text import text_stat_counts_fast
+
     docs = t(spark, sf_dir, "documents")
-    return docs.select(
+    counts = text_stat_counts_fast(docs, "doc_id", "text")
+    return counts.select(
         "doc_id",
-        TS.token_count("text").alias("n_tokens"),
-        F.round(TS.avg_token_len("text"), 6).alias("avg_token_len"),
-        F.round(TS.stopword_ratio("text"), 6).alias("stopword_ratio"),
-        F.round(TS.punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(TS.quality_score("text"), 6).alias("quality"),
+        F.col("n_tokens"),
+        F.round(TS.avg_token_len_from_counts(), 6).alias("avg_token_len"),
+        F.round(TS.stopword_ratio_from_counts(), 6).alias("stopword_ratio"),
+        F.round(TS.punct_ratio_from_counts(), 6).alias("punct_ratio"),
+        F.round(TS.quality_score_from_counts(), 6).alias("quality"),
     )
 
 
@@ -1657,6 +1663,155 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = QUERIES["embedding_neardup"].spark(spark, sf_dir).select("id_a", "id_b")
     return component_summary(connected_components(edges))
+
+
+# quality CTE shared by the curation pipeline oracle (same formula as
+# _QUALITY_ORACLE, carrying lang and keeping the filterable rounded score)
+_CURATION_ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, lang, text,
+         CAST(len({duck_tokens('text')}) AS BIGINT) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform({duck_tokens('text')}, tk -> length(tk))), 0) AS DOUBLE) AS tok_chars,
+         CAST(len(list_filter({duck_tokens('text')}, tk -> list_contains([{_ALL_SW}], tk))) AS DOUBLE) AS sw_hits,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, text, n_tokens,
+         CASE WHEN n_tokens = 0 THEN 0.0 ELSE tok_chars / CAST(n_tokens AS DOUBLE) END AS avg_token_len,
+         CASE WHEN n_tokens = 0 THEN 0.0 ELSE sw_hits / CAST(n_tokens AS DOUBLE) END AS stopword_ratio,
+         CASE WHEN n_chars = 0.0 THEN 0.0 ELSE n_punct / n_chars END AS punct_ratio
+  FROM base
+),
+qual AS (
+  SELECT doc_id, lang, text,
+         round(
+           (0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+            + 0.3 * (CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 10.0 THEN 1.0 ELSE 0.5 END)
+            + 0.3 * least(stopword_ratio * 4.0, 1.0))
+           * (1.0 - punct_ratio), 6) AS q
+  FROM m
+),
+q_ok AS (SELECT * FROM qual WHERE q >= 0.5),
+fp AS (SELECT doc_id, lang, text,
+              {duck_doc_fingerprint('text')} AS fingerprint FROM q_ok),
+exact_keep AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+           min(doc_id) OVER (PARTITION BY fingerprint) AS canon
+    FROM fp
+  ) WHERE doc_id = canon
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len({duck_tokens('text')}) >= 3 THEN
+           list_transform(generate_series(1, len({duck_tokens('text')}) - 2),
+             i -> concat_ws(' ', {duck_tokens('text')}[i], {duck_tokens('text')}[i+1], {duck_tokens('text')}[i+2]))
+         ELSE [] END) AS grams
+  FROM exact_keep
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE round(CASE WHEN (len(a.grams) = 0 AND len(b.grams) = 0) THEN 0.0 ELSE
+      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / (CAST(len(a.grams) AS DOUBLE) + CAST(len(b.grams) AS DOUBLE)
+         - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)) END, 6) >= 0.5
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node
+),
+drops AS (
+  SELECT node FROM (SELECT node, min(r) AS component FROM reach GROUP BY node)
+  WHERE node <> component
+),
+final AS (
+  SELECT * FROM exact_keep WHERE doc_id NOT IN (SELECT node FROM drops)
+),
+raw_counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_raw
+               FROM documents GROUP BY lang)
+SELECT rc.lang, rc.n_raw,
+       coalesce(qc.n, 0) AS n_quality,
+       coalesce(ec.n, 0) AS n_exact,
+       coalesce(fc.n, 0) AS n_final
+FROM raw_counts rc
+LEFT JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM q_ok GROUP BY lang) qc USING (lang)
+LEFT JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM exact_keep GROUP BY lang) ec USING (lang)
+LEFT JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM final GROUP BY lang) fc USING (lang)
+"""
+
+
+@q(
+    "corpus_curation",
+    _CURATION_ORACLE,
+    "end-to-end curation pipeline: quality filter (rounded threshold) -> "
+    "exact dedup (fingerprint, keep min id) -> 3-gram Jaccard near-dup "
+    "clustering via connected components (keep canonical) -> per-language "
+    "funnel counts. The composite form of the engine's core operators.",
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.components import connected_components
+    from fastembed_rs_spark.operators.dedup import ngram_jaccard_pairs
+    from fastembed_rs_spark.operators.fast_text import text_stat_counts_fast
+
+    docs = t(spark, sf_dir, "documents")
+    # one kernel pass: quality counts AND the dedup fingerprint
+    counts = text_stat_counts_fast(
+        docs, "doc_id", "text", keep_cols=("lang", "text"), with_fingerprint=True
+    )
+    scored = counts.select(
+        "doc_id", "lang", "text", "fingerprint",
+        F.round(TS.quality_score_from_counts(), 6).alias("q"),
+    )
+    q_ok = scored.filter(F.col("q") >= 0.5).localCheckpoint()
+
+    wfp = Window.partitionBy("fingerprint")
+    exact_keep = (
+        q_ok
+        .withColumn("canon", F.min("doc_id").over(wfp))
+        .filter(F.col("doc_id") == F.col("canon"))
+        .select("doc_id", "lang", "text")
+        .localCheckpoint()  # feeds the pair join twice + the CC edge set
+    )
+    pairs = ngram_jaccard_pairs(exact_keep, "doc_id", "text", n=3, threshold=0.5)
+    # small-graph tier: the near-dup pair set post-filtering is tiny, so
+    # driver union-find beats several fixed-overhead distributed rounds
+    # (neardup_components keeps the distributed loop as the scale-path demo)
+    drops = connected_components(
+        pairs.select("id_a", "id_b"), collect_threshold=1_000_000
+    ).filter(
+        F.col("node") != F.col("comp")
+    ).select(F.col("node").alias("doc_id"), F.lit(1).alias("__dropped"))
+
+    # funnel as per-row flags -> ONE aggregation per side of the final join
+    flags = (
+        exact_keep.join(drops, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.when(F.col("__dropped").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_final"),
+        )
+    )
+    qcounts = q_ok.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_quality")
+    )
+    raw = docs.groupBy("lang").agg(F.count("*").cast("long").alias("n_raw"))
+    return (
+        raw.join(qcounts, "lang", "left")
+        .join(flags, "lang", "left")
+        .select(
+            "lang", "n_raw",
+            F.coalesce("n_quality", F.lit(0).cast("long")).alias("n_quality"),
+            F.coalesce("n_exact", F.lit(0).cast("long")).alias("n_exact"),
+            F.coalesce("n_final", F.lit(0).cast("long")).alias("n_final"),
+        )
+    )
 
 
 def _fill_sketch_oracles() -> None:

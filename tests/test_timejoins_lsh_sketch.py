@@ -455,3 +455,18 @@ def test_pairwise_cosine_fast_matches_expression(spark):
         for r in pairwise_cosine_fast(df, "vec_id", "embedding", t32).collect()
     }
     assert expr == fast  # exact equality, not approx
+
+
+def test_connected_components_collect_tier_matches_distributed(spark):
+    from fastembed_rs_spark.operators.components import connected_components
+
+    rng = random.Random(61)
+    edges = [(rng.randrange(150), rng.randrange(150)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    dist = {r.node: r.comp for r in connected_components(df).collect()}
+    fast = {
+        r.node: r.comp
+        for r in connected_components(df, collect_threshold=10**6).collect()
+    }
+    assert dist == fast
