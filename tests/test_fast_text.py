@@ -82,3 +82,61 @@ def test_exact_dedup_fast_matches_expression(spark, docs):
     slow = D.exact_dedup(docs, "doc_id", "text")
     fast = FT.exact_dedup_fast(docs, "doc_id", "text")
     assert _rows(fast) == _rows(slow)
+
+
+def test_text_stat_counts_fast_matches_expression_paths(spark):
+    """Kernel counts == the interpreted expression metrics (and the
+    fingerprint column == doc_fingerprint) on mixed-content docs."""
+    from pyspark.sql import functions as F
+
+    from fastembed_rs_spark.functions.text import doc_fingerprint
+    from fastembed_rs_spark.operators import textstats as TS
+    from fastembed_rs_spark.operators.fast_text import text_stat_counts_fast
+
+    rows = [
+        (0, "The quick brown fox and the lazy dog!!"),
+        (1, "le chat et le chien, c'est la vie"),
+        (2, ""),
+        (3, "!!! ??? ..."),
+        (4, "der und die das in den von zu mit ein"),
+        (5, "x" * 300),
+        (6, "El perro y el gato en la casa 123"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kernel = {
+        r.doc_id: r
+        for r in text_stat_counts_fast(
+            docs, "doc_id", "text", with_fingerprint=True
+        ).collect()
+    }
+    expr = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            TS.token_count("text").alias("n_tokens"),
+            F.round(TS.avg_token_len("text"), 6).alias("atl"),
+            F.round(TS.stopword_ratio("text"), 6).alias("swr"),
+            F.round(TS.punct_ratio("text"), 6).alias("pr"),
+            F.round(TS.quality_score("text"), 6).alias("q"),
+            TS.predicted_lang("text").alias("lang"),
+            doc_fingerprint("text").alias("fp"),
+            TS.stopword_hits("text", "en").alias("hits_en"),
+        ).collect()
+    }
+    from_counts = {
+        r.doc_id: r
+        for r in text_stat_counts_fast(docs, "doc_id", "text").select(
+            "doc_id",
+            F.round(TS.avg_token_len_from_counts(), 6).alias("atl"),
+            F.round(TS.stopword_ratio_from_counts(), 6).alias("swr"),
+            F.round(TS.punct_ratio_from_counts(), 6).alias("pr"),
+            F.round(TS.quality_score_from_counts(), 6).alias("q"),
+            TS.predicted_lang_from_counts().alias("lang"),
+        ).collect()
+    }
+    for i, _ in rows:
+        assert kernel[i].n_tokens == expr[i].n_tokens, i
+        assert kernel[i].hits_en == expr[i].hits_en, i
+        assert kernel[i].fingerprint == expr[i].fp, i
+        for f in ("atl", "swr", "pr", "q", "lang"):
+            assert getattr(from_counts[i], f) == getattr(expr[i], f), (i, f)
