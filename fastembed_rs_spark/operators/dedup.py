@@ -189,6 +189,7 @@ def word_ngrams(text: Column | str, n: int = 3) -> Column:
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3,
     threshold: float = 0.1, round_to: int = 6,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Word-n-gram Jaccard ≥ threshold pairs: (id_a, id_b, jaccard).
 
@@ -201,9 +202,13 @@ def ngram_jaccard_pairs(
     are near-unique outside true near-dups, so that sum stays ~linear.
 
     At corpus scale the residual risk is a hot gram (boilerplate) fanning
-    out d² join rows; the standard mitigation is a document-frequency cap
-    on postings (drops only pairs whose overlap is exclusively boilerplate)
-    plus AQE skew-join for the rest.
+    out d² join rows; ``max_df`` is the standard mitigation — postings of
+    grams appearing in more than that many docs are dropped (the hot set
+    itself is tiny, so it broadcasts as an anti-join). Capped grams no
+    longer count toward intersections (set sizes stay full), so scores
+    UNDERestimate for boilerplate-heavy pairs — a pair is lost only when
+    its above-threshold overlap relied on grams shared by > max_df docs.
+    Exact (None) by default; the curation-scale knob is opt-in.
 
     threshold ≤ 0 must keep zero-overlap pairs and falls back to the
     all-pairs cross join."""
@@ -214,6 +219,14 @@ def ngram_jaccard_pairs(
     # postings via the Python kernel — string-exact, skips the interpreted
     # transform/array_distinct/explode chain (measured ~2x on the stage)
     sized = word_ngram_postings_fast(df, id_col, text_col, n)
+    if max_df is not None:
+        hot = (
+            sized.groupBy("__g")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("__g")
+        )
+        sized = sized.join(F.broadcast(hot), "__g", "left_anti")
     a = sized.select(
         F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__g"
     )

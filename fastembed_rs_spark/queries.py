@@ -1084,8 +1084,8 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastembed_rs_spark.operators.topk import train_ivf_centroids
 
     emb = t(spark, sf_dir, "embeddings")
-    centroids = train_ivf_centroids(emb, k=8, iters=3)
-    bucketed = assign_ivf_buckets(emb, centroids)
+    centroids = train_ivf_centroids(emb, k=8, iters=3).localCheckpoint()
+    bucketed = assign_ivf_buckets_fast(emb, centroids)
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

@@ -470,3 +470,39 @@ def test_connected_components_collect_tier_matches_distributed(spark):
         for r in connected_components(df, collect_threshold=10**6).collect()
     }
     assert dist == fast
+
+
+def test_ngram_max_df_cap(spark):
+    from fastembed_rs_spark.operators.dedup import ngram_jaccard_pairs
+
+    # two true near-dups sharing rare grams + boilerplate shared by all
+    boiler = "terms of service apply to this document"
+    rows = [
+        (0, boiler + " alpha beta gamma delta epsilon zeta"),
+        (1, boiler + " alpha beta gamma delta epsilon eta"),
+        (2, boiler + " one two three four five six"),
+        (3, boiler + " seven eight nine ten eleven twelve"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.2).collect()
+    }
+    huge_cap = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.2, max_df=100
+        ).collect()
+    }
+    assert huge_cap == uncapped  # cap above every df: identical
+    capped = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.2, max_df=2
+        ).collect()
+    }
+    # boilerplate grams (df=4) no longer create pairs; the true near-dup
+    # pair (0,1) still survives on its rare shared grams
+    assert capped <= uncapped
+    assert (0, 1) in capped
+    assert (2, 3) not in capped
