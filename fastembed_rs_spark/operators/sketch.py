@@ -82,29 +82,28 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1 + 1.079 / m)
 
 
-def hll_sketch(hashes: DataFrame, hash_col: str, p: int = 9) -> DataFrame:
-    """HLL-style distinct estimate over uniform hashes in [0, HASH_MOD).
-
-    bucket = h mod m; rho = (#leading zero bits of w = h div m, within its
-    W-bit budget) + 1. Registers are max(rho) per bucket; empty buckets
-    count as rho=0. Returns one row (hll_m, hll_est) with the standard
-    small-range linear-counting correction.
-    """
+def hll_bucket_cols(hash_col: str, p: int = 9) -> tuple[Column, Column]:
+    """(bucket, rho) columns from a uniform-hash column — the map-side of
+    the register aggregation; compose with any extra grouping keys
+    (e.g. a time window for the streaming form)."""
     m = 1 << p
     w_bits = (HASH_MOD // m).bit_length()
     h = F.col(hash_col)
-    regs = (
-        hashes.select(
-            (h % m).alias("bucket"),
-            F.shiftright(h.cast("long"), p).alias("w"),  # h div 2^p, exact int
-        )
-        .groupBy("bucket")
-        .agg(F.max(w_bits - _bitlen(F.col("w")) + 1).alias("rho"))
-    )
+    w = F.shiftright(h.cast("long"), p)  # h div 2^p, exact int
+    return (h % m).alias("bucket"), (w_bits - _bitlen(w) + 1).alias("rho")
+
+
+def hll_finalize(regs: DataFrame, keys: list[str], p: int = 9) -> DataFrame:
+    """Finalize (keys..., bucket, rho) max-registers into per-key
+    estimates (keys..., hll_m, hll_est). Register merge is max() — so
+    registers union across datasets/micro-batches for free; this is the
+    reduce side shared by the batch sketch and the streaming window form.
+    """
+    m = 1 << p
     agg = regs.withColumn(
         # exact power-of-two term; SQL shiftleft takes column bit counts
         "term", F.expr(f"shiftleft(cast(1 as bigint), {SHIFT} - rho)")
-    ).agg(
+    ).groupBy(*keys).agg(
         F.count("*").alias("present"),
         F.sum("term").alias("s_present"),
     )
@@ -117,7 +116,24 @@ def hll_sketch(hashes: DataFrame, hash_col: str, p: int = 9) -> DataFrame:
     est = F.when(
         (raw <= 2.5 * m) & (zeros > 0), m * F.log(F.lit(float(m)) / zeros)
     ).otherwise(raw)
-    return agg.select(F.lit(m).alias("hll_m"), F.round(est, 4).alias("hll_est"))
+    return agg.select(
+        *keys, F.lit(m).alias("hll_m"), F.round(est, 4).alias("hll_est")
+    )
+
+
+def hll_sketch(hashes: DataFrame, hash_col: str, p: int = 9) -> DataFrame:
+    """HLL-style distinct estimate over uniform hashes in [0, HASH_MOD).
+
+    bucket = h mod m; rho = (#leading zero bits of w = h div m, within its
+    W-bit budget) + 1. Registers are max(rho) per bucket; empty buckets
+    count as rho=0. Returns one row (hll_m, hll_est) with the standard
+    small-range linear-counting correction.
+    """
+    bucket, rho = hll_bucket_cols(hash_col, p)
+    regs = hashes.select(bucket, rho).groupBy("bucket").agg(
+        F.max("rho").alias("rho")
+    )
+    return hll_finalize(regs, keys=[], p=p)
 
 
 def duck_hll(hash_expr_rows: str, p: int = 9) -> str:

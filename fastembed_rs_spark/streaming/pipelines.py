@@ -148,3 +148,37 @@ def sessionize_stream(
             "n_events",
         )
     )
+
+
+def windowed_hll_registers(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    p: int = 9,
+) -> DataFrame:
+    """Streaming distinct-count sketch: HLL registers per tumbling window —
+    (window, bucket, rho) with rho = max over the window's events.
+
+    The register merge is max(), which is exactly what a streaming
+    aggregation maintains incrementally: state is at most 2^p rows per
+    open window regardless of event volume, evicted at the watermark.
+    Finalize with ``operators.sketch.hll_finalize(regs, ["w"], p)`` —
+    batch-stream equivalence is pinned by test. Keys hash through the
+    canonical rolling hash, so the registers (and the finalized estimate)
+    are bit-identical to the batch ``hll_sketch`` over the same rows.
+    """
+    from fastembed_rs_spark.functions.text import token_hash
+    from fastembed_rs_spark.operators.sketch import hll_bucket_cols
+
+    hashed = events.withColumn(
+        "__h", token_hash(F.col(key_col).cast("string"))
+    )
+    bucket, rho = hll_bucket_cols("__h", p)
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), bucket, rho)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("bucket"))
+        .agg(F.max("rho").alias("rho"))
+    )

@@ -257,3 +257,48 @@ def test_asof_stream_state_carries_across_batches(spark, stream_dir):
         q.stop()
     assert len(rows) == 1
     assert rows[0].matched_event_id == 1 and rows[0].matched_ts == 100
+
+
+def test_windowed_hll_stream_matches_batch_sketch(spark, stream_dir):
+    """Streamed per-window registers, finalized, == batch hll_sketch run
+    window-by-window over the same rows (bit-identical estimates)."""
+    import random
+
+    from fastembed_rs_spark.functions.text import token_hash
+    from fastembed_rs_spark.operators.sketch import hll_finalize, hll_sketch
+    from fastembed_rs_spark.streaming.pipelines import windowed_hll_registers
+
+    rng = random.Random(71)
+    base = 1704067200  # 2024-01-01 00:00 UTC
+    rows = [
+        (i, rng.randrange(400), base + rng.randrange(4 * 3600))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_s long") \
+        .select("event_id", "user_id", F.to_timestamp(F.col("ts_s").cast("timestamp")).alias("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(stream_dir + "/hll")
+
+    src = spark.readStream.schema(df.schema).parquet(stream_dir + "/hll")
+    regs = windowed_hll_registers(src, key_col="user_id", window="1 hour", p=9)
+    q = (
+        regs.writeStream.format("memory").queryName("hll_regs")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    streamed = hll_finalize(
+        spark.sql("select w.start as ws, bucket, rho from hll_regs")
+        .withColumnRenamed("ws", "w"),
+        keys=["w"], p=9,
+    ).collect()
+    got = {r.w: r.hll_est for r in streamed}
+
+    batch = df.withColumn("__h", token_hash(F.col("user_id").cast("string")))
+    for w_start, est in got.items():
+        import datetime
+
+        w_end = w_start + datetime.timedelta(hours=1)
+        rows_in = batch.filter((F.col("ts") >= w_start) & (F.col("ts") < w_end))
+        expected = hll_sketch(rows_in.select("__h"), "__h", p=9).collect()[0].hll_est
+        assert est == expected, w_start
+    assert len(got) == 4
