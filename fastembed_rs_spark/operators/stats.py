@@ -73,8 +73,10 @@ def heavy_hitter_tokens(
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("n"))
     )
+    # distributed top-k (TakeOrderedAndProject: per-partition heads merged
+    # on the driver) — a global row_number window would funnel the whole
+    # vocabulary through one task's sort. The rank window then runs on k
+    # rows only.
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return top.withColumn("rank", F.row_number().over(w))

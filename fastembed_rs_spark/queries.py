@@ -971,10 +971,13 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+    # distributed global top-10 (TakeOrderedAndProject), then rank the 10
+    # survivors — a bare global row_number window would single-task the
+    # whole aggregated order set (no WindowGroupLimit in the executed plan)
+    top = rev.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
     w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
     return (
-        rev.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("l_orderkey", "revenue", "orderdate_epoch", "rank")
     )
 
