@@ -92,18 +92,24 @@ def main() -> int:
     # throughput a long-lived cluster session sees. Declared in the JSON.
     RUNS = 2
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         spec = catalog[name]
         best = float("inf")
-        for r in range(RUNS):
-            t0 = time.time()
-            spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
+        try:
+            for r in range(RUNS):
+                t0 = time.time()
+                spec.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                best = min(best, time.time() - t0)
+        except Exception as e:  # one bad query must not zero the whole bench
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "catalog_total",
         "value": total,
         "unit": "sec",
@@ -111,7 +117,10 @@ def main() -> int:
         "runs_per_query": RUNS,
         "agg": "min",
         "sf": sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
     return 0
 

@@ -50,9 +50,24 @@ EMB_DIM = 64
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS); read as long epoch-nanos
-        # (runtime-settable, so it also covers driver-provided sessions)
+        # events.parquet carries a physical timestamp whose unit has varied
+        # across testdata generations (TIMESTAMP(NANOS) → read as long via
+        # legacy.parquet.nanosAsLong; TIMESTAMP(MICROS) → read as
+        # timestamp_ntz/timestamp). Normalize to ONE engine-internal shape:
+        # `ts` as epoch-nanoseconds bigint, so every downstream window /
+        # sessionize / as-of computation is exact int64 arithmetic that
+        # hash-matches DuckDB's epoch_ns()/epoch_us() regardless of zone.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        dt = dict(df.dtypes).get("ts", "")
+        if dt != "bigint":
+            # naive timestamps are UTC by convention (matches DuckDB epoch_*)
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn(
+                "ts",
+                (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long"),
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -36,10 +36,13 @@ def get_spark(app_name: str = "fastembed-rs-spark", cpus: int | None = None) -> 
         # Embedding UDFs keep a model session per Python worker; reuse is
         # what makes the per-executor singleton pattern work.
         .config("spark.python.worker.reuse", "true")
-        # testdata events.parquet carries TIMESTAMP(NANOS) which Spark's
-        # vectorized reader rejects; read as long (epoch nanos) and do exact
-        # integer time math engine-side.
+        # events.parquet timestamps: unit varies across testdata generations.
+        # NANOS parquet is read as long epoch-nanos (legacy flag); MICROS is
+        # read as timestamp and normalized to epoch-nanos in queries.t().
+        # Session tz pinned to UTC so naive-timestamp → epoch conversion is
+        # zone-independent (matches DuckDB epoch_us/epoch_ns semantics).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
