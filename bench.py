@@ -57,6 +57,15 @@ HEADLINE = [
     "small_quantity_revenue",
     "large_order_customers",
     "corpus_curation",
+    "binary_quant_topk",
+    "int8_quant_topk",
+    "mrl_truncate_topk",
+    "hybrid_rrf_topk",
+    "events_props_json",
+    "revenue_rollup",
+    "customers_without_orders",
+    "user_rolling_value",
+    "value_percentiles",
 ]
 
 

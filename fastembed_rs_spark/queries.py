@@ -1832,6 +1832,329 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# 9. Quantized / truncated vector search + hybrid fusion (round 2)
+# ===========================================================================
+
+def _dk_pack_bits(vec: str, lo: int, hi: int) -> str:
+    """DuckDB mirror of operators.quantize.pack_sign_bits for dims lo..hi-1
+    (0-based) into one BIGINT word."""
+    return (
+        f"CAST(list_sum(list_transform(generate_series({lo + 1}, {hi}), "
+        f"i -> CASE WHEN {vec}[i] >= 0 THEN (CAST(1 AS BIGINT) << (i - {lo + 1})) "
+        f"ELSE 0 END)) AS BIGINT)"
+    )
+
+
+@q(
+    "binary_quant_topk",
+    f"""
+WITH packed AS (
+  SELECT vec_id, embedding,
+         {_dk_pack_bits('embedding', 0, 32)} AS b0,
+         {_dk_pack_bits('embedding', 32, 64)} AS b1
+  FROM embeddings
+),
+qv AS (SELECT vec_id AS query_id, embedding AS qe, b0 AS q0, b1 AS q1
+       FROM packed WHERE vec_id < 5),
+scored AS (
+  SELECT qv.query_id, p.vec_id, p.embedding, qv.qe,
+         64 - (bit_count(xor(qv.q0, p.b0)) + bit_count(xor(qv.q1, p.b1))) AS hamming_sim
+  FROM qv CROSS JOIN packed p
+),
+cand AS (
+  SELECT * FROM (
+    SELECT query_id, vec_id, embedding, qe,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming_sim DESC, vec_id ASC) AS hr
+    FROM scored) WHERE hr <= 40
+),
+rescored AS (
+  SELECT query_id, vec_id, round({_dk_cos('qe', 'embedding')}, 6) AS score
+  FROM cand
+)
+SELECT query_id, vec_id, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+FROM rescored
+QUALIFY rank <= 10
+""",
+    "binary-quantization search: sign bits packed into 2 longs (16B/vector), "
+    "Hamming scan via XOR+popcount, 4x-oversampled exact-cosine rescore "
+    "(the 100TB scan path: 16x narrower than f32)",
+)
+def q_binary_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.quantize import binary_hamming_top_k
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return binary_hamming_top_k(
+        qs, emb, k=10, dim=EMB_DIM, rescore_factor=4
+    ).select("query_id", "vec_id", "score", "rank")
+
+
+@q(
+    "int8_quant_topk",
+    """
+WITH s AS (SELECT generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+mm AS (SELECT i, min(v) AS mn, max(v) AS mx FROM s GROUP BY i),
+arrs AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM mm),
+codes AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, 64), i ->
+           least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+             CAST(floor((CAST(embedding[i] AS DOUBLE) - mins[i])
+               / (CASE WHEN maxs[i] = mins[i] THEN 1.0 ELSE maxs[i] - mins[i] END)
+               * 255.0) AS BIGINT)))) AS code
+  FROM embeddings, arrs
+),
+qc AS (SELECT vec_id AS query_id, code AS qcode FROM codes WHERE vec_id < 5),
+dots AS (
+  SELECT qc.query_id, c.vec_id,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+           i -> qc.qcode[i] * c.code[i])) AS BIGINT) AS qdot
+  FROM qc CROSS JOIN codes c
+)
+SELECT query_id, vec_id, qdot,
+       row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id ASC) AS rank
+FROM dots
+QUALIFY rank <= 10
+""",
+    "scalar int8 quantization search: per-dim min/max calibration over the "
+    "corpus, 0..255 codes, integer-dot ranking (exact integer arithmetic — "
+    "4x narrower vectors, no float nondeterminism)",
+)
+def q_int8_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.quantize import int8_quant_top_k
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return int8_quant_top_k(qs, emb, k=10)
+
+
+@q(
+    "mrl_truncate_topk",
+    f"""
+WITH qv AS (SELECT vec_id AS query_id, embedding[1:16] AS qe
+            FROM embeddings WHERE vec_id < 5),
+cv AS (SELECT vec_id, embedding[1:16] AS ce FROM embeddings),
+scored AS (
+  SELECT qv.query_id, cv.vec_id, round({_dk_cos('qv.qe', 'cv.ce')}, 6) AS score
+  FROM qv CROSS JOIN cv
+)
+SELECT query_id, vec_id, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+FROM scored
+QUALIFY rank <= 10
+""",
+    "Matryoshka (MRL) truncation search: cosine over the first 16 of 64 dims "
+    "— the cheap-first stage of a coarse-to-fine funnel (4x less compute/IO)",
+)
+def q_mrl_truncate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.quantize import mrl_truncate
+
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", mrl_truncate("embedding", 16).alias("embedding"))
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        mrl_truncate("embedding", 16).alias("query_vec"),
+    )
+    return cosine_top_k(qs, corpus, k=10, round_to=6, dim=16).select(
+        "query_id", "vec_id", "score", "rank"
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    return f"""
+WITH bm AS ({_bm25_oracle()}),
+sp AS ({_SPARSE_DOT_ORACLE}),
+u AS (
+  SELECT query_id, doc_id, 1.0 / (60 + rank) AS c FROM bm
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60 + rank) AS c FROM sp
+),
+fused AS (
+  SELECT query_id, doc_id, round(SUM(c), 6) AS rrf_score,
+         CAST(COUNT(*) AS BIGINT) AS n_lists
+  FROM u GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf_score, n_lists,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY rrf_score DESC, doc_id ASC) AS rank
+FROM fused
+QUALIFY rank <= 10
+"""
+
+
+@q(
+    "hybrid_rrf_topk",
+    _hybrid_rrf_oracle(),
+    "hybrid retrieval: Reciprocal Rank Fusion (K=60) of BM25 top-10 and "
+    "sparse hash-embedding dot top-10 per query — the standard score-free "
+    "dense+lexical combiner (Cormack et al., SIGIR 2009)",
+)
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.fast_text import splade_like_coords_fast
+    from fastembed_rs_spark.operators.fusion import rrf_fuse
+    from fastembed_rs_spark.operators.lexical import bm25_top_k
+
+    docs = t(spark, sf_dir, "documents")
+    qs = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    bm = bm25_top_k(docs, qs, k=10).select("query_id", "doc_id", "rank")
+
+    coords = splade_like_coords_fast(docs, "doc_id", "text", vocab=30000, round_to=None)
+    qc = coords.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "term_bucket", "value"
+    )
+    dots = EH.sparse_dot_coords(qc, coords, "query_id", "doc_id")
+    wsp = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("doc_id"))
+    sp = (
+        dots.withColumn("rank", F.row_number().over(wsp).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+    )
+    return rrf_fuse([bm, sp], k=10).select(
+        "query_id", "doc_id", "rrf_score", "n_lists", "rank"
+    )
+
+
+# ===========================================================================
+# 10. More relational / events coverage (round 2)
+# ===========================================================================
+
+@q(
+    "events_props_json",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       CAST(MIN(k) AS BIGINT) AS k_min,
+       CAST(MAX(k) AS BIGINT) AS k_max,
+       round(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS k_avg
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+GROUP BY event_type
+""",
+    "semi-structured JSON props column: per-type stats over an extracted "
+    "field (JSON scalar-function coverage; pushdown-friendly projection)",
+)
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    agg = ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("k").cast("long").alias("k_sum"),
+        F.min("k").cast("long").alias("k_min"),
+        F.max("k").cast("long").alias("k_max"),
+    )
+    return agg.select(
+        "event_type", "n", "k_sum", "k_min", "k_max",
+        F.round(F.col("k_sum").cast("double") / F.col("n"), 6).alias("k_avg"),
+    )
+
+
+@q(
+    "revenue_rollup",
+    """
+SELECT r_name, n_name,
+       round(SUM(o_totalprice), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    "hierarchical ROLLUP (region -> nation -> grand total) over order revenue "
+    "— multi-level aggregate coverage (GROUPING SETS family)",
+)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    j = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+
+
+@q(
+    "customers_without_orders",
+    """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+    "anti-join: customers with no high-value (>300k) order (NOT EXISTS / "
+    "left_anti physical coverage; the filter pushes below the join build side)",
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        customer.join(
+            big, customer.c_custkey == big.o_custkey, "left_anti"
+        ).select(
+            "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+        )
+    )
+
+
+@q(
+    "user_rolling_value",
+    """
+SELECT user_id, event_id,
+       round(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS roll_avg,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
+FROM events
+""",
+    "per-user rolling 3-event average + event sequence number (sliding "
+    "window-frame coverage; the batch form of a streaming rolling metric)",
+)
+def q_user_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id",
+        F.round(F.avg("value").over(wo.rowsBetween(-2, 0)), 6).alias("roll_avg"),
+        F.row_number().over(wo).cast("long").alias("seq"),
+    )
+
+
+@q(
+    "value_percentiles",
+    """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""",
+    "exact interpolated percentiles (median / p90) per event type — "
+    "ordered-set aggregate coverage",
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import duck_hll, duck_kmv
 
