@@ -47,14 +47,16 @@ def pack_sign_bits(vec: Column | str, dim: int) -> list[Column]:
     v = F.col(vec) if isinstance(vec, str) else vec
     words = []
     for w in range((dim + WORD_BITS - 1) // WORD_BITS):
+        # flat (bool→long) << i sum: same value as a CASE WHEN chain but a
+        # 3-node term instead of 7, which halves the Catalyst/janino
+        # compile time of the packed expression (the dominant cost of this
+        # operator on small corpora; at index-build scale it amortizes)
         bits = F.lit(0).cast("long")
         for i in range(WORD_BITS):
             d = w * WORD_BITS + i
             if d >= dim:
                 break
-            bits = bits + F.when(
-                F.get(v, d) >= 0, F.shiftleft(F.lit(1).cast("long"), i)
-            ).otherwise(F.lit(0).cast("long"))
+            bits = bits + F.shiftleft((F.get(v, d) >= 0).cast("long"), i)
         words.append(bits)
     return words
 
@@ -127,53 +129,24 @@ def binary_hamming_top_k(
     )
 
 
-def scalar_quant_stats(
-    corpus: DataFrame, vec_col: str = "embedding"
-) -> DataFrame:
-    """Per-dimension (min, max) over the corpus, assembled into two aligned
-    arrays — a one-row DataFrame ``(mins array<double>, maxs array<double>)``.
+def scalar_quantize_codes(vec_col: str) -> Column:
+    """Symmetric int8 codes of an L2-normalized vector:
+    ``floor(x / (‖v‖) * 127)`` per dimension, i.e. codes in −127..127.
 
-    posexplode → groupBy(dim) is a full scan but reduces map-side to
-    2·dim values per partition; the final result is dim rows → one row.
-    This is the calibration pass of scalar quantization (run once,
-    persist alongside the index at real scale)."""
-    stats = (
-        corpus.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("__d", "__x"))
-        .groupBy("__d")
-        .agg(F.min("__x").alias("__mn"), F.max("__x").alias("__mx"))
-    )
-    return stats.groupBy().agg(
-        F.array_sort(F.collect_list(F.struct("__d", "__mn"))).alias("__a"),
-        F.array_sort(F.collect_list(F.struct("__d", "__mx"))).alias("__b"),
-    ).select(
-        F.transform("__a", lambda s: s["__mn"]).alias("mins"),
-        F.transform("__b", lambda s: s["__mx"]).alias("maxs"),
-    )
+    Symmetry matters: a min/max-shifted (asymmetric) code adds a large
+    per-dimension offset, and the integer dot of two offset codes is
+    dominated by code magnitudes rather than direction — its ranking is
+    uncorrelated with cosine. Normalizing first and scaling around zero
+    makes ``Σ code_q·code_c ≈ 127² · cosine(q, c)``, so the integer-dot
+    ranking approximates the cosine ranking with ~1/127 quantization
+    error and needs NO calibration pass at all.
 
-
-def scalar_quantize_codes(
-    vec_col: str, mins: str = "mins", maxs: str = "maxs"
-) -> Column:
-    """uint8 codes: ``clamp(floor((x - min_d) / (max_d - min_d) * 255), 0, 255)``
-    per dimension (degenerate dims with max==min code to 0). All math in
-    DOUBLE then floored to BIGINT — bit-reproducible across engines."""
+    Zero vectors code to all-zero. All math in DOUBLE then floored to
+    BIGINT — bit-reproducible across engines."""
     v = F.col(vec_col).cast("array<double>")
-    return F.transform(
-        v,
-        lambda x, i: F.least(
-            F.lit(255).cast("long"),
-            F.greatest(
-                F.lit(0).cast("long"),
-                F.floor(
-                    (x - F.get(mins, i))
-                    / F.when(
-                        F.get(maxs, i) == F.get(mins, i), F.lit(1.0)
-                    ).otherwise(F.get(maxs, i) - F.get(mins, i))
-                    * F.lit(255.0)
-                ),
-            ),
-        ),
-    )
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    safe = F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm)
+    return F.transform(v, lambda x: F.floor(x / safe * F.lit(127.0)))
 
 
 def int8_dot(a: Column | str, b: Column | str) -> Column:
@@ -196,19 +169,14 @@ def int8_quant_top_k(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Scalar-quantized top-k: calibrate per-dim min/max on the corpus,
-    quantize both sides with the same stats, rank by integer dot.
+    """Scalar-quantized top-k: symmetric int8 codes of the L2-normalized
+    vectors on both sides, ranked by exact integer dot (≈ 127²·cosine).
 
-    Returns (query_id, id_col, qdot long, rank long). The stats row is a
-    1-row cross join → broadcast into both sides; nothing about the plan
-    changes with corpus size except the calibration scan."""
-    stats = scalar_quant_stats(corpus, vec_col)
-    c = corpus.crossJoin(F.broadcast(stats)).select(
-        id_col, scalar_quantize_codes(vec_col).alias("__ccode")
-    )
-    q = queries.crossJoin(F.broadcast(stats)).select(
-        query_id, scalar_quantize_codes(query_vec).alias("__qcode")
-    )
+    Returns (query_id, id_col, qdot long, rank long). 4× narrower
+    vectors than f32 and integer arithmetic in the scan; no calibration
+    pass (normalization bounds every component to [−1, 1])."""
+    c = corpus.select(id_col, scalar_quantize_codes(vec_col).alias("__ccode"))
+    q = queries.select(query_id, scalar_quantize_codes(query_vec).alias("__qcode"))
     scored = c.crossJoin(F.broadcast(q)).select(
         query_id, id_col, int8_dot("__qcode", "__ccode").alias("qdot")
     )

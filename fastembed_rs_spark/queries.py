@@ -1896,19 +1896,15 @@ def q_binary_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "int8_quant_topk",
-    """
-WITH s AS (SELECT generate_subscripts(embedding, 1) AS i,
-                  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-mm AS (SELECT i, min(v) AS mn, max(v) AS mx FROM s GROUP BY i),
-arrs AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM mm),
-codes AS (
+    f"""
+WITH codes AS (
   SELECT vec_id,
-         list_transform(generate_series(1, 64), i ->
-           least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
-             CAST(floor((CAST(embedding[i] AS DOUBLE) - mins[i])
-               / (CASE WHEN maxs[i] = mins[i] THEN 1.0 ELSE maxs[i] - mins[i] END)
-               * 255.0) AS BIGINT)))) AS code
-  FROM embeddings, arrs
+         list_transform(embedding, x -> CAST(floor(
+           CAST(x AS DOUBLE)
+           / (CASE WHEN {_dk_norm('embedding')} = 0.0 THEN 1.0
+              ELSE {_dk_norm('embedding')} END)
+           * 127.0) AS BIGINT)) AS code
+  FROM embeddings
 ),
 qc AS (SELECT vec_id AS query_id, code AS qcode FROM codes WHERE vec_id < 5),
 dots AS (
@@ -1922,9 +1918,9 @@ SELECT query_id, vec_id, qdot,
 FROM dots
 QUALIFY rank <= 10
 """,
-    "scalar int8 quantization search: per-dim min/max calibration over the "
-    "corpus, 0..255 codes, integer-dot ranking (exact integer arithmetic — "
-    "4x narrower vectors, no float nondeterminism)",
+    "scalar int8 quantization search: symmetric -127..127 codes of the "
+    "L2-normalized vectors, integer-dot ranking (~127^2 * cosine; exact "
+    "integer arithmetic, 4x narrower vectors, no calibration pass)",
 )
 def q_int8_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastembed_rs_spark.operators.quantize import int8_quant_top_k

@@ -101,9 +101,9 @@ def test_int8_quant_topk_matches_numpy(spark, vec_df):
     got = int8_quant_top_k(qs, df, k=5).collect()
 
     v64 = vecs.astype(np.float64)
-    mn, mx = v64.min(axis=0), v64.max(axis=0)
-    rng_ = np.where(mx == mn, 1.0, mx - mn)
-    codes = np.clip(np.floor((v64 - mn) / rng_ * 255.0), 0, 255).astype(np.int64)
+    norms = np.linalg.norm(v64, axis=1)
+    norms = np.where(norms == 0, 1.0, norms)
+    codes = np.floor(v64 / norms[:, None] * 127.0).astype(np.int64)
     for q in range(3):
         dots = codes @ codes[q]
         order = sorted(range(N), key=lambda i: (-dots[i], i))[:5]

@@ -100,6 +100,33 @@ def main() -> int:
     rows.append(("PQ-ADC m=8 d'=8 (sampled codebooks)",
                  recall(approx, exact), time.time() - t0))
 
+    from fastembed_rs_spark.operators.quantize import (
+        binary_hamming_top_k, int8_quant_top_k,
+    )
+
+    for rf in (None, 2, 4, 8):
+        t0 = time.time()
+        approx = binary_hamming_top_k(
+            qs, emb, k=K, dim=64, rescore_factor=rf
+        ).collect()
+        label = ("binary Hamming (no rescore)" if rf is None
+                 else f"binary Hamming + cosine rescore x{rf}")
+        rows.append((label, recall(approx, exact), time.time() - t0))
+
+    t0 = time.time()
+    approx = int8_quant_top_k(qs, emb, k=K).collect()
+    rows.append(("scalar int8 (symmetric ±127, int dot)",
+                 recall(approx, exact), time.time() - t0))
+
+    from fastembed_rs_spark.operators.quantize import mrl_truncate
+
+    for d in (16, 32):
+        trunc = emb.select("vec_id", mrl_truncate("embedding", d).alias("embedding"))
+        tq = qs.select("query_id", mrl_truncate("query_vec", d).alias("query_vec"))
+        t0 = time.time()
+        approx = cosine_top_k(tq, trunc, k=K, id_col="vec_id", round_to=6, dim=d).collect()
+        rows.append((f"MRL prefix d={d}", recall(approx, exact), time.time() - t0))
+
     lines = [
         "# ANN recall@10 vs brute force",
         "",
@@ -119,7 +146,13 @@ def main() -> int:
         "with trained centroids over sampled ones; LSH recall climbs with",
         "bands at the cost of candidate volume; the PQ path's loss is",
         "quantization distortion, not candidate pruning (it scores ALL",
-        "vectors through an 8x-compressed code). Absolute numbers here are",
+        "vectors through an 8x-compressed code). Binary Hamming scans all",
+        "vectors at 16 B each; rescoring an oversampled candidate set",
+        "recovers most of the sign-quantization loss — recall climbs with",
+        "the oversample factor while the f32 reads stay proportional to",
+        "k x factor, not corpus size. Scalar int8 and MRL-prefix trade far",
+        "less accuracy (8-bit codes / 2-4x fewer dims keep most of the",
+        "geometry). Absolute numbers here are",
         "a WORST CASE: the synthetic embeddings are near-uniform random,",
         "so neighbors are barely closer than non-neighbors and bucketing",
         "has no cluster structure to exploit — real embedding corpora sit",
