@@ -66,6 +66,8 @@ HEADLINE = [
     "customers_without_orders",
     "user_rolling_value",
     "value_percentiles",
+    "brand_buyers_setops",
+    "orders_by_month",
 ]
 
 

@@ -2151,6 +2151,71 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "brand_buyers_setops",
+    """
+WITH a AS (SELECT DISTINCT o_custkey AS ck FROM orders
+           JOIN lineitem ON l_orderkey = o_orderkey
+           JOIN part ON p_partkey = l_partkey WHERE p_brand = 'Brand#11'),
+b AS (SELECT DISTINCT o_custkey AS ck FROM orders
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN part ON p_partkey = l_partkey WHERE p_brand = 'Brand#22')
+SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+       CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+       CAST((SELECT COUNT(*) FROM (SELECT ck FROM a INTERSECT SELECT ck FROM b)) AS BIGINT) AS n_both,
+       CAST((SELECT COUNT(*) FROM (SELECT ck FROM a EXCEPT SELECT ck FROM b)) AS BIGINT) AS n_only_a
+""",
+    "market-basket set ops: customers who bought Brand#11, Brand#22, both "
+    "(INTERSECT) and exclusively the first (EXCEPT) — set-operator coverage",
+)
+def q_brand_buyers_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+
+    def buyers(brand: str) -> DataFrame:
+        return (
+            li.join(F.broadcast(part.filter(F.col("p_brand") == brand)),
+                    li.l_partkey == part.p_partkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(F.col("o_custkey").alias("ck"))
+            .distinct()
+        )
+
+    a, b = buyers("Brand#11"), buyers("Brand#22")
+    # one lazy plan: four scalar aggregates cross-joined into a single row
+    # (no driver-side action; each side is a 1-row broadcast)
+    na = a.agg(F.count("*").cast("long").alias("n_a"))
+    nb = b.agg(F.count("*").cast("long").alias("n_b"))
+    nboth = a.intersect(b).agg(F.count("*").cast("long").alias("n_both"))
+    nonly = a.exceptAll(b).agg(F.count("*").cast("long").alias("n_only_a"))
+    return na.crossJoin(nb).crossJoin(nboth).crossJoin(nonly)
+
+
+@q(
+    "orders_by_month",
+    """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(SUM(o_totalprice), 2) AS revenue,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders GROUP BY month
+""",
+    "monthly order rollup: date_trunc + count distinct per month "
+    "(date-function and distinct-aggregate coverage)",
+)
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        )
+    )
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import duck_hll, duck_kmv
 
