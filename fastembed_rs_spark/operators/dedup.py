@@ -91,6 +91,30 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signature_array(
+    text: Column | str, k_shingle: int = 5,
+    num_hashes: int = len(MINHASH_COEFFS),
+) -> Column:
+    """``array<long>`` minhash signature computed row-locally — the same
+    values as ``minhash_signatures`` (pinned by test) but with NO
+    aggregation, so it can run as a stateless map stage inside a streaming
+    pipeline (a streaming groupBy would be a second stateful operator).
+
+    Documents with no shingles (len < k) yield an all-NULL signature —
+    filter those out before use (the aggregation form emits no row)."""
+    sh = shingle_hashes(text, k_shingle)
+    coeffs = MINHASH_COEFFS[:num_hashes]
+
+    def affine(a: int, b: int):
+        # closure factory: PySpark inspects lambda arity, so default-arg
+        # capture (lambda s, a=a: ...) would read as a 3-arg lambda
+        return lambda s: (s * F.lit(a) + F.lit(b)) % F.lit(HASH_MOD)
+
+    return F.array(*[
+        F.array_min(F.transform(sh, affine(a, b))) for (a, b) in coeffs
+    ])
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str, bands: int = 4, rows_per_band: int = 4,
 ) -> DataFrame:
