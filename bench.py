@@ -68,6 +68,7 @@ HEADLINE = [
     "value_percentiles",
     "brand_buyers_setops",
     "orders_by_month",
+    "tfidf_top_terms",
 ]
 
 

@@ -2216,6 +2216,57 @@ def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "tfidf_top_terms",
+    f"""
+WITH tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({duck_tokens('text')}) AS token FROM documents)
+  GROUP BY doc_id, token
+),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+)
+SELECT doc_id, token, tfidf,
+       row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank
+FROM scored
+QUALIFY rank <= 3
+""",
+    "TF-IDF: corpus document frequencies -> per-document top-3 terms "
+    "(the classic text-analysis keyword extractor; df join is broadcast)",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    tf = tf.localCheckpoint()  # feeds n, df and the final join — scan once
+    n_docs = tf.select(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    df = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "token",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tfidf", "rank")
+    )
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import duck_hll, duck_kmv
 
