@@ -1,4 +1,5 @@
 from fastembed_rs_spark.streaming.neardup_stream import neardup_stream  # noqa: F401
+from fastembed_rs_spark.streaming.topk_stream import topk_stream  # noqa: F401
 from fastembed_rs_spark.streaming.pipelines import (  # noqa: F401
     dedup_stream,
     embed_stream,
