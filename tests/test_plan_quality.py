@@ -1,0 +1,73 @@
+"""Physical-plan pins for the round-2 queries: the properties that make
+these plans survive a 100 TB scale-up are asserted here, so a regression
+(lost broadcast, lost pushdown, a Python eval node sneaking into a JVM
+path) fails CI rather than only showing up as a slow bench.
+
+Plans are inspected pre-execution (cheap); AQE may still improve them at
+runtime, never degrade the asserted properties."""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    from fastembed_rs_spark.queries import all_queries
+
+    return all_queries()
+
+
+def plan_of(spark, catalog, name: str) -> str:
+    df = catalog[name].spark(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_anti_join_is_broadcast_with_pushed_filter(spark, catalog):
+    p = plan_of(spark, catalog, "customers_without_orders")
+    assert "LeftAnti" in p and "BroadcastHashJoin" in p
+    # the >300k filter must reach the orders scan, not run post-join
+    assert "o_totalprice" in p.split("PushedFilters: [", 2)[-1][:200]
+
+
+def test_rollup_broadcasts_dims_and_partially_aggregates(spark, catalog):
+    p = plan_of(spark, catalog, "revenue_rollup")
+    assert p.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert "SortMergeJoin" not in p
+    assert "Expand" in p  # rollup grouping-set expansion
+    # partial (map-side) aggregate before the exchange
+    assert "partial_sum" in p
+
+
+def test_vector_search_paths_stay_jvm_side(spark, catalog):
+    """The quantized/truncated search family must plan as pure JVM
+    expressions — a BatchEvalPython/ArrowEvalPython node would mean a
+    Python worker in the scan hot path."""
+    for name in ("cosine_topk", "mrl_truncate_topk", "int8_quant_topk",
+                 "binary_quant_topk"):
+        p = plan_of(spark, catalog, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+        assert "BroadcastExchange" in p, name  # queries side broadcast
+
+
+def test_orders_by_month_scan_is_pruned(spark, catalog):
+    p = plan_of(spark, catalog, "orders_by_month")
+    scan = p.split("ReadSchema:", 1)[1]
+    assert "o_custkey" in scan and "o_orderdate" in scan and "o_totalprice" in scan
+    assert "o_orderpriority" not in scan and "o_orderstatus" not in scan
+
+
+def test_tfidf_join_is_not_sort_merge(spark, catalog):
+    p = plan_of(spark, catalog, "tfidf_top_terms")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_hybrid_rrf_has_no_corpus_window(spark, catalog):
+    """RRF fuses two ≤10-row-per-query rank lists; the fused window must
+    run on the union of rank lists, never the corpus. Proxy: the final
+    aggregation/window stage input carries the rank-list columns only."""
+    p = plan_of(spark, catalog, "hybrid_rrf_topk")
+    assert "rrf_score" in p and "row_number" in p
