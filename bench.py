@@ -69,6 +69,7 @@ HEADLINE = [
     "brand_buyers_setops",
     "orders_by_month",
     "tfidf_top_terms",
+    "multimodal_probe",
 ]
 
 

@@ -2267,6 +2267,53 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "multimodal_probe",
+    """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'image' ELSE 'audio' END AS kind,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'wav' END AS format,
+       CAST(octet_length(encode(text)) + 4 AS BIGINT) AS n_bytes,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 153 WHEN 1 THEN 343 ELSE NULL END AS INTEGER) AS width,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 932 WHEN 1 THEN 418 ELSE NULL END AS INTEGER) AS height,
+       CAST(CASE doc_id % 3 WHEN 2 THEN (octet_length(encode(text)) + 4) * 8
+            ELSE NULL END AS BIGINT) AS duration_ms,
+       CAST(CASE doc_id % 3 WHEN 2 THEN 16000 ELSE NULL END AS INTEGER) AS sample_rate
+FROM documents
+""",
+    "multimodal typed-metadata probe: synthesize media bytes (PNG/GIF/WAV "
+    "magic + utf-8 payload) as an opaque binary column, run the real "
+    "mapInPandas probe_media operator, verify kind/format routing and the "
+    "deterministic stub metadata against SQL — the decode swap-in point "
+    "stays a stub, the Spark plumbing (binary schema, Arrow batches, "
+    "magic-byte sniff) is the thing under test",
+)
+def q_multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.multimodal import probe_media
+
+    docs = t(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 3 == 0, F.expr("X'89504E47'"))
+        .when(F.col("doc_id") % 3 == 1, F.expr("X'47494638'"))
+        .otherwise(F.expr("X'52494646'"))
+    )
+    media = docs.select(
+        "doc_id",
+        F.concat(magic, F.encode("text", "UTF-8")).alias("content"),
+    )
+    probed = probe_media(media, "content")
+    return probed.select(
+        "doc_id",
+        F.col("media_meta.kind").alias("kind"),
+        F.col("media_meta.format").alias("format"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.duration_ms").alias("duration_ms"),
+        F.col("media_meta.sample_rate").alias("sample_rate"),
+    )
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import duck_hll, duck_kmv
 
