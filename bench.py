@@ -70,6 +70,7 @@ HEADLINE = [
     "orders_by_month",
     "tfidf_top_terms",
     "multimodal_probe",
+    "cms_heavy_estimate",
 ]
 
 

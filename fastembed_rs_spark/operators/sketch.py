@@ -166,3 +166,104 @@ SELECT {m} AS hll_m,
              ELSE {numer} / s_total END, 4) AS hll_est
 FROM tot
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch
+# ---------------------------------------------------------------------------
+
+#: CMS row hash coefficients — the first 4 minhash affine pairs (same fixed
+#: constants shared verbatim with the DuckDB oracle; see operators/dedup.py)
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_coeffs(d: int) -> list[tuple[int, int]]:
+    from fastembed_rs_spark.operators.dedup import MINHASH_COEFFS
+
+    return MINHASH_COEFFS[:d]
+
+
+def cms_counters(
+    hashes: DataFrame, hash_col: str, d: int = CMS_DEPTH, w: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-Min Sketch counter table (depth, bucket, cnt) over uniform
+    hashes: bucket_i = ((h·a_i + b_i) mod P) mod w.
+
+    One explode (d rows per input) + one groupBy — map-side combined down
+    to ≤ d·w rows per partition, so the shuffle is sketch-sized, not
+    data-sized. All integer math: both engines build bit-identical
+    counters."""
+    db = F.explode(F.array(*[
+        F.struct(
+            F.lit(i).cast("int").alias("depth"),
+            (((F.col(hash_col) * F.lit(a) + F.lit(b)) % F.lit(HASH_MOD))
+             % F.lit(w)).alias("bucket"),
+        )
+        for i, (a, b) in enumerate(_cms_coeffs(d))
+    ]))
+    return (
+        hashes.select(db.alias("db"))
+        .select("db.depth", "db.bucket")
+        .groupBy("depth", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    items: DataFrame, counters: DataFrame, hash_col: str,
+    d: int = CMS_DEPTH, w: int = CMS_WIDTH,
+) -> DataFrame:
+    """CMS point estimate for each item row: min over depths of the item's
+    counter. Guaranteed ≥ the true count (CMS never underestimates);
+    expected overestimate ≤ e·N/w with probability 1−e^−d."""
+    probes = items.select(
+        "*",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).cast("int").alias("depth"),
+                (((F.col(hash_col) * F.lit(a) + F.lit(b)) % F.lit(HASH_MOD))
+                 % F.lit(w)).alias("bucket"),
+            )
+            for i, (a, b) in enumerate(_cms_coeffs(d))
+        ])).alias("db"),
+    ).select("*", "db.depth", "db.bucket").drop("db")
+    keys = [c for c in items.columns]
+    return (
+        probes.join(F.broadcast(counters), ["depth", "bucket"])
+        .groupBy(*keys)
+        .agg(F.min("cnt").alias("cms_n"))
+    )
+
+
+def duck_cms(
+    toks_rows: str, d: int = CMS_DEPTH, w: int = CMS_WIDTH, k: int = 20,
+) -> str:
+    """DuckDB mirror: ``toks_rows`` must select (token, h). Returns the
+    exact top-k tokens with true and CMS-estimated counts."""
+    coeffs = _cms_coeffs(d)
+    counter_parts = " UNION ALL ".join(
+        f"SELECT {i} AS depth, ((h * {a} + {b}) % {HASH_MOD}) % {w} AS bucket, "
+        f"CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 2"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    lookup_parts = " UNION ALL ".join(
+        f"SELECT token, true_n, rank, {i} AS depth, "
+        f"((h * {a} + {b}) % {HASH_MOD}) % {w} AS bucket FROM topk"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    return f"""
+WITH toks AS ({toks_rows}),
+counters AS ({counter_parts}),
+exact AS (SELECT token, h, CAST(count(*) AS BIGINT) AS true_n
+          FROM toks GROUP BY token, h),
+topk AS (
+  SELECT token, h, true_n,
+         row_number() OVER (ORDER BY true_n DESC, token ASC) AS rank
+  FROM exact QUALIFY rank <= {k}
+),
+lookups AS ({lookup_parts})
+SELECT l.token, l.true_n, CAST(MIN(c.cnt) AS BIGINT) AS cms_n, l.rank
+FROM lookups l JOIN counters c ON l.depth = c.depth AND l.bucket = c.bucket
+GROUP BY l.token, l.true_n, l.rank
+"""

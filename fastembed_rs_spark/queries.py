@@ -2314,9 +2314,47 @@ def q_multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fill_sketch_oracles() -> None:
-    from fastembed_rs_spark.operators.sketch import duck_hll, duck_kmv
+@q(
+    "cms_heavy_estimate",
+    None,  # filled below (needs operator import at module load)
+    "Count-Min Sketch: d=4 x w=1024 integer counter table over all tokens, "
+    "point estimates for the exact top-20 tokens (cms_n >= true_n always; "
+    "the sketch shuffle is O(d*w), not O(distinct tokens))",
+)
+def q_cms_heavy_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import token_hash, tokens
+    from fastembed_rs_spark.operators.sketch import cms_counters, cms_estimate
 
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("token")).select(
+        "token", token_hash("token").alias("h")
+    )
+    toks = toks.localCheckpoint()  # feeds counters AND the exact top-k
+    counters = cms_counters(toks, "h")
+    exact = toks.groupBy("token", "h").agg(
+        F.count("*").cast("long").alias("true_n")
+    )
+    w = Window.orderBy(F.desc("true_n"), F.asc("token"))
+    topk = (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+    )
+    est = cms_estimate(topk, counters, "h")
+    return est.select("token", "true_n", "cms_n", "rank")
+
+
+def _fill_sketch_oracles() -> None:
+    from fastembed_rs_spark.operators.sketch import duck_cms, duck_hll, duck_kmv
+
+    _CMS_TOKS = (
+        "SELECT token, " + duck_token_hash("token") + " AS h FROM "
+        "(SELECT unnest(" + duck_tokens("text") + ") AS token FROM documents)"
+    )
+    QUERIES["cms_heavy_estimate"] = QuerySpec(
+        spark=QUERIES["cms_heavy_estimate"].spark,
+        oracle=duck_cms(_CMS_TOKS, k=20),
+        description=QUERIES["cms_heavy_estimate"].description,
+    )
     QUERIES["kmv_distinct"] = QuerySpec(
         spark=QUERIES["kmv_distinct"].spark,
         oracle=duck_kmv(_TOKEN_HASH_ROWS, k=256),

@@ -74,3 +74,29 @@ def test_hash_sample_salt_draws_independent_sample(spark):
     assert a != b
     # overlap ~ 10% of each sample, far below identity
     assert len(a & b) < len(a) * 0.5
+
+
+def test_cms_never_underestimates_and_is_exact_for_unique_buckets(spark):
+    """CMS point estimates must be >= true counts (the sketch's one-sided
+    error guarantee); with w >> distinct items, collisions are rare and
+    most estimates are exact."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from fastembed_rs_spark.functions.text import token_hash
+    from fastembed_rs_spark.operators.sketch import cms_counters, cms_estimate
+
+    words = ["alpha", "beta", "gamma", "delta"] * 25 + ["rare", "once"]
+    df = spark.createDataFrame([(w,) for w in words], "token string")
+    toks = df.select("token", token_hash("token").alias("h"))
+    counters = cms_counters(toks, "h")
+    items = toks.groupBy("token", "h").agg(F.count("*").cast("long").alias("true_n"))
+    est = {r["token"]: (r["true_n"], r["cms_n"])
+           for r in cms_estimate(items, counters, "h").collect()}
+    truth = Counter(words)
+    for tok, (true_n, cms_n) in est.items():
+        assert true_n == truth[tok]
+        assert cms_n >= true_n
+    # sanity: the heavy tokens' estimates equal truth here (w=1024 >> 6 keys)
+    assert est["alpha"][1] == 25 and est["once"][1] >= 1
