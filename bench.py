@@ -71,6 +71,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "multimodal_probe",
     "cms_heavy_estimate",
+    "stratified_sample",
+    "value_quartiles",
 ]
 
 

@@ -2343,6 +2343,72 @@ def q_cms_heavy_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.select("token", "true_n", "cms_n", "rank")
 
 
+@q(
+    "stratified_sample",
+    f"""
+SELECT lang, doc_id, rank FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {duck_token_hash("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC
+         ) AS rank
+  FROM documents
+) WHERE rank <= 5
+""",
+    "stratified sampling: 5 docs per language by smallest seeded hash — "
+    "per-stratum deterministic sample, reproducible across engines/runs "
+    "(the grouped form of the flat hash sample)",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import token_hash
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        token_hash(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "doc_id", "rank")
+    )
+
+
+@q(
+    "value_quartiles",
+    """
+SELECT event_type, quartile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(MIN(value), 6) AS lo,
+       round(MAX(value), 6) AS hi
+FROM (
+  SELECT event_type, value,
+         CAST(ntile(4) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS BIGINT) AS quartile
+  FROM events
+)
+GROUP BY event_type, quartile
+""",
+    "ntile quartile bucketing of event values per type with per-bucket "
+    "ranges (rank-window family coverage; tie-broken on event_id so the "
+    "bucketing is engine-reproducible)",
+)
+def q_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_type", "value",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import duck_cms, duck_hll, duck_kmv
 
