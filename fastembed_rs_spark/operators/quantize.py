@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from fastembed_rs_spark.functions.vector import cosine_similarity_fixed
+from fastembed_rs_spark.functions.vector import cosine_similarity
 from fastembed_rs_spark.operators.topk import _ranked_topk
 
 #: bits packed per BIGINT word (kept at 32 so 1<<i never touches the sign
@@ -118,8 +118,14 @@ def binary_hamming_top_k(
     cands = _ranked_topk(scored, query_id, id_col, n_cand, score_col="hamming_sim")
     if rescore_factor is None:
         return cands.select(query_id, id_col, "hamming_sim", "rank")
+    # interpreted (lambda-fold) cosine, deliberately NOT the unrolled
+    # fixed-dim chain: the rescore touches only k·factor rows per query,
+    # where the ~10·dim-node codegen chain costs far more to compile than
+    # interpreted evaluation costs to run — the inverse of the corpus-scan
+    # tradeoff. Fold order matches the fixed chain, so scores are
+    # bit-identical (functions/vector.py).
     rescored = cands.drop("rank").withColumn(
-        "score", F.round(cosine_similarity_fixed(query_vec, vec_col, dim), round_to)
+        "score", F.round(cosine_similarity(query_vec, vec_col), round_to)
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(id_col))
     return (
