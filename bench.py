@@ -73,6 +73,8 @@ HEADLINE = [
     "cms_heavy_estimate",
     "stratified_sample",
     "value_quartiles",
+    "clean_text",
+    "user_journey",
 ]
 
 

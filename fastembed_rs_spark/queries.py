@@ -2409,6 +2409,65 @@ def q_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "clean_text",
+    """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^ -~]', '', 'g'),
+                           ' +', ' ', 'g')) AS cleaned,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^ -~]', '', 'g'),
+                                       ' +', ' ', 'g'))) AS BIGINT) AS n_chars,
+       CAST(length(text) AS BIGINT) AS n_chars_raw
+FROM documents
+""",
+    "text normalization for training corpora: lowercase, strip non-printable-"
+    "ASCII, collapse runs of spaces, trim — pure string-function coverage "
+    "(full cleaned strings are hash-compared, not just lengths)",
+)
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^ -~]", ""), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        F.length(cleaned).cast("long").alias("n_chars"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+    )
+
+
+@q(
+    "user_journey",
+    """
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_event,
+       last_value(event_type) OVER w AS last_event,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    "per-user journey endpoints: first/last event type over the full "
+    "ordered history (first_value/last_value window-frame coverage)",
+)
+def q_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_event"),
+        F.last("event_type").over(w).alias("last_event"),
+        F.count("*").over(w).cast("long").alias("n_events"),
+    ).distinct()
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import duck_cms, duck_hll, duck_kmv
 
