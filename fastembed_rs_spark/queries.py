@@ -2334,11 +2334,12 @@ def q_cms_heavy_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = toks.groupBy("token", "h").agg(
         F.count("*").cast("long").alias("true_n")
     )
+    # distributed top-k (TakeOrderedAndProject), then rank only the k rows —
+    # same shape as heavy_hitter_tokens; a global row_number window here
+    # would sort the whole vocabulary in one task
+    top = exact.orderBy(F.desc("true_n"), F.asc("token")).limit(20)
     w = Window.orderBy(F.desc("true_n"), F.asc("token"))
-    topk = (
-        exact.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-    )
+    topk = top.withColumn("rank", F.row_number().over(w).cast("long"))
     est = cms_estimate(topk, counters, "h")
     return est.select("token", "true_n", "cms_n", "rank")
 
