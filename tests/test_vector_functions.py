@@ -72,3 +72,39 @@ def test_l2_normalize_unit_norm(spark):
     df = spark.createDataFrame([([3.0, 4.0],)], ["v"])
     out = df.select(l2_normalize("v")).collect()[0][0]
     assert out == pytest.approx([0.6, 0.8], rel=1e-9)
+
+
+def test_nan_score_ranks_first_like_total_cmp(spark):
+    """SURVEY §2.4 semantics corner: the reference's top_k sorts with
+    f32::total_cmp, which places NaN above +inf — a NaN score ranks FIRST
+    in descending order (src/similarity.rs:37-39). Spark SQL happens to
+    agree (NaN is greater than any double in its ordering), so the engine
+    matches the reference here BY CONSTRUCTION, not by accident — this
+    test pins that.
+
+    A NaN cosine can only arise from non-finite inputs (the zero-norm
+    guard returns 0.0, never NaN): we inject an inf component."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fastembed_rs_spark.operators.topk import cosine_top_k
+
+    inf = float("inf")
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),        # exact match, score 1.0
+            (1, [inf, 0.0]),        # inf/inf -> NaN score
+            (2, [0.0, 1.0]),        # orthogonal, score 0.0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    qs = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "query_id long, query_vec array<float>"
+    )
+    got = sorted(
+        cosine_top_k(qs, corpus, k=3).collect(), key=lambda r: r["rank"]
+    )
+    assert got[0]["vec_id"] == 1 and math.isnan(got[0]["score"])
+    assert got[1]["vec_id"] == 0 and got[1]["score"] == 1.0
+    assert got[2]["vec_id"] == 2
