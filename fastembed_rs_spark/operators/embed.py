@@ -113,6 +113,57 @@ def _run(session, feeds: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return dict(zip([o.name for o in session.get_outputs()], out))
 
 
+def session_input_names(session) -> list[str] | None:
+    """Declared input names of an ONNX session, or None when the session
+    doesn't expose ``get_inputs`` (the NumPy stubs)."""
+    get = getattr(session, "get_inputs", None)
+    if get is None:
+        return None
+    try:
+        return [i.name for i in get()]
+    except Exception:
+        return None
+
+
+def build_feeds(
+    session,
+    ids: np.ndarray,
+    mask: np.ndarray,
+    token_type_ids: np.ndarray | None = None,
+) -> dict[str, np.ndarray]:
+    """Probe the session's declared inputs and feed exactly those
+    (src/text_embedding/impl.rs:131-134,380-382): BERT-family exports that
+    declare ``token_type_ids`` get a zeros segment when none is supplied,
+    and undeclared optional feeds are dropped (ORT raises on unknown names).
+    Sessions without a probe (stubs) receive the feeds as given."""
+    feeds = {"input_ids": ids, "attention_mask": mask}
+    if token_type_ids is not None:
+        feeds["token_type_ids"] = token_type_ids
+    names = session_input_names(session)
+    if names is None:
+        return feeds
+    if "token_type_ids" in names and "token_type_ids" not in feeds:
+        feeds["token_type_ids"] = np.zeros_like(ids)
+    return {k: v for k, v in feeds.items() if k in names}
+
+
+def max_by_token_id(
+    tids: np.ndarray, weights: np.ndarray, special_ids: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Max-aggregate ``weights`` per token id, skipping ``special_ids`` and
+    keeping strictly positive maxima, indices ascending — the BGE-M3 sparse
+    aggregation (src/bgem3_embedding/impl.rs:256-304) as a NumPy segment-max
+    (np.unique sorts; np.maximum.at folds duplicates) instead of a per-token
+    Python loop."""
+    keep = ~np.isin(tids, special_ids)
+    tids, weights = tids[keep], weights[keep]
+    uniq, inv = np.unique(tids, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    np.maximum.at(acc, inv, weights)
+    pos = acc > 0.0
+    return uniq[pos], acc[pos]
+
+
 def _chunks(pdf: pd.DataFrame, n: int) -> Iterator[pd.DataFrame]:
     for start in range(0, len(pdf), n):
         yield pdf.iloc[start : start + n]
@@ -164,7 +215,7 @@ def embed_text(
             for chunk in _chunks(pdf, batch_size):
                 texts = chunk[text_col].fillna("").astype(str).tolist()
                 ids, mask = _encode(tokenizer, texts)
-                outputs = _run(session, {"input_ids": ids, "attention_mask": mask})
+                outputs = _run(session, build_feeds(session, ids, mask))
                 hidden = select_output(outputs, spec.output_key)
                 emb = l2n(pool(hidden, mask, spec.pooling)).astype(np.float32)
                 res = chunk.copy()
@@ -195,7 +246,7 @@ def embed_sparse(
     spec = get_model_spec(model)
     df = _enforce_quant_constraint(df, spec)
     out_schema = _with_schema(df, f"{out_col} struct<indices: array<int>, values: array<float>>")
-    special_ids = {0, 1, 2, 3}  # impl.rs:264
+    special_ids = np.array([0, 1, 2, 3], dtype=np.int64)  # impl.rs:264
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from fastembed_rs_spark.models.runtime import get_session, get_sparse_linear
@@ -205,24 +256,17 @@ def embed_sparse(
             for chunk in _chunks(pdf, batch_size):
                 texts = chunk[text_col].fillna("").astype(str).tolist()
                 ids, mask = _encode(tokenizer, texts)
-                outputs = _run(session, {"input_ids": ids, "attention_mask": mask})
+                outputs = _run(session, build_feeds(session, ids, mask))
                 rows = []
                 if spec.sparse_method == "bgem3":
                     hidden = select_output(outputs, spec.output_key)  # (B,T,H)
                     w, b = get_sparse_linear(model)
                     tok_w = np.maximum(hidden @ w + b, 0.0)  # (B,T)
                     for i in range(len(texts)):
-                        agg: dict[int, float] = {}
-                        for t_pos in range(ids.shape[1]):
-                            tid = int(ids[i, t_pos])
-                            if mask[i, t_pos] == 0 or tid in special_ids:
-                                continue
-                            wt = float(tok_w[i, t_pos])
-                            if wt > agg.get(tid, 0.0):
-                                agg[tid] = wt  # max per token id (impl.rs:289-294)
-                        idx = sorted(k for k, v in agg.items() if v > 0.0)
-                        rows.append({"indices": [int(x) for x in idx],
-                                     "values": [float(agg[x]) for x in idx]})
+                        on = mask[i] == 1
+                        idx, vals = max_by_token_id(ids[i][on], tok_w[i][on], special_ids)
+                        rows.append({"indices": idx.astype(np.int32).tolist(),
+                                     "values": vals.astype(np.float32).tolist()})
                 else:
                     logits = outputs["logits"]
                     weights = np.log1p(np.maximum(logits, 0.0)) * mask[..., None]
@@ -257,7 +301,7 @@ def embed_bgem3(
         "sparse: struct<indices: array<int>, values: array<float>>, "
         "colbert: array<array<float>>>",
     )
-    special_ids = {0, 1, 2, 3}  # skipped token ids (impl.rs:264)
+    special_ids = np.array([0, 1, 2, 3], dtype=np.int64)  # skipped token ids (impl.rs:264)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from fastembed_rs_spark.models.runtime import get_session
@@ -267,26 +311,20 @@ def embed_bgem3(
             for chunk in _chunks(pdf, batch_size):
                 texts = chunk[text_col].fillna("").astype(str).tolist()
                 ids, mask = _encode(tokenizer, texts)
-                out = _run(session, {"input_ids": ids, "attention_mask": mask})
+                out = _run(session, build_feeds(session, ids, mask))
                 dense = l2n(out["dense"]).astype(np.float32)
                 sparse_w = out["sparse"][..., 0]  # (B,T)
                 colbert = out["colbert"]  # (B,T-1,H)
                 rows = []
                 for i in range(len(texts)):
-                    agg: dict[int, float] = {}
-                    for t in range(ids.shape[1]):
-                        tid = int(ids[i, t])
-                        if mask[i, t] == 0 or tid in special_ids:
-                            continue
-                        w = float(sparse_w[i, t])
-                        if w > agg.get(tid, 0.0):
-                            agg[tid] = w  # max-aggregate per token id (impl.rs:289-294)
-                    idx = sorted(agg)
+                    on = mask[i] == 1
+                    # max-aggregate per token id (impl.rs:289-294), segment-max
+                    idx, vals = max_by_token_id(ids[i][on], sparse_w[i][on], special_ids)
                     keep = mask[i, 1:] == 1  # CLS dropped, mask filter (impl.rs:272-295)
                     rows.append({
                         "dense": dense[i].tolist(),
-                        "sparse": {"indices": [int(x) for x in idx],
-                                   "values": [float(agg[x]) for x in idx]},
+                        "sparse": {"indices": idx.astype(np.int32).tolist(),
+                                   "values": vals.astype(np.float32).tolist()},
                         "colbert": colbert[i][keep[: colbert.shape[1]]].astype(np.float32).tolist(),
                     })
                 res = chunk.copy()
@@ -405,17 +443,13 @@ def rerank_score(
                 # (reference encodes (query, doc) pairs — impl.rs:123-127)
                 qi, qm = _encode(tokenizer, qs)
                 di, dm = _encode(tokenizer, ds)
-                B = len(qs)
-                T = qi.shape[1] + di.shape[1]
                 ids = np.concatenate([qi, di], axis=1)
                 mask = np.concatenate([qm, dm], axis=1)
                 tt = np.concatenate(
                     [np.zeros_like(qi), np.ones_like(di)], axis=1
                 )
-                logits = _run(
-                    session,
-                    {"input_ids": ids, "attention_mask": mask, "token_type_ids": tt},
-                )["logits"]
+                # probe drops tt for exports that don't declare it (RoBERTa-family)
+                logits = _run(session, build_feeds(session, ids, mask, tt))["logits"]
                 res = chunk.copy()
                 res[out_col] = logits[:, 0].astype(np.float32)
                 yield res

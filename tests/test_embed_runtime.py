@@ -13,11 +13,14 @@ from pyspark.sql import functions as F
 
 from fastembed_rs_spark.operators.embed import (
     DynamicQuantizationError,
+    build_feeds,
     embed_bgem3,
     embed_image,
     embed_sparse,
     embed_text,
+    max_by_token_id,
     rerank_score,
+    session_input_names,
 )
 
 TEXTS = [
@@ -161,6 +164,83 @@ def test_rerank_self_match_ranks_first(spark, docs):
     best = scored.orderBy(F.desc("score"), F.asc("doc_id")).first()
     assert best["doc_id"] == 0
     assert best["score"] == pytest.approx(1.0, abs=1e-6)
+
+
+class _NamedInput:
+    def __init__(self, name):
+        self.name = name
+
+
+class _ProbeSession:
+    """ORT-like session that declares its inputs and enforces the exact feed
+    set at run() — mirrors onnxruntime, which raises on missing *or* unknown
+    input names (reference probe: src/text_embedding/impl.rs:131-134)."""
+
+    def __init__(self, names):
+        self.names = list(names)
+
+    def get_inputs(self):
+        return [_NamedInput(n) for n in self.names]
+
+    def run(self, _out, feeds):
+        assert set(feeds) == set(self.names), (set(feeds), set(self.names))
+        return {"last_hidden_state": np.zeros((feeds["input_ids"].shape[0], 2, 4))}
+
+
+def test_build_feeds_adds_token_type_ids_when_declared():
+    ids = np.array([[1, 5, 0]], dtype=np.int64)
+    mask = np.array([[1, 1, 0]], dtype=np.int64)
+    sess = _ProbeSession(["input_ids", "attention_mask", "token_type_ids"])
+    feeds = build_feeds(sess, ids, mask)
+    assert set(feeds) == {"input_ids", "attention_mask", "token_type_ids"}
+    assert feeds["token_type_ids"].shape == ids.shape
+    assert feeds["token_type_ids"].dtype == ids.dtype
+    assert not feeds["token_type_ids"].any()
+    sess.run(None, feeds)  # would raise on a feed-set mismatch
+
+
+def test_build_feeds_drops_undeclared_token_type_ids():
+    ids = np.array([[1, 5]], dtype=np.int64)
+    mask = np.ones_like(ids)
+    tt = np.array([[0, 1]], dtype=np.int64)
+    sess = _ProbeSession(["input_ids", "attention_mask"])
+    feeds = build_feeds(sess, ids, mask, tt)
+    assert set(feeds) == {"input_ids", "attention_mask"}
+    sess.run(None, feeds)
+
+
+def test_build_feeds_passthrough_without_probe():
+    # stub sessions expose no get_inputs → feeds pass through untouched
+    ids = np.array([[1]], dtype=np.int64)
+    mask = np.ones_like(ids)
+
+    class NoProbe:
+        pass
+
+    assert session_input_names(NoProbe()) is None
+    feeds = build_feeds(NoProbe(), ids, mask)
+    assert set(feeds) == {"input_ids", "attention_mask"}
+    tt = np.zeros_like(ids)
+    assert set(build_feeds(NoProbe(), ids, mask, tt)) == {
+        "input_ids", "attention_mask", "token_type_ids"
+    }
+
+
+def test_max_by_token_id_matches_naive():
+    rng = np.random.default_rng(7)
+    special = np.array([0, 1, 2, 3], dtype=np.int64)
+    for _ in range(20):
+        tids = rng.integers(0, 40, size=64).astype(np.int64)
+        w = rng.normal(size=64).astype(np.float32)
+        idx, vals = max_by_token_id(tids, w, special)
+        agg: dict[int, float] = {}
+        for tid, wt in zip(tids.tolist(), w.astype(np.float64).tolist()):
+            if tid in (0, 1, 2, 3):
+                continue
+            if wt > agg.get(tid, 0.0):
+                agg[tid] = wt
+        want = sorted((k, v) for k, v in agg.items() if v > 0.0)
+        assert list(zip(idx.tolist(), vals.tolist())) == want
 
 
 def test_sparse_bgem3_method(spark, docs):
