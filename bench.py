@@ -126,7 +126,9 @@ def main() -> int:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    # a failed query must not *improve* the headline number: null it out so
+    # consumers reading only metric/value can't score a broken catalog
+    total = None if errors else round(sum(timings.values()), 3)
     out = {
         "metric": "catalog_total",
         "value": total,

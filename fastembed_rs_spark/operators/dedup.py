@@ -45,6 +45,32 @@ MINHASH_COEFFS: list[tuple[int, int]] = [
 ]
 
 
+def _splitmix(x: int) -> int:
+    """splitmix64 finalizer — a public-domain integer mix (Steele et al.,
+    'Fast Splittable Pseudorandom Number Generators', OOPSLA'14)."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def minhash_coeffs(n: int) -> list[tuple[int, int]]:
+    """First ``n`` affine pairs. The pinned 16 are shared verbatim with the
+    DuckDB oracles; beyond 16, pairs extend deterministically (splitmix64 of
+    the index, reduced into [1, P-1] × [0, P-1]) so any requested signature
+    width is valid — a silent truncation to 16 previously corrupted band
+    keys and Jaccard denominators for num_hashes > 16."""
+    if n <= len(MINHASH_COEFFS):
+        return MINHASH_COEFFS[:n]
+    out = list(MINHASH_COEFFS)
+    for i in range(len(out), n):
+        out.append((
+            _splitmix(2 * i) % (HASH_MOD - 1) + 1,
+            _splitmix(2 * i + 1) % HASH_MOD,
+        ))
+    return out
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Group documents by token-stream fingerprint; one row per distinct
     content: (fingerprint, n_docs, canonical_id = min id)."""
@@ -76,7 +102,7 @@ def minhash_signatures(
     with map-side partial mins, the shape that scales.
     Documents with no shingles (len(text) < k) get no row.
     """
-    coeffs = MINHASH_COEFFS[:num_hashes]
+    coeffs = minhash_coeffs(num_hashes)
     # Repartition before the shingle explosion: test tables are single-row-
     # group parquet (1 scan task), and the rolling-hash work is the heavy
     # per-row stage — spread it across the cluster first.
@@ -103,7 +129,7 @@ def minhash_signature_array(
     Documents with no shingles (len < k) yield an all-NULL signature —
     filter those out before use (the aggregation form emits no row)."""
     sh = shingle_hashes(text, k_shingle)
-    coeffs = MINHASH_COEFFS[:num_hashes]
+    coeffs = minhash_coeffs(num_hashes)
 
     def affine(a: int, b: int):
         # closure factory: PySpark inspects lambda arity, so default-arg

@@ -40,6 +40,18 @@ def repartition_by_length(
     return df.repartitionByRange(num_partitions, F.length(F.col(text_col)))
 
 
+def spread_if_narrow(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition only when the input scan is narrower than the cluster's
+    parallelism. Local single-row-group parquet test files scan as one task,
+    so the heavy per-row work downstream would serialize; a 100 TB scan
+    already has thousands of splits, making this a no-op — no blanket
+    corpus shuffle at scale."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def salted_aggregate(
     df: DataFrame,
     key_cols: list[str],

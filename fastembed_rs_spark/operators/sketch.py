@@ -179,9 +179,9 @@ CMS_WIDTH = 1024
 
 
 def _cms_coeffs(d: int) -> list[tuple[int, int]]:
-    from fastembed_rs_spark.operators.dedup import MINHASH_COEFFS
+    from fastembed_rs_spark.operators.dedup import minhash_coeffs
 
-    return MINHASH_COEFFS[:d]
+    return minhash_coeffs(d)
 
 
 def cms_counters(

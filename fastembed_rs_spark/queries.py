@@ -57,12 +57,25 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # `ts` as epoch-nanoseconds bigint, so every downstream window /
         # sessionize / as-of computation is exact int64 arithmetic that
         # hash-matches DuckDB's epoch_ns()/epoch_us() regardless of zone.
+        # nanosAsLong is a read-path flag with no per-read scope — setting it
+        # here (idempotent; same value session.py pins) keeps sessions built
+        # elsewhere working should the testdata revert to NANOS.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         dt = dict(df.dtypes).get("ts", "")
-        if dt != "bigint":
-            # naive timestamps are UTC by convention (matches DuckDB epoch_*)
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        if dt == "timestamp_ntz":
+            # naive wall times are UTC by convention (matches DuckDB
+            # epoch_*); timestampdiff between NTZ values is exact integer
+            # math independent of the session time zone — no conf mutation
+            df = df.withColumn(
+                "ts",
+                (F.expr(
+                    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                ) * F.lit(1000)).cast("long"),
+            )
+        elif dt != "bigint":
+            # instant-typed micros: unix_micros reads the underlying epoch
+            # directly, also zone-independent
             df = df.withColumn(
                 "ts",
                 (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long"),
@@ -596,8 +609,9 @@ FROM documents
     "32-bit simhash over the token multiset (near-dup fingerprint)",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    from fastembed_rs_spark.operators.scale import spread_if_narrow
+
+    docs = spread_if_narrow(t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select("doc_id", D.simhash("text").alias("simhash"))
 
 
@@ -802,10 +816,11 @@ def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# events.parquet stores TIMESTAMP(NANOS); Spark reads it as long epoch-nanos
-# (legacy.parquet.nanosAsLong — see session.py), DuckDB as TIMESTAMP_NS.
-# All time math below is exact int64 nanosecond arithmetic on both engines
-# (`div` / `//`), so no timezone or float issue can creep into the hashes.
+# events.parquet's physical timestamp unit varies across testdata
+# generations; t() normalizes `ts` to epoch-nanos BIGINT whatever the
+# physical type (see t()), and the oracles use epoch_ns(). All time math
+# below is exact int64 nanosecond arithmetic on both engines (`div` / `//`),
+# so no timezone or float issue can creep into the hashes.
 _NS_PER_S = 1_000_000_000
 
 @q(
@@ -2152,6 +2167,25 @@ def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "value_percentiles_approx",
+    None,  # sketch algorithms differ per engine — accuracy pinned by unit
+           # test against the exact form instead (tests/test_stats_sampling)
+    "Greenwald-Khanna approximate percentiles (median / p90) per event type "
+    "— the 100 TB form of value_percentiles: the exact ordered-set aggregate "
+    "buffers and sorts every group in memory, while the GK sketch is a "
+    "bounded-size mergeable summary (relative rank error ≤ 1/accuracy = "
+    "10^-4) with map-side partials",
+)
+def q_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("approx_percentile(value, 0.5, 10000)"), 6).alias("p50"),
+        F.round(F.expr("approx_percentile(value, 0.9, 10000)"), 6).alias("p90"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+@q(
     "brand_buyers_setops",
     """
 WITH a AS (SELECT DISTINCT o_custkey AS ck FROM orders
@@ -2455,18 +2489,17 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
     "ordered history (first_value/last_value window-frame coverage)",
 )
 def q_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one hash aggregate with map-side partials — min_by/max_by on the
+    # (ts, event_id) struct replaces the full-frame window + distinct
+    # (which shuffled the whole event log twice); (ts, event_id) is unique,
+    # so the endpoints are deterministic
     ev = t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", key).alias("first_event"),
+        F.max_by("event_type", key).alias("last_event"),
+        F.count("*").cast("long").alias("n_events"),
     )
-    return ev.select(
-        "user_id",
-        F.first("event_type").over(w).alias("first_event"),
-        F.last("event_type").over(w).alias("last_event"),
-        F.count("*").over(w).cast("long").alias("n_events"),
-    ).distinct()
 
 
 def _fill_sketch_oracles() -> None:

@@ -158,3 +158,31 @@ def test_neardup_stream_bucket_cap(spark, stream_dir):
     # doc 0 is the sole resident of its buckets; 1 and 5 compare against it
     # but never against each other (1 was not admitted)
     assert all(a == 0 for a, _ in got)
+
+
+def test_minhash_coeffs_extend_beyond_pinned_16(spark):
+    from fastembed_rs_spark.operators.dedup import (
+        HASH_MOD, MINHASH_COEFFS, minhash_coeffs, minhash_signature_array,
+    )
+
+    cfs = minhash_coeffs(40)
+    assert cfs[:16] == MINHASH_COEFFS  # pinned prefix untouched
+    assert len(cfs) == 40
+    assert len(set(cfs)) == 40
+    for a, b in cfs:
+        assert 1 <= a < HASH_MOD and 0 <= b < HASH_MOD
+    assert minhash_coeffs(40) == cfs  # deterministic
+
+    # bands*rows_per_band > 16 now yields a full-width, NULL-free signature
+    # whose first 16 slots match the pinned coefficients (regression for the
+    # silent [:16] truncation that collapsed higher band keys)
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    rows = df.select(
+        "doc_id",
+        minhash_signature_array("text", 5, 16).alias("s16"),
+        minhash_signature_array("text", 5, 32).alias("s32"),
+    ).collect()
+    for r in rows:
+        assert len(r["s32"]) == 32
+        assert all(v is not None for v in r["s32"])
+        assert list(r["s32"][:16]) == list(r["s16"])

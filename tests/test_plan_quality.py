@@ -67,7 +67,17 @@ def test_tfidf_join_is_not_sort_merge(spark, catalog):
 
 def test_hybrid_rrf_has_no_corpus_window(spark, catalog):
     """RRF fuses two ≤10-row-per-query rank lists; the fused window must
-    run on the union of rank lists, never the corpus. Proxy: the final
-    aggregation/window stage input carries the rank-list columns only."""
+    run on the union of rank lists, never the corpus."""
     p = plan_of(spark, catalog, "hybrid_rrf_topk")
-    assert "rrf_score" in p and "row_number" in p
+    assert "rrf_score" in p
+    # three row_number windows: per-source rank lists (bm25, dense) + fused
+    n_windows = p.count("Window [row_number()")
+    assert n_windows >= 3
+    # every one of them is rank-limited (WindowGroupLimit pushdown), so no
+    # window ever buffers an unlimited partition
+    assert p.count("WindowGroupLimit") >= n_windows
+    # the fused window consumes the Union of the ≤k rank lists, never a scan:
+    # everything above the Union node must be scan-free
+    above_union = p.partition("Union")[0]
+    assert "Window [row_number()" in above_union  # fused window is up there
+    assert "FileScan" not in above_union

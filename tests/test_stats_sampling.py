@@ -100,3 +100,48 @@ def test_cms_never_underestimates_and_is_exact_for_unique_buckets(spark):
         assert cms_n >= true_n
     # sanity: the heavy tokens' estimates equal truth here (w=1024 >> 6 keys)
     assert est["alpha"][1] == 25 and est["once"][1] >= 1
+
+
+def test_approx_percentiles_track_exact_within_rank_error(spark):
+    """value_percentiles_approx (GK sketch, accuracy 10^4) vs the exact
+    ordered-set aggregate: the returned value's true rank must be within
+    eps = 1/accuracy (x n) of the requested rank — the GK guarantee."""
+    from fastembed_rs_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    catalog = all_queries()
+    exact = {r["event_type"]: r for r in
+             catalog["value_percentiles"].spark(spark, sf).collect()}
+    approx = {r["event_type"]: r for r in
+              catalog["value_percentiles_approx"].spark(spark, sf).collect()}
+    assert set(exact) == set(approx)
+    ev = catalog["value_percentiles"].spark  # reuse t() path
+    from fastembed_rs_spark.queries import t
+
+    vals = (
+        t(spark, sf, "events").groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("value")).alias("vs")).collect()
+    )
+    for r in vals:
+        et, vs = r["event_type"], r["vs"]
+        n = len(vs)
+        assert approx[et]["n"] == exact[et]["n"] == n
+        for q_, col in ((0.5, "p50"), (0.9, "p90")):
+            got = approx[et][col]
+            # rank window: GK with eps guarantees rank in [qn - eps n, qn + eps n]
+            eps = 1.0 / 10000 + 1e-9
+            lo_i = max(0, int((q_ - eps) * n) - 1)
+            hi_i = min(n - 1, int((q_ + eps) * n) + 1)
+            assert vs[lo_i] - 1e-6 <= got <= vs[hi_i] + 1e-6, (et, col)
+
+
+def test_user_journey_is_single_hash_aggregate(spark):
+    """The journey endpoints must plan as ONE map-side-combinable hash
+    aggregate — no window, no distinct re-shuffle."""
+    from fastembed_rs_spark.queries import all_queries
+
+    df = all_queries()["user_journey"].spark(spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p
+    assert "partial_min_by" in p or "partial_min" in p  # map-side partials
+    assert p.count("Exchange") == 1  # one shuffle on user_id, nothing else
