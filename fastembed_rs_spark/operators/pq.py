@@ -104,16 +104,23 @@ def train_pq_codebooks(
     so the number of Spark stages does not grow with m (the naive
     per-subspace loop would run m separate k-means jobs).
 
-    Init: per subspace, the k points with the smallest seeded id-hash
+    Init: per subspace, the k points with the smallest id-hash
     (deterministic, no full sort of the corpus — window over the hash).
+    Cross-engine determinism (for the chained-CTE DuckDB oracle): the init
+    hash is the engine-shared rolling ``token_hash`` and each recomputed
+    mean is rounded to 9 decimals, pinning every iteration's input against
+    float summation-order drift.
     Returns (subspace int, code_id int, code_vec array<double>).
     """
+    from fastembed_rs_spark.functions.text import token_hash
+
     points = split_subvectors(corpus, id_col, vec_col, m, dsub, out_id="__pid").select(
         "__pid", "subspace", "subvec"
     ).localCheckpoint()
 
     wh = Window.partitionBy("subspace").orderBy(
-        F.xxhash64(F.col("__pid").cast("string"), F.lit(seed)), F.col("__pid")
+        token_hash(F.concat(F.col("__pid").cast("string"), F.lit(f"#pq{seed}"))),
+        F.col("__pid"),
     )
     centroids = (
         points.withColumn("__r", F.row_number().over(wh))
@@ -142,7 +149,7 @@ def train_pq_codebooks(
         means = (
             assigned.select("subspace", "code_id", F.posexplode("subvec").alias("__d", "__x"))
             .groupBy("subspace", "code_id", "__d")
-            .agg(F.avg("__x").alias("__mean"))
+            .agg(F.round(F.avg("__x"), 9).alias("__mean"))
             .groupBy("subspace", "code_id")
             .agg(F.array_sort(F.collect_list(F.struct("__d", "__mean"))).alias("__dm"))
             .select(

@@ -97,20 +97,31 @@ def train_ivf_centroids(
     Each iteration is 2 shuffles (assign window by id, mean by centroid+dim);
     centroids are ``localCheckpoint``-ed so lineage doesn't grow with iters.
 
-    Initialization: deterministic sample of k vectors (sort by a seeded hash
-    of the id — reproducible without a full shuffle of the corpus).
+    Cross-engine determinism (the DuckDB oracle replays these exact
+    iterations as chained CTEs): init orders by the engine-shared rolling
+    ``token_hash`` of the id (not a Spark-only seeded hash), and each mean
+    is rounded to 9 decimals — float summation order varies with row order
+    across engines, and the rounding pins every iteration's input.
+
+    Initialization: deterministic sample of k vectors (distributed top-k by
+    hash — no full shuffle of the corpus).
     Returns (centroid_id int, centroid_vec array<double>).
     """
+    from fastembed_rs_spark.functions.text import token_hash
+
     hashed = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"),
-        F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("__h"),
+        token_hash(
+            F.concat(F.col(id_col).cast("string"), F.lit(f"#ivf{seed}"))
+        ).alias("__h"),
     )
+    init = hashed.orderBy("__h", id_col).limit(k)  # TakeOrdered: distributed
     init = (
-        hashed.orderBy("__h").limit(k)
-        .select(F.col("__v").alias("centroid_vec"))
-        .withColumn("centroid_id", F.row_number().over(
-            Window.orderBy(F.monotonically_increasing_id())) - 1)
-        .select("centroid_id", "centroid_vec")
+        init.withColumn(
+            "centroid_id",
+            (F.row_number().over(Window.orderBy("__h", id_col)) - 1).cast("int"),
+        )  # window over k rows only
+        .select("centroid_id", F.col("__v").alias("centroid_vec"))
     )
     centroids = init.localCheckpoint()
     points = hashed.select(id_col, "__v").localCheckpoint()
@@ -128,7 +139,7 @@ def train_ivf_centroids(
         means = (
             assigned.select("centroid_id", F.posexplode("__v").alias("__d", "__x"))
             .groupBy("centroid_id", "__d")
-            .agg(F.avg("__x").alias("__m"))
+            .agg(F.round(F.avg("__x"), 9).alias("__m"))
             .groupBy("centroid_id")
             .agg(F.array_sort(F.collect_list(F.struct("__d", "__m"))).alias("__dm"))
             .select(

@@ -323,11 +323,88 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "score", "rank")
 
 
+def _pq_trained_oracle(
+    m: int, dsub: int, k: int, iters: int, nq: int, topk: int, seed: int = 42,
+) -> str:
+    """Replay of ``pq.train_pq_codebooks`` + encode + ADC as chained CTEs:
+    iterations are fixed and seeded, init orders by the shared rolling hash,
+    and per-iteration means are rounded to 9 decimals on both engines, so
+    Lloyd's is DuckDB-expressible."""
+    h = duck_token_hash(f"(sv.vec_id::VARCHAR || '#pq{seed}')")
+    sq = (
+        "coalesce(list_sum(list_transform(generate_series(1, {dsub}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 0.0)"
+    )
+    dot = (
+        "coalesce(list_sum(list_transform(generate_series(1, {dsub}), "
+        "i -> {a}[i] * {b}[i])), 0.0)"
+    )
+    parts = [f"""
+WITH subs AS (SELECT unnest(generate_series(0, {m - 1})) AS subspace),
+sdims AS (SELECT unnest(generate_series(1, {dsub})) AS d),
+sv AS (
+  SELECT e.vec_id, s.subspace,
+         {_PQ_SLICE.format(dsub=dsub, v='e.embedding')} AS subvec
+  FROM embeddings e CROSS JOIN subs s
+),
+c0 AS (
+  SELECT subspace,
+         CAST(row_number() OVER (PARTITION BY subspace ORDER BY hh, vec_id) - 1 AS INT) AS code_id,
+         subvec AS code_vec
+  FROM (SELECT sv.vec_id, sv.subspace, sv.subvec, {h} AS hh FROM sv)
+  QUALIFY row_number() OVER (PARTITION BY subspace ORDER BY hh, vec_id) <= {k}
+)"""]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        d2 = sq.format(dsub=dsub, a="sv.subvec", b="c.code_vec")
+        parts.append(f""",
+a{it} AS (
+  SELECT sv.vec_id, sv.subspace, sv.subvec, c.code_id, {d2} AS d2
+  FROM sv JOIN {prev} c ON sv.subspace = c.subspace
+  QUALIFY row_number() OVER (PARTITION BY sv.vec_id, sv.subspace
+                             ORDER BY d2 ASC, c.code_id ASC) = 1
+),
+c{it} AS (
+  SELECT subspace, code_id, list(mu ORDER BY d) AS code_vec FROM (
+    SELECT a.subspace, a.code_id, sdims.d, round(avg(a.subvec[sdims.d]), 9) AS mu
+    FROM a{it} a CROSS JOIN sdims
+    GROUP BY a.subspace, a.code_id, sdims.d
+  ) GROUP BY subspace, code_id
+)""")
+        prev = f"c{it}"
+    enc_d2 = sq.format(dsub=dsub, a="sv.subvec", b="c.code_vec")
+    lut_dot = dot.format(dsub=dsub, a="q.qsubvec", b="c.code_vec")
+    parts.append(f""",
+enc AS (
+  SELECT sv.vec_id, sv.subspace, c.code_id, round({enc_d2}, 6) AS d2
+  FROM sv JOIN {prev} c ON sv.subspace = c.subspace
+  QUALIFY row_number() OVER (PARTITION BY sv.vec_id, sv.subspace
+                             ORDER BY d2 ASC, c.code_id ASC) = 1
+),
+qsub AS (SELECT vec_id AS query_id, subspace, subvec AS qsubvec FROM sv WHERE vec_id < {nq}),
+lut AS (
+  SELECT q.query_id, q.subspace, c.code_id, round({lut_dot}, 6) AS pdot
+  FROM qsub q JOIN {prev} c ON q.subspace = c.subspace
+),
+scored AS (
+  SELECT l.query_id, enc.vec_id,
+         round(coalesce(list_sum(list(l.pdot ORDER BY l.subspace)), 0.0), 6) AS score
+  FROM enc JOIN lut l ON enc.subspace = l.subspace AND enc.code_id = l.code_id
+  GROUP BY l.query_id, enc.vec_id
+)
+SELECT query_id, vec_id, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+FROM scored
+QUALIFY rank <= {topk}""")
+    return "".join(parts)
+
+
 @q(
     "ann_pq_trained",
-    None,
+    _pq_trained_oracle(m=_PQ_M, dsub=_PQ_DSUB, k=8, iters=2, nq=3, topk=5),
     "PQ with k-means-trained codebooks: all 8 subspaces trained in one DataFrame "
-    "pipeline (Lloyd's, stage count independent of m) — iterative, rows-only check",
+    "pipeline (Lloyd's, stage count independent of m); seeded fixed-iteration "
+    "training replayed by the oracle as chained CTEs",
 )
 def q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastembed_rs_spark.operators import pq
@@ -1107,11 +1184,71 @@ def q_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 7. Model-runtime queries (pandas-UDF path; rows-only driver check)
 # ===========================================================================
 
+def _ivf_trained_oracle(
+    k: int, iters: int, nq: int, nprobe: int, topk: int,
+    dim: int = EMB_DIM, seed: int = 42,
+) -> str:
+    """Replay of ``train_ivf_centroids`` + assign + probe as chained CTEs
+    (one CTE pair per Lloyd's iteration): seeded deterministic init via the
+    shared rolling hash, raw-cosine argmax assignment (bit-identical fold
+    order on both engines), means rounded to 9 decimals per iteration."""
+    h = duck_token_hash(f"(vec_id::VARCHAR || '#ivf{seed}')")
+    parts = [f"""
+WITH pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+dims AS (SELECT unnest(generate_series(1, {dim})) AS d),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY hh, vec_id) - 1 AS INT) AS centroid_id, v AS cv
+  FROM (SELECT vec_id, v, {h} AS hh FROM pts)
+  QUALIFY row_number() OVER (ORDER BY hh, vec_id) <= {k}
+)"""]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(f""",
+a{it} AS (
+  SELECT p.vec_id, p.v, c.centroid_id, {_dk_cos('p.v', 'c.cv')} AS s
+  FROM pts p CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY s DESC, c.centroid_id ASC) = 1
+),
+c{it} AS (
+  SELECT centroid_id, list(mu ORDER BY d) AS cv FROM (
+    SELECT a.centroid_id, dims.d, round(avg(a.v[dims.d]), 9) AS mu
+    FROM a{it} a CROSS JOIN dims
+    GROUP BY a.centroid_id, dims.d
+  ) GROUP BY centroid_id
+)""")
+        prev = f"c{it}"
+    parts.append(f""",
+assign AS (
+  SELECT p.vec_id, p.v AS embedding, c.centroid_id,
+         round({_dk_cos('p.v', 'c.cv')}, 6) AS cscore
+  FROM pts p CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY cscore DESC, c.centroid_id ASC) = 1
+),
+qv AS (SELECT vec_id AS query_id, v AS qe FROM pts WHERE vec_id < {nq}),
+probes AS (
+  SELECT qv.query_id, qv.qe, c.centroid_id,
+         round({_dk_cos('qv.qe', 'c.cv')}, 6) AS pscore
+  FROM qv CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (PARTITION BY qv.query_id ORDER BY pscore DESC, c.centroid_id ASC) <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id, round({_dk_cos('p.qe', 'a.embedding')}, 6) AS score
+  FROM probes p JOIN assign a ON p.centroid_id = a.centroid_id
+)
+SELECT query_id, vec_id, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+FROM scored
+QUALIFY rank <= {topk}""")
+    return "".join(parts)
+
+
 @q(
     "ann_ivf_trained",
-    None,
-    "k-means-trained IVF: Lloyd's iterations as DataFrame algebra, then probe "
-    "(iterative algorithm — not SQL-expressible, rows-only check)",
+    _ivf_trained_oracle(k=8, iters=3, nq=3, nprobe=2, topk=5),
+    "k-means-trained IVF: Lloyd's iterations as DataFrame algebra, then probe; "
+    "seeded fixed-iteration training replayed by the oracle as chained CTEs",
 )
 def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastembed_rs_spark.operators.topk import train_ivf_centroids
