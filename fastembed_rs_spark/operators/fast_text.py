@@ -303,6 +303,41 @@ def exact_dedup_fast(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def token_hash_rows_fast(
+    df: DataFrame, text_col: str, dedup_per_batch: bool = True,
+) -> DataFrame:
+    """Exploded ``(h long)`` rows — the rolling hash of every token of every
+    document, the NumPy fast path of ``F.explode(token_hashes(text))``
+    (identical values, pinned by test). The interpreted per-character
+    aggregate fold was the dominant cost of the sketch queries' scan stage.
+
+    ``dedup_per_batch`` drops within-batch duplicate hashes before the
+    shuffle — safe for distinct-count consumers (KMV re-distincts globally,
+    HLL registers are max-merged) and cuts shuffled rows to the per-batch
+    vocabulary. Frequency consumers (CMS) must pass False."""
+    import pandas as pd
+
+    from fastembed_rs_spark.operators.scale import spread_if_narrow
+
+    src = spread_if_narrow(df.select(text_col))
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+
+        for pdf in batches:
+            toks: list[str] = []
+            for text in pdf[text_col]:
+                toks.extend(_tokens(text or ""))
+            if not toks:
+                continue
+            hs = _rolling_hash_many(toks)
+            if dedup_per_batch:
+                hs = np.unique(hs)
+            yield pd.DataFrame({"h": hs})
+
+    return src.mapInPandas(gen, schema="h long")
+
+
 def word_ngram_postings_fast(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:

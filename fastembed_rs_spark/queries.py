@@ -1610,11 +1610,11 @@ _TOKEN_HASH_ROWS = (
     "(per-partition top-k, no full shuffle of the distinct set)",
 )
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastembed_rs_spark.functions.text import token_hashes
+    from fastembed_rs_spark.operators.fast_text import token_hash_rows_fast
     from fastembed_rs_spark.operators.sketch import kmv_sketch
 
     docs = t(spark, sf_dir, "documents")
-    hashes = docs.select(F.explode(token_hashes("text")).alias("h"))
+    hashes = token_hash_rows_fast(docs, "text")  # per-batch-distinct is safe: KMV re-distincts
     return kmv_sketch(hashes, "h", k=256)
 
 
@@ -1625,11 +1625,12 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "harmonic sum (order-independent), linear-counting small-range path",
 )
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastembed_rs_spark.functions.text import token_hashes
+    from fastembed_rs_spark.operators.fast_text import token_hash_rows_fast
     from fastembed_rs_spark.operators.sketch import hll_sketch
 
     docs = t(spark, sf_dir, "documents")
-    hashes = docs.select(F.explode(token_hashes("text")).alias("h"))
+    # per-batch-distinct is safe: registers are max-merged
+    hashes = token_hash_rows_fast(docs, "text")
     return hll_sketch(hashes, "h", p=9)
 
 

@@ -8,11 +8,12 @@ queries are a small static set broadcast into the scoring stage, and an
 running top-k heap — one state row per query, O(k) entries each.
 
 Scale shape: scoring is stateless row×query fan-out (corpus never
-shuffled, queries broadcast); the stateful stage only ever sees rows that
-beat the per-batch pre-prune, and state is k ids+scores per query —
-thousands of queries fit in one state-store partition. Emission is the
-full refreshed top-k per query per micro-batch that changed it (pair
-with output mode ``update``).
+shuffled, queries broadcast); a stateless per-batch top-k pre-prune
+(``_make_prune``) bounds the stateful stage's shuffle input to
+O(k·queries) per batch partition instead of O(batch·queries); state is k
+ids+scores per query — thousands of queries fit in one state-store
+partition. Emission is the full refreshed top-k per query per
+micro-batch that changed it (pair with output mode ``update``).
 
 Scores are rounded before ranking (ties → id asc) — the same
 reproducibility discipline as the batch operator, so a one-batch stream
@@ -48,6 +49,26 @@ _STATE_SCHEMA = StructType([
     StructField("ids", ArrayType(LongType())),
     StructField("scores", ArrayType(DoubleType())),
 ])
+
+
+def _make_prune(k: int):
+    """Stateless per-Arrow-batch top-k pre-prune (the streaming analogue of
+    ``_ranked_topk`` phase 1): any row in a query's global top-k is in that
+    query's top-k of its own batch, so keeping k rows per (query, batch) is
+    lossless while shrinking the stateful stage's shuffle input from
+    O(batch·queries) to O(k·queries) per batch partition. Windows aren't
+    allowed on streaming frames — this is the mapInPandas equivalent."""
+
+    def fn(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(
+                ["query_id", "score", "vec_id"], ascending=[True, False, True]
+            )
+            yield pdf.groupby("query_id", sort=False).head(k)
+
+    return fn
 
 
 def _make_update(k: int):
@@ -100,13 +121,14 @@ def topk_stream(
     micro-batch emits the refreshed top-k of every query it improved.
     """
     scored = corpus_stream.crossJoin(F.broadcast(queries)).select(
-        F.col(query_id),
+        F.col(query_id).alias("query_id"),
         F.col(id_col).alias("vec_id"),
         F.round(
             cosine_similarity_fixed(query_vec, vec_col, dim), round_to
         ).alias("score"),
     )
-    return scored.groupBy(query_id).applyInPandasWithState(
+    scored = scored.mapInPandas(_make_prune(k), schema=scored.schema)
+    return scored.groupBy("query_id").applyInPandasWithState(
         _make_update(k),
         outputStructType=_OUTPUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,

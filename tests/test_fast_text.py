@@ -140,3 +140,23 @@ def test_text_stat_counts_fast_matches_expression_paths(spark):
         assert kernel[i].fingerprint == expr[i].fp, i
         for f in ("atl", "swr", "pr", "q", "lang"):
             assert getattr(from_counts[i], f) == getattr(expr[i], f), (i, f)
+
+
+def test_token_hash_rows_fast_matches_expression_path(spark):
+    from fastembed_rs_spark.functions.text import token_hashes
+    from fastembed_rs_spark.operators.fast_text import token_hash_rows_fast
+
+    df = spark.createDataFrame(
+        [(0, "The quick brown fox!"), (1, ""), (2, "fox Fox FOX 123"),
+         (3, None), (4, "punctuation... only?!")],
+        "doc_id long, text string",
+    )
+    expr = {r["h"] for r in df.select(
+        F.explode(token_hashes("text")).alias("h")).collect()}
+    fast = [r["h"] for r in token_hash_rows_fast(df, "text").collect()]
+    assert set(fast) == expr
+    # multiset form for frequency consumers (CMS): no per-batch dedup
+    full = [r["h"] for r in token_hash_rows_fast(df, "text", dedup_per_batch=False).collect()]
+    expr_full = [r["h"] for r in df.select(
+        F.explode(token_hashes("text")).alias("h")).collect()]
+    assert sorted(full) == sorted(expr_full)
