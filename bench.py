@@ -75,6 +75,17 @@ HEADLINE = [
     "value_quartiles",
     "clean_text",
     "user_journey",
+    # round 3 additions — the headline set GROWS over rounds; compare
+    # per-query times against prior BENCH_r{N}.json, not the raw total
+    "value_percentiles_approx",
+    "unigram_surprisal",
+    "benchmark_decontam",
+    "pii_redact",
+    "repetition_signals",
+    "semantic_dedup",
+    "mmr_diversify",
+    "ann_ivf_trained",
+    "ann_pq_trained",
 ]
 
 

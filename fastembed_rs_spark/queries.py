@@ -2640,6 +2640,329 @@ def q_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# 8. Round-3 curation operators: LM quality, decontamination, PII, MMR,
+#    semantic dedup — the pieces a 100 TB training-data pipeline runs after
+#    near-dedup (all shapes broadcast/bucket-bounded, no all-pairs work)
+# ===========================================================================
+
+@q(
+    "unigram_surprisal",
+    f"""
+WITH tok AS (SELECT doc_id, unnest({duck_tokens('text')}) AS token FROM documents),
+lm AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok)
+SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln(lm.cnt / tot.total)), 6) AS surprisal
+FROM tok JOIN lm USING (token) CROSS JOIN tot
+GROUP BY tok.doc_id
+""",
+    "unigram-LM quality score: train token frequencies on the corpus itself, "
+    "score each doc by mean token surprisal -ln p(token) — the classic "
+    "perplexity-proxy quality filter. LM table is vocabulary-sized -> "
+    "broadcast; both aggregations map-side combine.",
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    ).localCheckpoint()  # feeds the LM, the total and the scoring join
+    lm = tok.groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+    total = tok.select(F.count("*").cast("double").alias("total"))
+    scored = (
+        tok.join(F.broadcast(lm), "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", (-F.log(F.col("cnt") / F.col("total"))).alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg("nll"), 6).alias("surprisal"),
+    )
+
+
+_DK_GRAM5 = (
+    "CASE WHEN len(tk) >= 5 THEN list_transform(generate_series(1, len(tk) - 4), "
+    "i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]) "
+    "ELSE [] END"
+)
+
+
+@q(
+    "benchmark_decontam",
+    f"""
+WITH toks AS (SELECT doc_id, {duck_tokens('text')} AS tk FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_distinct({_DK_GRAM5})) AS gram FROM toks
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM grams g JOIN bench USING (gram)
+WHERE g.doc_id % 50 <> 0
+GROUP BY g.doc_id
+""",
+    "benchmark decontamination: flag training docs sharing any 5-gram with "
+    "the eval slice (doc_id % 50 = 0 stands in for the benchmark set). The "
+    "eval gram set is small by nature -> broadcast hash join against the "
+    "corpus postings; the corpus itself never shuffles.",
+)
+def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(D.word_ngrams("text", 5))).alias("gram"),
+    )
+    bench = grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
+    return (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared_grams"))
+    )
+
+
+_PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PII_NUM = "[0-9]{6,}"
+
+
+@q(
+    "pii_redact",
+    f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || doc_id || '@example.com now'
+              WHEN doc_id % 11 = 0 THEN text || ' ref 99' || doc_id || '0042'
+              ELSE text END AS txt
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(txt, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+         regexp_replace(txt, '{_PII_EMAIL}', '<EMAIL>', 'g') AS txt1
+  FROM aug
+)
+SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(txt1, '{_PII_NUM}')) AS BIGINT) AS n_longnums,
+       regexp_replace(txt1, '{_PII_NUM}', '<NUM>', 'g') AS redacted
+FROM e
+""",
+    "PII scrubbing: count + redact emails then long digit runs (synthetic "
+    "PII is injected deterministically since the test corpus carries none; "
+    "both engines construct identical inputs). Pure per-row regex -> "
+    "embarrassingly parallel, no shuffle at all.",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = (
+        F.when(did % 7 == 0,
+               F.concat(F.col("text"), F.lit(" contact user"),
+                        did.cast("string"), F.lit("@example.com now")))
+        .when(did % 11 == 0,
+              F.concat(F.col("text"), F.lit(" ref 99"),
+                       did.cast("string"), F.lit("0042")))
+        .otherwise(F.col("text"))
+    )
+    step = docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>").alias("txt1"),
+    )
+    return step.select(
+        "doc_id", "n_emails",
+        F.regexp_count(F.col("txt1"), F.lit(_PII_NUM)).cast("long").alias("n_longnums"),
+        F.regexp_replace(F.col("txt1"), _PII_NUM, "<NUM>").alias("redacted"),
+    )
+
+
+@q(
+    "repetition_signals",
+    f"""
+WITH tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({duck_tokens('text')}) AS token FROM documents)
+  GROUP BY doc_id, token
+)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(CAST(count(*) AS DOUBLE) / sum(tf), 6) AS ttr,
+       round(CAST(max(tf) AS DOUBLE) / sum(tf), 6) AS top_token_frac
+FROM tf GROUP BY doc_id
+""",
+    "Gopher-style repetition quality signals: type-token ratio and "
+    "most-frequent-token mass per document (low TTR / high top-token mass "
+    "flags degenerate repetitive text). One explode + two map-side-"
+    "combinable aggregations.",
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    total = F.sum("tf")
+    return tf.groupBy("doc_id").agg(
+        total.cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.round(F.count("*").cast("double") / total, 6).alias("ttr"),
+        F.round(F.max("tf").cast("double") / total, 6).alias("top_token_frac"),
+    )
+
+
+_SEMDEDUP_TAU = 0.35
+
+_SEMDEDUP_ORACLE = f"""
+WITH RECURSIVE cent AS (
+  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         round({_dk_cos('e.embedding', 'c.ce')}, 6) AS cscore
+  FROM embeddings e CROSS JOIN cent c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY cscore DESC, c.centroid_id ASC) = 1
+),
+edges AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE round({_dk_cos('a.embedding', 'b.embedding')}, 6) >= {_SEMDEDUP_TAU!r}
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY component)
+SELECT comp.node AS vec_id, comp.component, sizes.cluster_size,
+       comp.node = comp.component AS is_canonical
+FROM comp JOIN sizes ON comp.component = sizes.component
+"""
+
+
+@q(
+    "semantic_dedup",
+    _SEMDEDUP_ORACLE,
+    "SemDeDup-style semantic dedup (Abbas et al. 2023 shape): bucket vectors "
+    "by nearest coarse centroid, find cosine near-dup pairs WITHIN buckets "
+    "only (never all-pairs), cluster them via connected components, keep the "
+    "min-id member as canonical. Composition of the IVF assign + pair + CC "
+    "operators; per-bucket pair work replaces the O(n^2) global join.",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.vector import cosine_similarity_fixed
+    from fastembed_rs_spark.operators.components import connected_components
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    bucketed = assign_ivf_buckets_fast(emb, centroids).localCheckpoint()
+    a = bucketed.select("centroid_id", F.col("vec_id").alias("id_a"),
+                        F.col("embedding").alias("__va"))
+    b = bucketed.select("centroid_id", F.col("vec_id").alias("id_b"),
+                        F.col("embedding").alias("__vb"))
+    pairs = (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(
+            cosine_similarity_fixed("__va", "__vb", EMB_DIM), 6))
+        .filter(F.col("score") >= _SEMDEDUP_TAU)
+        .select("id_a", "id_b")
+    )
+    from fastembed_rs_spark.operators.components import component_summary
+
+    cc = component_summary(connected_components(pairs))
+    return cc.select(
+        F.col("node").alias("vec_id"), "component", "cluster_size",
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
+
+
+def _mmr_oracle(nq: int, ncand: int, k: int, lam: float) -> str:
+    """Greedy MMR replayed as chained CTEs (one select per step): candidate
+    relevance is rounded to 6 before ranking, pairwise cosines stay raw
+    (bit-identical fold order both engines), objective = lam*rel -
+    (1-lam)*maxsim in exact double arithmetic, ties to the lowest vec_id."""
+    one_minus = 1.0 - lam
+    parts = [f"""
+WITH cand AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         round({_dk_cos('q.embedding', 'e.embedding')}, 6) AS relevance,
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {nq}) q
+  CROSS JOIN embeddings e
+  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                             ORDER BY relevance DESC, e.vec_id ASC) <= {ncand}
+),
+s1 AS (
+  SELECT query_id, vec_id, relevance, v,
+         {lam!r} * relevance - {one_minus!r} * 0.0 AS objective,
+         CAST(1 AS BIGINT) AS mmr_rank
+  FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY {lam!r} * relevance - {one_minus!r} * 0.0 DESC,
+                                      vec_id ASC) = 1
+),
+sel1 AS (SELECT * FROM s1)"""]
+    for step in range(2, k + 1):
+        prev = f"sel{step - 1}"
+        parts.append(f""",
+rem{step} AS (
+  SELECT c.query_id, c.vec_id, c.relevance, c.v,
+         {lam!r} * c.relevance - {one_minus!r} * max({_dk_cos('c.v', 's.v')}) AS objective
+  FROM cand c JOIN {prev} s ON c.query_id = s.query_id
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} p
+                    WHERE p.query_id = c.query_id AND p.vec_id = c.vec_id)
+  GROUP BY c.query_id, c.vec_id, c.relevance, c.v
+),
+s{step} AS (
+  SELECT query_id, vec_id, relevance, v, objective, CAST({step} AS BIGINT) AS mmr_rank
+  FROM rem{step}
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY objective DESC, vec_id ASC) = 1
+),
+sel{step} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM s{step})""")
+    parts.append(f"""
+SELECT query_id, vec_id, relevance, round(objective, 6) AS objective, mmr_rank
+FROM sel{k}""")
+    return "".join(parts)
+
+
+@q(
+    "mmr_diversify",
+    _mmr_oracle(nq=3, ncand=20, k=5, lam=0.7),
+    "Maximal Marginal Relevance diversification: cosine top-20 candidates "
+    "per query re-ranked greedily to 5 diverse exemplars (lambda=0.7). The "
+    "corpus is touched only by the bounded top-k stage; MMR itself runs as "
+    "one applyInPandas over |queries| x 20 rows.",
+)
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.mmr import mmr_rerank
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cands = cosine_top_k(
+        queries, emb, k=20, round_to=6, dim=EMB_DIM
+    ).select("query_id", "vec_id", F.col("score").alias("relevance"))
+    cands = cands.join(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("vec")),
+        "vec_id",
+    )
+    out = mmr_rerank(cands, k=5, lam=0.7)
+    return out.select("query_id", "vec_id", "relevance", "objective", "mmr_rank")
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import duck_cms, duck_hll, duck_kmv
 
