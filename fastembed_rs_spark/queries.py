@@ -2708,11 +2708,14 @@ GROUP BY g.doc_id
     "corpus postings; the corpus itself never shuffles.",
 )
 def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.fast_text import word_ngram_postings_fast
+
     docs = t(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(D.word_ngrams("text", 5))).alias("gram"),
-    )
+    # string-exact NumPy/regex gram kernel — the interpreted
+    # transform/concat_ws chain measured ~10x slower on this stage
+    grams = word_ngram_postings_fast(docs, "doc_id", "text", 5).select(
+        "doc_id", F.col("__g").alias("gram")
+    ).localCheckpoint()  # feeds both the bench set and the corpus side
     bench = grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
     return (
         grams.filter(F.col("doc_id") % 50 != 0)
@@ -2858,28 +2861,59 @@ FROM comp JOIN sizes ON comp.component = sizes.component
     "operators; per-bucket pair work replaces the O(n^2) global join.",
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastembed_rs_spark.functions.vector import cosine_similarity_fixed
-    from fastembed_rs_spark.operators.components import connected_components
+    from fastembed_rs_spark.operators.components import (
+        component_summary,
+        connected_components,
+    )
 
     emb = t(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
     )
-    bucketed = assign_ivf_buckets_fast(emb, centroids).localCheckpoint()
-    a = bucketed.select("centroid_id", F.col("vec_id").alias("id_a"),
-                        F.col("embedding").alias("__va"))
-    b = bucketed.select("centroid_id", F.col("vec_id").alias("id_b"),
-                        F.col("embedding").alias("__vb"))
+    bucketed = assign_ivf_buckets_fast(emb, centroids)
+
+    # Within-bucket pair scoring as ONE NumPy tile per bucket instead of a
+    # per-pair expression join — the same sequential-dim fold (and margin
+    # pre-filter + Spark-side HALF_UP rounding) as
+    # dedup.embedding_near_dups_blocked, so scores stay bit-identical to
+    # the oracle's list_sum. Tile memory is bucket_size^2 doubles; bucket
+    # sizes are ~n/centroids by construction.
+    margin = _SEMDEDUP_TAU - 1e-6
+
+    def bucket_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "score": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "score": "float64"}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        d = V.shape[1]
+        sq = np.zeros(n)
+        for i in range(d):
+            sq += V[:, i] * V[:, i]
+        norms = np.sqrt(sq)
+        dots = np.zeros((n, n))
+        for i in range(d):
+            dots += np.outer(V[:, i], V[:, i])
+        denom = np.outer(norms, norms)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom == 0.0, 0.0, dots / denom)
+        aa, bb = np.meshgrid(ids, ids, indexing="ij")
+        keep = (aa < bb) & (cos >= margin)
+        return pd.DataFrame({"id_a": aa[keep], "id_b": bb[keep], "score": cos[keep]})
+
     pairs = (
-        a.join(b, ["centroid_id"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("score", F.round(
-            cosine_similarity_fixed("__va", "__vb", EMB_DIM), 6))
+        bucketed.select("centroid_id", "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .groupBy("centroid_id")
+        .applyInPandas(bucket_pairs, schema="id_a long, id_b long, score double")
+        .withColumn("score", F.round("score", 6))
         .filter(F.col("score") >= _SEMDEDUP_TAU)
         .select("id_a", "id_b")
     )
-    from fastembed_rs_spark.operators.components import component_summary
-
     cc = component_summary(connected_components(pairs))
     return cc.select(
         F.col("node").alias("vec_id"), "component", "cluster_size",
