@@ -86,6 +86,9 @@ HEADLINE = [
     "mmr_diversify",
     "ann_ivf_trained",
     "ann_pq_trained",
+    "dsir_importance",
+    "sequence_packing",
+    "embedding_stats",
 ]
 
 

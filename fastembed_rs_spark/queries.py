@@ -2921,6 +2921,168 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_B = 1024  # hashed feature buckets (Xie et al. 2023 use 10^4; scaled down)
+
+
+@q(
+    "dsir_importance",
+    f"""
+WITH tok AS (
+  SELECT doc_id, {duck_token_hash('token')} % {_DSIR_B} AS b
+  FROM (SELECT doc_id, unnest({duck_tokens('text')}) AS token FROM documents)
+),
+tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM tok WHERE doc_id % 50 = 0 GROUP BY b),
+raw AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM tok WHERE doc_id % 50 <> 0 GROUP BY b),
+tots AS (
+  SELECT CAST((SELECT coalesce(sum(c), 0) FROM tgt) AS DOUBLE) AS tgt_tot,
+         CAST((SELECT coalesce(sum(c), 0) FROM raw) AS DOUBLE) AS raw_tot
+),
+scored AS (
+  SELECT tok.doc_id,
+         ln((coalesce(tgt.c, 0) + 1) / (tots.tgt_tot + {_DSIR_B}))
+         - ln((coalesce(raw.c, 0) + 1) / (tots.raw_tot + {_DSIR_B})) AS lr
+  FROM tok LEFT JOIN tgt ON tok.b = tgt.b LEFT JOIN raw ON tok.b = raw.b
+  CROSS JOIN tots
+  WHERE tok.doc_id % 50 <> 0
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(lr), 6) AS dsir_weight
+FROM scored GROUP BY doc_id
+""",
+    "DSIR importance weights (Xie et al. 2023 shape): hashed-unigram "
+    "log-likelihood ratio of a target (eval-slice) LM vs the raw-corpus LM, "
+    "averaged per doc — the data-selection score for matching a target "
+    "distribution. Both LMs are bucket-count tables (size B=1024) -> "
+    "broadcast joins; everything else map-side combines.",
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import token_hash, tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    ).select(
+        "doc_id", (token_hash("token") % _DSIR_B).alias("b")
+    ).localCheckpoint()  # feeds both LMs and the scoring pass
+    tgt = tok.filter(F.col("doc_id") % 50 == 0).groupBy("b").agg(
+        F.count("*").cast("long").alias("tc"))
+    raw = tok.filter(F.col("doc_id") % 50 != 0).groupBy("b").agg(
+        F.count("*").cast("long").alias("rc"))
+    tots = tgt.agg(F.sum("tc").cast("double").alias("tgt_tot")).crossJoin(
+        raw.agg(F.sum("rc").cast("double").alias("raw_tot")))
+    lr = (
+        F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1) / (F.col("tgt_tot") + _DSIR_B))
+        - F.log((F.coalesce(F.col("rc"), F.lit(0)) + 1) / (F.col("raw_tot") + _DSIR_B))
+    )
+    scored = (
+        tok.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(tgt), "b", "left")
+        .join(F.broadcast(raw), "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select("doc_id", lr.alias("lr"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.avg("lr"), 6).alias("dsir_weight"),
+    )
+
+
+_PACK_C = 256  # chunk capacity in tokens
+_PACK_SHARDS = 8
+
+
+@q(
+    "sequence_packing",
+    f"""
+WITH d AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         CAST(len({duck_tokens('text')}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start_tok
+  FROM d WHERE n_tokens > 0
+)
+SELECT doc_id, shard, start_tok,
+       shard * 1000000 + start_tok // {_PACK_C} AS chunk_id,
+       (start_tok + n_tokens - 1) // {_PACK_C} - start_tok // {_PACK_C} + 1 AS n_chunks
+FROM c
+""",
+    "pretraining sequence packing (concat-and-chunk): per shard, docs "
+    "concatenate in id order into a virtual token stream cut into fixed "
+    f"{_PACK_C}-token chunks; each doc gets its starting chunk and span "
+    "count. The cumulative sum is a per-shard window — shards bound window "
+    "partition size, so no global sort exists at scale.",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    c = d.withColumn("start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return c.select(
+        "doc_id", "shard", "start_tok",
+        (F.col("shard") * 1000000 + F.floor(F.col("start_tok") / _PACK_C))
+        .cast("long").alias("chunk_id"),
+        (F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / _PACK_C)
+         - F.floor(F.col("start_tok") / _PACK_C) + 1).cast("long").alias("n_chunks"),
+    )
+
+
+@q(
+    "embedding_stats",
+    f"""
+WITH dims AS (SELECT unnest(generate_series(1, {EMB_DIM})) AS i),
+x AS (
+  SELECT dims.i - 1 AS dim, CAST(e.embedding[dims.i] AS DOUBLE) AS x
+  FROM embeddings e CROSS JOIN dims
+),
+agg AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n, sum(x) AS s, sum(x * x) AS ss,
+         min(x) AS mn, max(x) AS mx
+  FROM x GROUP BY dim
+)
+SELECT dim, n, round(s / n, 6) AS mean,
+       round(sqrt((ss - s * s / n) / (n - 1)), 6) AS std,
+       round(mn, 6) AS min_x, round(mx, 6) AS max_x
+FROM agg
+""",
+    "per-dimension embedding distribution stats (mean/std/min/max) — the "
+    "drift-monitoring table a production embedding pipeline publishes per "
+    "batch. One posexplode + one map-side-combinable aggregation keyed by "
+    "dim; variance via the explicit sum-of-squares identity so both engines "
+    "compute the same expression.",
+)
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    x = emb.select(F.posexplode(F.col("embedding").cast("array<double>"))
+                   .alias("dim", "x"))
+    agg = x.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    )
+    return agg.select(
+        F.col("dim").cast("long").alias("dim"), "n",
+        F.round(F.col("s") / F.col("n"), 6).alias("mean"),
+        F.round(F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+                       / (F.col("n") - 1)), 6).alias("std"),
+        F.round("mn", 6).alias("min_x"),
+        F.round("mx", 6).alias("max_x"),
+    )
+
+
 def _mmr_oracle(nq: int, ncand: int, k: int, lam: float) -> str:
     """Greedy MMR replayed as chained CTEs (one select per step): candidate
     relevance is rounded to 6 before ranking, pairwise cosines stay raw
