@@ -1,0 +1,121 @@
+"""Property tests for the round-3 curation operators (MMR, sequence
+packing, DSIR, decontamination, PII) — semantics beyond the oracle
+hash-match: diversity actually improves, chunks tile the token stream,
+target docs are excluded, redaction round-trips."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    from fastembed_rs_spark.queries import all_queries
+
+    return all_queries()
+
+
+def test_mmr_reduces_redundancy_vs_topk(spark, catalog):
+    """The MMR-selected 5 must have a lower mean pairwise cosine than the
+    plain top-5 by relevance (that's the operator's whole point), while
+    rank 1 stays the most relevant candidate."""
+    import numpy as np
+
+    out = catalog["mmr_diversify"].spark(spark, SF).collect()
+    emb = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()}
+
+    def mean_pairwise(ids):
+        vs = [emb[i] / np.linalg.norm(emb[i]) for i in ids]
+        sims = [float(vs[i] @ vs[j]) for i in range(len(vs))
+                for j in range(i + 1, len(vs))]
+        return sum(sims) / len(sims)
+
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 3
+    improved = 0
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["mmr_rank"])
+        assert [r["mmr_rank"] for r in rows] == [1, 2, 3, 4, 5]
+        # rank 1 = argmax relevance (ties id asc)
+        best_rel = max(r["relevance"] for r in rows)
+        assert rows[0]["relevance"] == best_rel
+        # compare against plain top-5 by relevance from the same candidates
+        cand = catalog["cosine_topk"]  # not same k; recompute top-5 directly
+        sims_mmr = mean_pairwise([r["vec_id"] for r in rows])
+        from fastembed_rs_spark.operators.topk import cosine_top_k
+
+        emb_df = spark.read.parquet(f"{SF}/embeddings.parquet")
+        queries = emb_df.filter(F.col("vec_id") == q).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        top5 = [r["vec_id"] for r in cosine_top_k(
+            queries, emb_df, k=5, round_to=6, dim=64).collect()]
+        sims_top = mean_pairwise(top5)
+        improved += sims_mmr <= sims_top + 1e-12
+    assert improved == 3  # diversification never increases redundancy here
+
+
+def test_sequence_packing_tiles_the_stream(spark, catalog):
+    """Within a shard: docs are contiguous (start = prev start + prev len),
+    chunk ids are non-decreasing, and n_chunks matches the span formula."""
+    rows = catalog["sequence_packing"].spark(spark, SF).collect()
+    from fastembed_rs_spark.functions.text import tokens
+
+    ntok = {r["doc_id"]: r["n"] for r in spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", F.size(tokens("text")).alias("n")).collect()}
+    shards: dict[int, list] = {}
+    for r in rows:
+        shards.setdefault(r["shard"], []).append(r)
+    assert len(shards) == 8
+    C = 256
+    for shard, rs in shards.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        expect_start = 0
+        for r in rs:
+            assert r["start_tok"] == expect_start
+            expect_start += ntok[r["doc_id"]]
+            first = r["start_tok"] // C
+            last = (r["start_tok"] + ntok[r["doc_id"]] - 1) // C
+            assert r["chunk_id"] == shard * 1_000_000 + first
+            assert r["n_chunks"] == last - first + 1
+
+
+def test_dsir_excludes_target_slice(spark, catalog):
+    rows = catalog["dsir_importance"].spark(spark, SF).collect()
+    assert rows and all(r["doc_id"] % 50 != 0 for r in rows)
+
+
+def test_decontam_reports_only_nontarget_docs(spark, catalog):
+    rows = catalog["benchmark_decontam"].spark(spark, SF).collect()
+    assert all(r["doc_id"] % 50 != 0 for r in rows)
+    assert all(r["n_shared_grams"] >= 1 for r in rows)
+
+
+def test_pii_redaction_is_complete(spark, catalog):
+    """After redaction no email pattern or 6+-digit run survives, and
+    injected rows are counted."""
+    rows = catalog["pii_redact"].spark(spark, SF).collect()
+    import re
+
+    email = re.compile(r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}")
+    num = re.compile(r"[0-9]{6,}")
+    n_email_docs = n_num_docs = 0
+    for r in rows:
+        assert not email.search(r["redacted"]), r["doc_id"]
+        assert not num.search(r["redacted"]), r["doc_id"]
+        if r["doc_id"] % 7 == 0:
+            assert r["n_emails"] == 1
+            n_email_docs += 1
+        elif r["doc_id"] % 11 == 0:
+            assert r["n_longnums"] == 1
+            n_num_docs += 1
+        else:
+            assert r["n_emails"] == 0 and r["n_longnums"] == 0
+    assert n_email_docs > 0 and n_num_docs > 0

@@ -81,3 +81,40 @@ def test_hybrid_rrf_has_no_corpus_window(spark, catalog):
     above_union = p.partition("Union")[0]
     assert "Window [row_number()" in above_union  # fused window is up there
     assert "FileScan" not in above_union
+
+
+def test_dsir_lm_joins_are_broadcast(spark, catalog):
+    """Both bucket-count LM tables (size ≤ 1024) must broadcast — a
+    sort-merge join here would shuffle the exploded token stream twice."""
+    p = plan_of(spark, catalog, "dsir_importance")
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "partial_count" in p or "partial_sum" in p  # map-side LM partials
+
+
+def test_decontam_bench_set_is_broadcast(spark, catalog):
+    p = plan_of(spark, catalog, "benchmark_decontam")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_sequence_packing_window_is_sharded(spark, catalog):
+    """The cumsum window must partition by shard — an empty partitionBy
+    would funnel the corpus through one task."""
+    p = plan_of(spark, catalog, "sequence_packing")
+    assert "Window" in p
+    import re
+    w = re.search(r"Window \[.*?windowspecdefinition\((.*?),", p)
+    assert w is not None and "shard" in w.group(1)
+
+
+def test_embedding_stats_aggregates_map_side(spark, catalog):
+    p = plan_of(spark, catalog, "embedding_stats")
+    assert "partial_sum" in p and "partial_min" in p and "partial_max" in p
+    assert "Window" not in p
+
+
+def test_unigram_lm_is_broadcast(spark, catalog):
+    p = plan_of(spark, catalog, "unigram_surprisal")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
