@@ -89,6 +89,7 @@ HEADLINE = [
     "dsir_importance",
     "sequence_packing",
     "embedding_stats",
+    "embed_qwen_vl_stub",
 ]
 
 

@@ -161,6 +161,13 @@ register(ModelSpec(
     model_code="nomic-ai/nomic-embed-text-v2-moe", backend="candle",
     description="MoE encoder, mean pool (src/models/nomic_v2_moe.rs:647-653)",
 ))
+register(ModelSpec(
+    name="Qwen3VLEmbedding", dim=2048, kind="vl", vocab_size=0,
+    model_code="Qwen/Qwen3-VL-2B-Instruct", backend="candle",
+    description="Qwen3-VL vision tower: smart-resize -> merge-block patch "
+                "tokens -> visual forward (src/models/qwen3.rs:1146-1420); "
+                "loaded by repo id like the reference's from_hf",
+))
 
 # sparse models (src/models/sparse.rs)
 register(ModelSpec(
@@ -227,5 +234,8 @@ register(ModelSpec(name="stub-bgem3", dim=32, kind="bgem3", vocab_size=997,
                    description="NumPy stub emitting (dense, sparse, colbert) triple"))
 register(ModelSpec(name="stub-image", dim=32, kind="image", vocab_size=0,
                    description="NumPy stub image tower (deterministic fake decode)"))
+register(ModelSpec(name="stub-qwen-vl", dim=32, kind="vl", vocab_size=0,
+                   description="NumPy stub Qwen3-VL vision tower consuming the "
+                               "real merge-block patch pipeline"))
 register(ModelSpec(name="stub-rerank", dim=1, kind="rerank", vocab_size=997,
                    description="NumPy stub cross-encoder pair scorer"))

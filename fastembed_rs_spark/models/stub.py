@@ -148,6 +148,31 @@ class StubImageSession:
         return {"image_embeds": out.astype(np.float32)}
 
 
+class StubQwenVLSession:
+    """Qwen3-VL vision tower stand-in: consumes the REAL patch pipeline's
+    output — (N, 3·tps·ps²) patch rows in merge-block order plus the
+    (t, h, w) grid (src/models/qwen3.rs:1398: forward(pixel_values,
+    image_grid_thw)) — and emits one deterministic ``image_embeds`` row per
+    merge block, the token shape the real tower produces after its
+    merge-size² spatial merge."""
+
+    def __init__(self, spec: ModelSpec, merge_size: int = 2):
+        self.spec = spec
+        self.merge_size = merge_size
+        self.output_names = ["image_embeds"]
+
+    def run(self, _out, feeds: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        patches = feeds["pixel_patches"].astype(np.float64)  # (N, F)
+        n, feat = patches.shape
+        per_block = self.merge_size * self.merge_size
+        m = max(n // per_block, 1)
+        block_mean = patches[: m * per_block].reshape(m, per_block, feat).mean(axis=1)
+        dim = self.spec.dim
+        idx = (np.arange(dim) * 131) % feat
+        out = np.sin(block_mean[:, idx] * 3.1 + np.arange(dim) * 0.7)
+        return {"image_embeds": out.astype(np.float32)}
+
+
 class StubRerankSession:
     """Cross-encoder: consumes pair encodings, emits ``logits`` (B,1); the
     deterministic score grows with query/doc token-id overlap."""
@@ -175,6 +200,7 @@ SESSIONS = {
     "sparse": StubSparseSession,
     "bgem3": StubBgem3Session,
     "image": StubImageSession,
+    "vl": StubQwenVLSession,
     "rerank": StubRerankSession,
 }
 

@@ -418,6 +418,63 @@ def embed_image(
     return df.mapInPandas(fn, schema=out_schema)
 
 
+def embed_qwen_vl(
+    df: DataFrame,
+    content_col: str = "content",
+    model: str = "stub-qwen-vl",
+    out_col: str = "embedding",
+    batch_size: int = 16,
+    patch_size: int = 16,
+    merge_size: int = 2,
+    min_pixels: int = 0,
+    max_pixels: int = 2**31,
+) -> DataFrame:
+    """Qwen3-VL image embedding: binary column → decode → smart-resize →
+    merge-block patch tokens → vision tower → mean-pool → L2-normalize.
+    Appends ``out_col array<float>`` and ``grid struct<t,h,w int>``.
+
+    The preprocessing half (smart_resize + patch extraction in merge-block
+    order, src/models/qwen3.rs:193-336) is the REAL pipeline from
+    operators.preprocessing; the tower forward
+    (src/models/qwen3.rs:1146-1420) runs through the per-worker session —
+    the NumPy stub offline, the candle/torch-exported model when its
+    artifacts are staged. Images run one-at-a-time through the tower (the
+    token count varies per image); the mapInPandas batch amortizes session
+    reuse, not tower batching — matching the reference, whose VL forward
+    is also per-image."""
+    out_schema = _with_schema(
+        df, f"{out_col} array<float>, grid struct<t: int, h: int, w: int>"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from fastembed_rs_spark.models.runtime import get_session
+        from fastembed_rs_spark.operators.preprocessing import qwen_vl_patches
+
+        _tok, session = get_session(model)
+        for pdf in batches:
+            for chunk in _chunks(pdf, batch_size):
+                embs, grids = [], []
+                for b in chunk[content_col]:
+                    hwc = decode_image(b if b is not None else b"")
+                    patches, (gt, gh, gw) = qwen_vl_patches(
+                        hwc, patch_size=patch_size, merge_size=merge_size,
+                        min_pixels=min_pixels, max_pixels=max_pixels,
+                    )
+                    out = _run(session, {
+                        "pixel_patches": patches,
+                        "grid_thw": np.array([gt, gh, gw], dtype=np.int64),
+                    })
+                    tokens = select_output(out, None)  # (n_merged, dim)
+                    embs.append(l2n(tokens.mean(axis=0)).astype(np.float32))
+                    grids.append({"t": int(gt), "h": int(gh), "w": int(gw)})
+                res = chunk.copy()
+                res[out_col] = embs
+                res["grid"] = grids
+                yield res
+
+    return df.mapInPandas(fn, schema=out_schema)
+
+
 def rerank_score(
     pairs: DataFrame,
     query_col: str = "query",

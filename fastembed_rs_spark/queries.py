@@ -3159,6 +3159,33 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "relevance", "objective", "mmr_rank")
 
 
+@q(
+    "embed_qwen_vl_stub",
+    None,
+    "Qwen3-VL image embedding through the REAL smart-resize + merge-block "
+    "patch pipeline (src/models/qwen3.rs:193-336) and the per-worker vision "
+    "tower session (stub offline); returns (doc_id, dim, norm, grid) — "
+    "rows-only check, numeric semantics pinned by tests",
+)
+def q_embed_qwen_vl_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.vector import l2_norm
+    from fastembed_rs_spark.operators.embed import embed_qwen_vl
+
+    docs = t(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    out = embed_qwen_vl(media, "content", model="stub-qwen-vl",
+                        patch_size=4, merge_size=2)
+    return out.select(
+        "doc_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(l2_norm("embedding"), 4).alias("norm"),
+        F.col("grid.h").cast("long").alias("grid_h"),
+        F.col("grid.w").cast("long").alias("grid_w"),
+    )
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import duck_cms, duck_hll, duck_kmv
 

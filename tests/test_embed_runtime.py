@@ -266,3 +266,31 @@ def test_sparse_bgem3_method(spark, docs):
              for r in embed_sparse(docs.repartition(5), "text",
                                    model="stub-sparse-bgem3").collect()}
     assert m == again
+
+
+def test_qwen_vl_embed_shapes_and_grid(spark):
+    from fastembed_rs_spark.operators.embed import embed_qwen_vl
+
+    df = spark.createDataFrame(
+        [(0, bytearray(b"fake-img-a")), (1, bytearray(b"fake-img-bb"))],
+        ["doc_id", "content"],
+    )
+    # fake decode yields 16x16; patch 4 + merge 2 -> factor 8 -> 16x16 kept,
+    # grid 4x4, 4 merge blocks pooled into one vector
+    rows = embed_qwen_vl(
+        df, "content", model="stub-qwen-vl", patch_size=4, merge_size=2
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert len(r["embedding"]) == 32
+        norm = math.sqrt(sum(x * x for x in r["embedding"]))
+        assert norm == pytest.approx(1.0, abs=1e-3)
+        assert (r["grid"]["t"], r["grid"]["h"], r["grid"]["w"]) == (1, 4, 4)
+    # determinism + partition invariance
+    a = {r["doc_id"]: list(r["embedding"]) for r in rows}
+    b = {r["doc_id"]: list(r["embedding"]) for r in embed_qwen_vl(
+        df.repartition(2), "content", model="stub-qwen-vl",
+        patch_size=4, merge_size=2).collect()}
+    assert a == b
+    # distinct inputs -> distinct embeddings
+    assert a[0] != a[1]
