@@ -74,10 +74,10 @@ def minhash_coeffs(n: int) -> list[tuple[int, int]]:
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Group documents by token-stream fingerprint; one row per distinct
     content: (fingerprint, n_docs, canonical_id = min id)."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    from fastembed_rs_spark.operators.scale import spread_if_narrow
+
     return (
-        df.select(F.col(id_col), F.col(text_col))
-        .repartition(parallelism)  # single-row-group scans: spread the rolling hash
+        spread_if_narrow(df.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), doc_fingerprint(text_col).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(
@@ -103,11 +103,12 @@ def minhash_signatures(
     Documents with no shingles (len(text) < k) get no row.
     """
     coeffs = minhash_coeffs(num_hashes)
-    # Repartition before the shingle explosion: test tables are single-row-
-    # group parquet (1 scan task), and the rolling-hash work is the heavy
-    # per-row stage — spread it across the cluster first.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    exploded = df.select(F.col(id_col), F.col(text_col)).repartition(parallelism).select(
+    # Spread before the shingle explosion only when the scan is narrow
+    # (single-row-group test parquet): the rolling-hash work is the heavy
+    # per-row stage. A many-split 100 TB scan passes through untouched.
+    from fastembed_rs_spark.operators.scale import spread_if_narrow
+
+    exploded = spread_if_narrow(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(shingle_hashes(text_col, k_shingle)).alias("sh")
     )
     aggs = [
@@ -302,13 +303,14 @@ def _ngram_jaccard_allpairs(
     threshold: float = 0.1, round_to: int = 6,
 ) -> DataFrame:
     """All-pairs cross-join variant (O(n²) — small candidate subsets only)."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    from fastembed_rs_spark.operators.scale import spread_if_narrow
+
     grams = df.select(
         F.col(id_col), F.array_distinct(word_ngrams(text_col, n)).alias("__grams")
     )
-    # stream side repartitioned so the O(n²) intersect work parallelizes even
-    # from a single-row-group scan
-    a = grams.repartition(parallelism).select(
+    # stream side spread (when narrow) so the O(n²) intersect work
+    # parallelizes even from a single-row-group scan
+    a = spread_if_narrow(grams).select(
         F.col(id_col).alias("id_a"), F.col("__grams").alias("__ga")
     )
     b = grams.select(F.col(id_col).alias("id_b"), F.col("__grams").alias("__gb"))
@@ -543,10 +545,11 @@ def embedding_near_dups(
     from fastembed_rs_spark.functions.vector import cosine_similarity_fixed
 
     # The pair join's output parallelism = stream-side partitions; spread the
-    # stream side so the O(n²) scoring parallelizes even from a single-split
-    # scan (measured 3× at sf0.1; harmless one extra n-row shuffle at scale)
-    parallelism = emb.sparkSession.sparkContext.defaultParallelism
-    a = emb.repartition(parallelism).select(
+    # stream side (when narrow) so the O(n²) scoring parallelizes even from a
+    # single-split scan (measured 3× at sf0.1; no-op on a many-split scan)
+    from fastembed_rs_spark.operators.scale import spread_if_narrow
+
+    a = spread_if_narrow(emb).select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
     )
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from fastembed_rs_spark.operators.scale import spread_if_narrow
+
 from fastembed_rs_spark.functions.text import token_hashes
 
 DEFAULT_DIM = 64
@@ -61,8 +63,7 @@ def hash_embed_coords(
 
     Mirrors the oracle SQL shape exactly; the norm join is keyed by doc id so
     both shuffles are uniform at scale."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    exploded = df.select(F.col(id_col), F.col(text_col)).repartition(parallelism).select(
+    exploded = spread_if_narrow(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.transform(token_hashes(text_col), lambda h: h % dim)).alias("bucket"),
     )
@@ -88,8 +89,7 @@ def splade_like_coords(
     explode → groupBy(id, bucket) with map-side combine — one shuffle keyed by
     (doc, term), uniform by construction (hash buckets), skew-safe.
     """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    exploded = df.select(F.col(id_col), F.col(text_col)).repartition(parallelism).select(
+    exploded = spread_if_narrow(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.transform(token_hashes(text_col), lambda h: h % vocab)).alias("term_bucket"),
     )

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fastembed_rs_spark.functions.text import HASH_BASE, HASH_MOD, TOKEN_SPLIT_RE
+from fastembed_rs_spark.operators.scale import spread_if_narrow
 
 _TOKEN_RE = re.compile(TOKEN_SPLIT_RE)
 
@@ -89,7 +90,6 @@ def hash_embed_coords_fast(
     complete within the map stage (the expression path needs two shuffles)."""
     import pandas as pd  # noqa: F401
 
-    spark = df.sparkSession
     schema = f"{id_col} {_out_id_type(df, id_col)}, bucket long, weight double"
 
     def gen(batches: Iterator) -> Iterator:
@@ -118,9 +118,7 @@ def hash_embed_coords_fast(
                 "weight": weight,
             })
 
-    src = df.select(id_col, text_col).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    src = spread_if_narrow(df.select(id_col, text_col))
     out = src.mapInPandas(gen, schema=schema)
     return out.withColumn("weight", F.round("weight", round_to))
 
@@ -136,7 +134,6 @@ def minhash_signatures_fast(
     from fastembed_rs_spark.operators.dedup import MINHASH_COEFFS
 
     cfs = coeffs if coeffs is not None else MINHASH_COEFFS
-    spark = df.sparkSession
     mh_cols = ", ".join(f"mh_{i} long" for i in range(len(cfs)))
     schema = f"{id_col} {_out_id_type(df, id_col)}, {mh_cols}"
 
@@ -168,9 +165,7 @@ def minhash_signatures_fast(
                 data[f"mh_{i}"] = sig_mat[:, i]
             yield pd.DataFrame(data)
 
-    src = df.select(id_col, text_col).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    src = spread_if_narrow(df.select(id_col, text_col))
     return src.mapInPandas(gen, schema=schema)
 
 
@@ -182,7 +177,6 @@ def splade_like_coords_fast(
     output (id, term_bucket long, value double = ln(1+tf)). The hashing and
     tf counting run in the kernel; the ``log`` stays Spark-side so the libm
     that produced the existing oracle parity keeps producing it."""
-    spark = df.sparkSession
     schema = f"{id_col} {_out_id_type(df, id_col)}, term_bucket long, tf long"
 
     def gen(batches: Iterator) -> Iterator:
@@ -207,9 +201,7 @@ def splade_like_coords_fast(
                 "tf": counts.astype(np.int64),
             })
 
-    src = df.select(id_col, text_col).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    src = spread_if_narrow(df.select(id_col, text_col))
     out = src.mapInPandas(gen, schema=schema)
     value = F.log(F.lit(1.0) + F.col("tf").cast("double"))
     if round_to is not None:
@@ -224,7 +216,6 @@ def shingle_sets_fast(
     built with Python slicing instead of the interpreted per-position
     ``substring`` expression. Exact string semantics — dedup by string
     equality, same as ``array_distinct(char_shingles(...))``."""
-    spark = df.sparkSession
     schema = f"{id_col} {_out_id_type(df, id_col)}, shingles array<string>"
 
     def gen(batches: Iterator) -> Iterator:
@@ -239,9 +230,7 @@ def shingle_sets_fast(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "shingles": shingle_lists})
 
-    src = df.select(id_col, text_col).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    src = spread_if_narrow(df.select(id_col, text_col))
     return src.mapInPandas(gen, schema=schema)
 
 
@@ -271,7 +260,6 @@ def verify_candidates_fast(
 def doc_fingerprints_fast(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """NumPy fast path of ``functions.text.doc_fingerprint`` (rolling hash of
     the space-joined token stream): (id, fingerprint long)."""
-    spark = df.sparkSession
     schema = f"{id_col} {_out_id_type(df, id_col)}, fingerprint long"
 
     def gen(batches: Iterator) -> Iterator:
@@ -284,9 +272,7 @@ def doc_fingerprints_fast(df: DataFrame, id_col: str, text_col: str) -> DataFram
                 "fingerprint": _rolling_hash_many(joined),
             })
 
-    src = df.select(id_col, text_col).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    src = spread_if_narrow(df.select(id_col, text_col))
     return src.mapInPandas(gen, schema=schema)
 
 
@@ -350,7 +336,7 @@ def word_ngram_postings_fast(
 
     schema = f"{id_col} {_out_id_type(df, id_col)}, __g string, __sz int"
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    src = df.select(id_col, text_col).repartition(parallelism)
+    src = spread_if_narrow(df.select(id_col, text_col))
 
     def gen(batches: Iterator) -> Iterator:
         for pdf in batches:
@@ -413,7 +399,7 @@ def text_stat_counts_fast(
     )
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     sel = [id_col, *keep] + ([] if text_col in (id_col, *keep) else [text_col])
-    src = df.select(*sel).repartition(parallelism)
+    src = spread_if_narrow(df.select(*sel))
 
     def gen(batches: Iterator) -> Iterator:
         for pdf in batches:
