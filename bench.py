@@ -90,6 +90,7 @@ HEADLINE = [
     "sequence_packing",
     "embedding_stats",
     "embed_qwen_vl_stub",
+    "incremental_dedup",
 ]
 
 

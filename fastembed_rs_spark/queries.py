@@ -3160,6 +3160,44 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "incremental_dedup",
+    f"""
+WITH fp AS (
+  SELECT doc_id, {duck_doc_fingerprint('text')} AS fingerprint FROM documents
+),
+known AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 < 8),
+new_batch AS (SELECT * FROM fp WHERE doc_id % 10 >= 8)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fingerprint,
+       CAST(count(*) AS BIGINT) AS n_in_batch
+FROM new_batch
+WHERE fingerprint NOT IN (SELECT fingerprint FROM known)
+GROUP BY fingerprint
+""",
+    "incremental dedup — the shape a production ingest actually runs: a NEW "
+    "batch (doc_id % 10 >= 8) dedups against the persisted fingerprint store "
+    "of the existing corpus (anti-join on fingerprint) and then within "
+    "itself (min-id per fingerprint). At scale the store is bucketed by "
+    "fingerprint so the anti-join is co-located; the batch side is small.",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.fast_text import doc_fingerprints_fast
+
+    docs = t(spark, sf_dir, "documents")
+    fp = doc_fingerprints_fast(docs, "doc_id", "text").localCheckpoint()
+    known = fp.filter(F.col("doc_id") % 10 < 8).select("fingerprint").distinct()
+    new_batch = fp.filter(F.col("doc_id") % 10 >= 8)
+    return (
+        new_batch.join(known, "fingerprint", "left_anti")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").cast("long").alias("doc_id"),
+            F.count("*").cast("long").alias("n_in_batch"),
+        )
+        .select("doc_id", "fingerprint", "n_in_batch")
+    )
+
+
+@q(
     "embed_qwen_vl_stub",
     None,
     "Qwen3-VL image embedding through the REAL smart-resize + merge-block "
