@@ -91,6 +91,9 @@ HEADLINE = [
     "embedding_stats",
     "embed_qwen_vl_stub",
     "incremental_dedup",
+    "customers_with_returns",
+    "user_event_pivot",
+    "value_by_type_salted",
 ]
 
 

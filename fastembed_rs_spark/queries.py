@@ -3160,6 +3160,89 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "customers_with_returns",
+    """
+SELECT c.c_custkey, c.c_name, c.c_acctbal
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R'
+)
+""",
+    "customers with at least one returned line item — LEFT SEMI join "
+    "coverage (EXISTS): the probe side reduces to distinct custkeys before "
+    "the join, so the semi join carries no duplicate fan-out",
+)
+def q_customers_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select("o_custkey")
+    )
+    return cust.join(
+        returned, cust["c_custkey"] == returned["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@q(
+    "user_event_pivot",
+    """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (WHERE event_type NOT IN ('click','view','purchase')
+            OR event_type IS NULL) AS BIGINT) AS other
+FROM events GROUP BY user_id
+""",
+    "per-user event-type matrix — PIVOT coverage expressed as conditional "
+    "aggregation (one map-side-combinable pass; a literal pivot on an "
+    "unbounded key space would need a driver-side distinct first)",
+)
+def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    known = ("click", "view", "purchase")
+    aggs = [
+        F.count(F.when(F.col("event_type") == k, 1)).cast("long").alias(k)
+        for k in known
+    ]
+    other = F.count(
+        F.when(~F.col("event_type").isin(*known) | F.col("event_type").isNull(), 1)
+    ).cast("long").alias("other")
+    return ev.groupBy("user_id").agg(*aggs, other)
+
+
+@q(
+    "value_by_type_salted",
+    """
+SELECT event_type, round(sum(value), 2) AS total_value,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""",
+    "skew-safe two-stage aggregation (operators/scale.salted_aggregate): a "
+    "hot group key's rows spread over 32 salt buckets before the true-key "
+    "merge — value-identical to the plain GROUP BY (the oracle), which is "
+    "the point: salting is a physical rewrite, not a semantic one",
+)
+def q_value_by_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.scale import salted_aggregate
+
+    ev = t(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev, ["event_type"],
+        {"total_value": ("value", "sum"), "n": ("value", "count")},
+        salt_buckets=32,
+    )
+    return out.select(
+        "event_type", F.round("total_value", 2).alias("total_value"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+@q(
     "incremental_dedup",
     f"""
 WITH fp AS (
