@@ -186,3 +186,36 @@ def test_minhash_coeffs_extend_beyond_pinned_16(spark):
         assert len(r["s32"]) == 32
         assert all(v is not None for v in r["s32"])
         assert list(r["s32"][:16]) == list(r["s16"])
+
+
+def test_neardup_stream_wide_signature_matches_batch_replication(spark, stream_dir):
+    """bands*rows_per_band = 32 > the 16 pinned coefficients — the exact
+    configuration that silently truncated before minhash_coeffs extended
+    the pairs (higher bands all shared an empty key and est_jaccard used a
+    16-hash denominator). Stream output must now equal the 32-hash batch
+    replication."""
+    from fastembed_rs_spark.streaming.neardup_stream import neardup_stream
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(stream_dir + "/docs")
+
+    src = spark.readStream.schema(df.schema).parquet(stream_dir + "/docs")
+    q = (
+        neardup_stream(src, bands=8, rows_per_band=4, threshold=0.5)
+        .writeStream.format("memory")
+        .queryName("neardup_wide").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql("select distinct id_a, id_b from neardup_wide").collect()
+    }
+    expected = _batch_expected(spark, DOCS, bands=8, rows_per_band=4, threshold=0.5)
+    assert got == expected
+    assert (0, 1) in got
+    # est_jaccard uses the full 32-hash denominator: all estimates in (0, 1]
+    ests = [r["est_jaccard"] for r in spark.sql(
+        "select est_jaccard from neardup_wide").collect()]
+    assert ests and all(0.0 < e <= 1.0 for e in ests)
