@@ -94,6 +94,7 @@ HEADLINE = [
     "customers_with_returns",
     "user_event_pivot",
     "value_by_type_salted",
+    "hll_distinct_per_lang",
 ]
 
 

@@ -291,6 +291,7 @@ def exact_dedup_fast(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def token_hash_rows_fast(
     df: DataFrame, text_col: str, dedup_per_batch: bool = True,
+    key_col: str | None = None,
 ) -> DataFrame:
     """Exploded ``(h long)`` rows — the rolling hash of every token of every
     document, the NumPy fast path of ``F.explode(token_hashes(text))``
@@ -300,28 +301,46 @@ def token_hash_rows_fast(
     ``dedup_per_batch`` drops within-batch duplicate hashes before the
     shuffle — safe for distinct-count consumers (KMV re-distincts globally,
     HLL registers are max-merged) and cuts shuffled rows to the per-batch
-    vocabulary. Frequency consumers (CMS) must pass False."""
+    vocabulary. Frequency consumers (CMS) must pass False.
+
+    ``key_col`` carries a grouping column through: output becomes
+    ``(key, h)`` and the per-batch dedup applies per (key, h) pair — the
+    input shape for per-group sketches."""
     import pandas as pd
 
     from fastembed_rs_spark.operators.scale import spread_if_narrow
 
-    src = spread_if_narrow(df.select(text_col))
+    cols = [text_col] if key_col is None else [key_col, text_col]
+    src = spread_if_narrow(df.select(*cols))
+    out_schema = "h long" if key_col is None else (
+        f"{key_col} {_out_id_type(df, key_col)}, h long"
+    )
 
     def gen(batches: Iterator) -> Iterator:
         import numpy as np
 
         for pdf in batches:
             toks: list[str] = []
-            for text in pdf[text_col]:
-                toks.extend(_tokens(text or ""))
+            keys: list = []
+            for i, text in enumerate(pdf[text_col]):
+                ts = _tokens(text or "")
+                toks.extend(ts)
+                if key_col is not None:
+                    keys.extend([pdf[key_col].iloc[i]] * len(ts))
             if not toks:
                 continue
             hs = _rolling_hash_many(toks)
-            if dedup_per_batch:
-                hs = np.unique(hs)
-            yield pd.DataFrame({"h": hs})
+            if key_col is None:
+                if dedup_per_batch:
+                    hs = np.unique(hs)
+                yield pd.DataFrame({"h": hs})
+            else:
+                out = pd.DataFrame({key_col: keys, "h": hs})
+                if dedup_per_batch:
+                    out = out.drop_duplicates([key_col, "h"])
+                yield out
 
-    return src.mapInPandas(gen, schema="h long")
+    return src.mapInPandas(gen, schema=out_schema)
 
 
 def word_ngram_postings_fast(

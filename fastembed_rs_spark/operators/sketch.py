@@ -168,6 +168,36 @@ FROM tot
 """
 
 
+def duck_hll_grouped(hash_expr_rows: str, key: str, p: int = 9) -> str:
+    """Per-group form of ``duck_hll``: ``hash_expr_rows`` yields (key, h);
+    every stage carries the key. The register/estimate math is identical."""
+    m = 1 << p
+    w_bits = (HASH_MOD // m).bit_length()
+    alpha = _alpha(m)
+    numer = f"(({alpha!r}::DOUBLE) * {m} * {m} * ({float(1 << SHIFT)!r}::DOUBLE))"
+    return f"""
+WITH regs AS (
+  SELECT {key}, h % {m} AS bucket,
+         max({w_bits} - (CASE WHEN h // {m} = 0 THEN 0 ELSE length(bin(h // {m})) END) + 1) AS rho
+  FROM ({hash_expr_rows}) GROUP BY 1, 2
+), agg AS (
+  SELECT {key}, count(*) AS present,
+         CAST(sum(CAST((CAST(1 AS BIGINT) << ({SHIFT} - rho)) AS HUGEINT)) AS BIGINT)
+           AS s_present
+  FROM regs GROUP BY {key}
+), tot AS (
+  SELECT {key}, present,
+         CAST(s_present + ({m} - present) * {1 << SHIFT} AS DOUBLE) AS s_total
+  FROM agg
+)
+SELECT {key}, {m} AS hll_m,
+       round(CASE WHEN {numer} / s_total <= ({2.5 * m!r}::DOUBLE) AND present < {m}
+             THEN {m} * ln(CAST({m} AS DOUBLE) / ({m} - present))
+             ELSE {numer} / s_total END, 4) AS hll_est
+FROM tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # Count-Min Sketch
 # ---------------------------------------------------------------------------

@@ -3160,6 +3160,26 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "hll_distinct_per_lang",
+    None,  # filled in _fill_sketch_oracles (needs the sketch module)
+    "per-group HLL: distinct-token estimate per language — the per-group "
+    "sketch shape production metrics use. Register table is |groups| x 2^p "
+    "rows max (map-side combined); merging across datasets stays a max().",
+)
+def q_hll_distinct_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.fast_text import token_hash_rows_fast
+    from fastembed_rs_spark.operators.sketch import hll_bucket_cols, hll_finalize
+
+    docs = t(spark, sf_dir, "documents")
+    hashes = token_hash_rows_fast(docs, "text", key_col="lang")
+    bucket, rho = hll_bucket_cols("h", p=9)
+    regs = hashes.select("lang", bucket, rho).groupBy("lang", "bucket").agg(
+        F.max("rho").alias("rho")
+    )
+    return hll_finalize(regs, keys=["lang"], p=9)
+
+
+@q(
     "customers_with_returns",
     """
 SELECT c.c_custkey, c.c_name, c.c_acctbal
@@ -3308,7 +3328,22 @@ def q_embed_qwen_vl_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fill_sketch_oracles() -> None:
-    from fastembed_rs_spark.operators.sketch import duck_cms, duck_hll, duck_kmv
+    from fastembed_rs_spark.operators.sketch import (
+        duck_cms,
+        duck_hll,
+        duck_hll_grouped,
+        duck_kmv,
+    )
+
+    _LANG_TOKEN_HASH_ROWS = (
+        "SELECT lang, " + duck_token_hash("token") + " AS h FROM "
+        "(SELECT lang, unnest(" + duck_tokens("text") + ") AS token FROM documents)"
+    )
+    QUERIES["hll_distinct_per_lang"] = QuerySpec(
+        spark=QUERIES["hll_distinct_per_lang"].spark,
+        oracle=duck_hll_grouped(_LANG_TOKEN_HASH_ROWS, key="lang", p=9),
+        description=QUERIES["hll_distinct_per_lang"].description,
+    )
 
     _CMS_TOKS = (
         "SELECT token, " + duck_token_hash("token") + " AS h FROM "
