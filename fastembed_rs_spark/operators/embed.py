@@ -356,8 +356,10 @@ def decode_image(content: bytes) -> np.ndarray:
     except ImportError:
         buf = np.frombuffer(content or b"\x00", dtype=np.uint8)
         n = IMAGE_SIZE * IMAGE_SIZE * 3
-        reps = -(-n // len(buf))
-        px = np.tile(buf, reps)[:n]
+        # np.resize truncates-or-cycles to exactly n — same values as
+        # tile+slice but O(n), not O(len(content)) (large payloads were
+        # copied whole just to keep 768 bytes)
+        px = np.resize(buf, n)
         return px.reshape(IMAGE_SIZE, IMAGE_SIZE, 3)
 
 
@@ -428,10 +430,15 @@ def embed_qwen_vl(
     merge_size: int = 2,
     min_pixels: int = 0,
     max_pixels: int = 2**31,
+    keep_content: bool = True,
 ) -> DataFrame:
     """Qwen3-VL image embedding: binary column → decode → smart-resize →
     merge-block patch tokens → vision tower → mean-pool → L2-normalize.
     Appends ``out_col array<float>`` and ``grid struct<t,h,w int>``.
+    ``keep_content=False`` drops the input binary column from the OUTPUT —
+    the raw bytes must reach the Python worker either way, but there is no
+    reason to Arrow-serialize them back when downstream only wants the
+    vectors (halves the transfer for embed-and-discard pipelines).
 
     The preprocessing half (smart_resize + patch extraction in merge-block
     order, src/models/qwen3.rs:193-336) is the REAL pipeline from
@@ -442,8 +449,12 @@ def embed_qwen_vl(
     token count varies per image); the mapInPandas batch amortizes session
     reuse, not tower batching — matching the reference, whose VL forward
     is also per-image."""
-    out_schema = _with_schema(
-        df, f"{out_col} array<float>, grid struct<t: int, h: int, w: int>"
+    kept = [c for c in df.columns if keep_content or c != content_col]
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name in kept]
+        + StructType.fromDDL(
+            f"{out_col} array<float>, grid struct<t: int, h: int, w: int>"
+        ).fields
     )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -467,7 +478,7 @@ def embed_qwen_vl(
                     tokens = select_output(out, None)  # (n_merged, dim)
                     embs.append(l2n(tokens.mean(axis=0)).astype(np.float32))
                     grids.append({"t": int(gt), "h": int(gh), "w": int(gw)})
-                res = chunk.copy()
+                res = chunk[kept].copy()
                 res[out_col] = embs
                 res["grid"] = grids
                 yield res

@@ -3312,12 +3312,14 @@ def q_embed_qwen_vl_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastembed_rs_spark.functions.vector import l2_norm
     from fastembed_rs_spark.operators.embed import embed_qwen_vl
 
+    from fastembed_rs_spark.operators.scale import spread_if_narrow
+
     docs = t(spark, sf_dir, "documents")
-    media = docs.select(
+    media = spread_if_narrow(docs.select(
         "doc_id", F.encode("text", "UTF-8").alias("content")
-    )
+    ))
     out = embed_qwen_vl(media, "content", model="stub-qwen-vl",
-                        patch_size=4, merge_size=2)
+                        patch_size=4, merge_size=2, keep_content=False)
     return out.select(
         "doc_id",
         F.size("embedding").cast("long").alias("dim"),
