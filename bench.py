@@ -95,6 +95,9 @@ HEADLINE = [
     "user_event_pivot",
     "value_by_type_salted",
     "hll_distinct_per_lang",
+    "revenue_cube",
+    "bloom_semijoin_revenue",
+    "order_items_array",
 ]
 
 

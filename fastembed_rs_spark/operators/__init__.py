@@ -1,3 +1,8 @@
 from fastembed_rs_spark.operators.topk import cosine_top_k  # noqa: F401
 from fastembed_rs_spark.operators.rerank import rerank  # noqa: F401
 from fastembed_rs_spark.operators.mmr import mmr_rerank  # noqa: F401
+from fastembed_rs_spark.operators.bloom import (  # noqa: F401
+    bloom_build,
+    bloom_prune,
+    bloom_semi_join,
+)

@@ -2239,6 +2239,93 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "revenue_cube",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    "full CUBE over (returnflag, linestatus) with GROUPING markers — "
+    "completes the GROUPING SETS family next to revenue_rollup; one scan, "
+    "Expand + single partial-aggregated hash aggregate",
+)
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
+@q(
+    "bloom_semijoin_revenue",
+    """
+SELECT l_returnflag,
+       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+GROUP BY l_returnflag
+""",
+    "bloom-accelerated semi-join: 8 KiB broadcast bitmap (operators/bloom.py)"
+    " prunes the lineitem scan with a codegen bit-test before the exact "
+    "semi-join removes false positives — the explicit runtime-filter "
+    "pattern; result is exact, the bloom is only a scan-reduction lever",
+)
+def q_bloom_semijoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.bloom import bloom_semi_join
+
+    li = t(spark, sf_dir, "lineitem")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    kept = bloom_semi_join(li, big, "l_orderkey", "o_orderkey")
+    return kept.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
+@q(
+    "order_items_array",
+    """
+SELECT o_orderkey,
+       list_sort(list(CAST(l_quantity AS BIGINT))) AS quantities,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(MAX(l_quantity) AS BIGINT) AS max_qty
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_totalprice > 450000
+GROUP BY o_orderkey
+""",
+    "array aggregation: per high-value order, the sorted quantity list "
+    "(collect_list -> sort_array) — nested-type agg coverage; bounded "
+    "per-group size (<= 7 lineitems/order) so collect_list is scale-safe",
+)
+def q_order_items_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.col("l_quantity").cast("long"))
+            ).alias("quantities"),
+            F.count("*").cast("long").alias("n_items"),
+            F.max("l_quantity").cast("long").alias("max_qty"),
+        )
+    )
+
+
+@q(
     "customers_without_orders",
     """
 SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
