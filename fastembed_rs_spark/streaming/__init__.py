@@ -1,3 +1,6 @@
+from fastembed_rs_spark.streaming.join_stream import (  # noqa: F401
+    view_click_attribution,
+)
 from fastembed_rs_spark.streaming.neardup_stream import neardup_stream  # noqa: F401
 from fastembed_rs_spark.streaming.topk_stream import topk_stream  # noqa: F401
 from fastembed_rs_spark.streaming.pipelines import (  # noqa: F401

@@ -1,0 +1,57 @@
+"""Stream-stream interval join: click→view attribution.
+
+The one Structured Streaming join form the other modules don't cover:
+both sides are unbounded streams, joined on key + event-time range. Spark
+buffers each side in the state store and uses the watermark plus the
+time-range predicate to compute how long a buffered row can still match,
+so state is bounded by (watermark + interval), not by stream length —
+the property that makes this runnable forever at 100 TB/day.
+
+The reference has no streaming at all (`README.md:9` — "No dependency on
+Tokio"); this mirrors the batch `events_asof_join` / `events_range_join`
+semantics (operators/asof.py) in continuous form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def view_click_attribution(
+    views: DataFrame,
+    clicks: DataFrame,
+    max_delay: str = "15 minutes",
+    watermark: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Attribute every click to all of the same user's views in the
+    preceding ``max_delay`` window (inclusive bounds on both ends).
+
+    Both inputs must be streaming DataFrames with an event-time ``ts_col``.
+    Inner interval joins support append output; rows emit once the
+    watermark passes the end of their possible-match window.
+    """
+    v = views.withWatermark(ts_col, watermark).select(
+        F.col(user_col).alias("v_user"),
+        F.col("event_id").alias("view_event_id"),
+        F.col(ts_col).alias("view_ts"),
+    )
+    c = clicks.withWatermark(ts_col, watermark).select(
+        F.col(user_col).alias("user_id"),
+        F.col("event_id").alias("click_event_id"),
+        F.col(ts_col).alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    cond = (
+        (c.user_id == v.v_user)
+        & (v.view_ts <= c.click_ts)
+        & (v.view_ts >= c.click_ts - F.expr(f"INTERVAL {max_delay}"))
+    )
+    return c.join(v, cond, "inner").select(
+        "user_id", "click_event_id", "click_ts", "view_event_id", "view_ts",
+        "click_value",
+        # attribution lag in seconds — the metric this join usually feeds
+        (F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts")).alias("lag_s"),
+    )

@@ -132,6 +132,26 @@ def test_write_embeddings_roundtrip(spark, tmpdir):
     assert os.path.isdir(os.path.join(path, "lang=en"))
 
 
+def test_partitioned_sink_prunes_on_read_back(spark, tmpdir):
+    """A filter on the partition column must become a PartitionFilter on
+    the scan (directory-level pruning — at 100 TB the difference between
+    reading one partition and reading the lake)."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", ["en", "fr", "de"][i % 3]) for i in range(30)],
+        ["doc_id", "text", "lang"],
+    )
+    path = os.path.join(tmpdir, "pruned")
+    write_embeddings(docs, path, partition_by="lang")
+    back = spark.read.parquet(path).filter(F.col("lang") == "fr")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1][:120]
+    assert "lang" in seg  # the predicate landed in the partition filter...
+    pushed = plan.split("PushedFilters: [", 1)[1][:80]
+    assert "lang" not in pushed  # ...not in the row-group data filter
+    assert back.count() == 10
+
+
 # ---------------------------------------------------------------------------
 # applyInPandasWithState
 # ---------------------------------------------------------------------------

@@ -302,3 +302,48 @@ def test_windowed_hll_stream_matches_batch_sketch(spark, stream_dir):
         expected = hll_sketch(rows_in.select("__h"), "__h", p=9).collect()[0].hll_est
         assert est == expected, w_start
     assert len(got) == 4
+
+
+def test_stream_stream_interval_join_matches_batch(spark, stream_dir):
+    """Stream-stream inner interval join (view->click attribution) over
+    one availableNow run == the equivalent batch range join."""
+    from fastembed_rs_spark.streaming import view_click_attribution
+
+    rows = [
+        # user 1: view at 00:00, clicks at 00:05 (attributed) and 00:30 (not)
+        (10, 1, "2024-01-01 00:00:00", "view", 0),
+        (11, 1, "2024-01-01 00:05:00", "click", 7),
+        (12, 1, "2024-01-01 00:30:00", "click", 9),
+        # user 2: two views before one click -> two attribution rows
+        (20, 2, "2024-01-01 01:00:00", "view", 0),
+        (21, 2, "2024-01-01 01:10:00", "view", 0),
+        (22, 2, "2024-01-01 01:12:00", "click", 3),
+        # user 3: click with no prior view -> inner join drops it
+        (30, 3, "2024-01-01 02:00:00", "click", 5),
+    ]
+    _write = spark.createDataFrame(
+        [(e, u, t, ty, v) for e, u, t, ty, v in rows],
+        ["event_id", "user_id", "ts_s", "event_type", "value"],
+    ).select(
+        "event_id", "user_id", F.to_timestamp("ts_s").alias("ts"),
+        "event_type", "value",
+    )
+    _write.coalesce(1).write.mode("overwrite").parquet(stream_dir)
+
+    src = spark.readStream.schema(EVENT_SCHEMA).parquet(stream_dir)
+    joined = view_click_attribution(
+        src.filter(F.col("event_type") == "view"),
+        src.filter(F.col("event_type") == "click"),
+        max_delay="15 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("attrib")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["click_event_id"], r["view_event_id"], r["lag_s"])
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    )
+    q.stop()
+    assert got == [(11, 10, 300), (22, 20, 720), (22, 21, 120)]
