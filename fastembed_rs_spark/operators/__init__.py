@@ -6,3 +6,8 @@ from fastembed_rs_spark.operators.bloom import (  # noqa: F401
     bloom_prune,
     bloom_semi_join,
 )
+from fastembed_rs_spark.operators.ivf_index import (  # noqa: F401
+    build_ivf_index,
+    load_ivf_index,
+    query_ivf_index,
+)

@@ -1,0 +1,83 @@
+"""Persisted IVF index (operators/ivf_index.py): round-trip equality with
+the in-memory pipeline, recall vs brute force, and the dynamic-partition-
+pruning plan property that makes the on-disk layout matter."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from fastembed_rs_spark.operators.ivf_index import (
+    build_ivf_index,
+    load_ivf_index,
+    query_ivf_index,
+)
+from fastembed_rs_spark.operators.topk import (
+    assign_ivf_buckets_fast,
+    cosine_top_k,
+    ivf_top_k,
+    train_ivf_centroids,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def index_path(spark):
+    d = tempfile.mkdtemp(prefix="ivf_index_")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    build_ivf_index(emb, d, k=8, iters=2)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _queries(spark):
+    return (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+
+
+def test_manifest_and_layout(spark, index_path):
+    corpus, centroids, manifest = load_ivf_index(spark, index_path)
+    assert manifest["k"] == 8 and manifest["dim"] > 0
+    assert manifest["n_vectors"] == corpus.count() == 500
+    assert centroids.count() == 8
+    assert "centroid_id" in corpus.columns  # hive partition column survives
+
+
+def test_query_matches_in_memory_pipeline(spark, index_path):
+    """Persisted-index query == the same train/assign/probe run in memory."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    centroids = train_ivf_centroids(emb, k=8, iters=2)
+    bucketed = assign_ivf_buckets_fast(emb, centroids)
+    want = sorted(
+        map(tuple, ivf_top_k(_queries(spark), bucketed, centroids, k=5, nprobe=3).collect())
+    )
+    got = sorted(
+        map(tuple, query_ivf_index(spark, index_path, _queries(spark), k=5, nprobe=3).collect())
+    )
+    assert got == want
+
+
+def test_recall_vs_brute_force(spark, index_path):
+    exact = cosine_top_k(_queries(spark), spark.read.parquet(f"{SF}/embeddings.parquet"), k=10)
+    approx = query_ivf_index(spark, index_path, _queries(spark), k=10, nprobe=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.5  # k=8, nprobe=4: half the index probed
+
+
+def test_query_scan_is_dynamically_pruned(spark, index_path):
+    """The corpus scan must carry a dynamic-pruning PartitionFilter fed by
+    the broadcast probe join — only probed bucket directories are read."""
+    df = query_ivf_index(spark, index_path, _queries(spark), k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
