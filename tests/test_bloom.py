@@ -1,6 +1,6 @@
 """Bloom-filter pre-filter (operators/bloom.py): no false negatives,
-real pruning, exact end-to-end semi-join, and the broadcast-only plan
-shape on the probe side."""
+real pruning, exact end-to-end semi-join, and the filter-below-join plan
+shape that makes the prune actually reduce the scan."""
 
 from __future__ import annotations
 
@@ -55,18 +55,27 @@ def test_semi_join_is_exact(spark):
     assert got == want
 
 
-def test_probe_filter_is_broadcast_no_shuffle(spark):
-    """The bitmap reaches the probe via broadcast; the probe side sees no
-    exchange before the bloom filter (the whole prune is scan + filter)."""
+def test_prune_is_a_scan_filter_below_the_join(spark):
+    """The bloom must be a plain Filter (array-literal bit test) with NO
+    join of its own, and in bloom_semi_join it must sit BELOW the exact
+    semi-join — i.e. the semi-join's probe child contains the xxhash64
+    filter. A broadcast-bitmap formulation failed this: Catalyst reordered
+    the exact join underneath the bloom condition, making the prune a
+    no-op (see module docstring)."""
     build, probe = _sets(spark)
     bitmap = bloom_build(build, "k")
     pruned = bloom_prune(probe, "k", bitmap)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    # the probe leg (Range scan -> filter) must not shuffle: any Exchange
-    # in the plan belongs to the m/64-row bitmap build, never the probe
-    probe_leg = plan.split("Range")[-1]
-    assert "Exchange hashpartitioning" not in probe_leg
+    assert "Join" not in plan and "Exchange" not in plan  # pure scan+filter
+    assert "xxhash64" in plan
+
+    joined = bloom_semi_join(probe, build, "k", "k")
+    jplan = joined._jdf.queryExecution().executedPlan().toString()
+    # probe leg = everything below the semi join's left child: the bloom
+    # filter must appear there (below the join), not above it
+    above, below = jplan.split("LeftSemi", 1)
+    assert "xxhash64" in below
+    assert "xxhash64" not in above
 
 
 def test_catalog_bloom_query_matches_plain_semijoin(spark):
