@@ -85,6 +85,37 @@ def salted_aggregate(
     ])
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join for when the small side is too large to
+    broadcast and the big side has hot keys: big rows draw a random salt
+    in [0, B); the small side is replicated B times (explode over a
+    B-element literal array); the join key becomes (key, salt), so a hot
+    key's rows spread over B reducers instead of one straggler.
+
+    Value-neutral: the output is exactly ``big JOIN small`` (each big row
+    matches the single small replica carrying its salt). Cost: the small
+    side is shuffled B times — use for extreme/known skew; AQE's skew-join
+    split (on in session.py) handles moderate skew without replication.
+    Supports how in {inner, left} (right/outer would need salt-complete
+    small partitions).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    b = big.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    s = small.withColumn(
+        "__rep", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    cond = (b[big_key] == s[small_key]) & (b["__salt"] == s["__rep"])
+    return b.join(s, cond, how).drop("__salt", "__rep")
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

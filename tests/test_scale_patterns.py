@@ -93,3 +93,65 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Value-neutral under extreme skew: one hot key with 5k rows."""
+    from fastembed_rs_spark.operators.scale import salted_join
+
+    big = spark.createDataFrame(
+        [(0 if i % 2 else i % 50, i) for i in range(10_000)], ["k", "payload"]
+    )
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(50)], ["sk", "name"])
+    got = sorted(
+        map(tuple, salted_join(big, small, "k", "sk").select("k", "payload", "name").collect())
+    )
+    want = sorted(
+        map(tuple, big.join(small, big.k == small.sk).select("k", "payload", "name").collect())
+    )
+    assert got == want
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from fastembed_rs_spark.operators.scale import salted_join
+
+    big = spark.createDataFrame([(1, "a"), (99, "b")], ["k", "v"])
+    small = spark.createDataFrame([(1, "one")], ["sk", "name"])
+    rows = {r["k"]: r["name"] for r in salted_join(big, small, "k", "sk", how="left").collect()}
+    assert rows == {1: "one", 99: None}
+
+
+def test_salted_join_shuffles_on_key_and_salt(spark):
+    """The exchange must partition on (key, salt) — that's the whole point.
+    (Auto-broadcast is disabled for the probe: salted_join targets the
+    small-but-not-broadcastable regime; a broadcastable side needs no
+    salting in the first place.)"""
+    from fastembed_rs_spark.operators.scale import salted_join
+
+    thresholds = {
+        "spark.sql.autoBroadcastJoinThreshold": None,
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": None,
+    }
+    for c in thresholds:
+        thresholds[c] = spark.conf.get(c, None)
+        spark.conf.set(c, "-1")
+    try:
+        big = spark.range(1000).select(
+            (F.col("id") % 3).alias("k"), F.col("id").alias("p")
+        )
+        small = spark.range(3).select(F.col("id").alias("sk"))
+        plan = (
+            salted_join(big, small, "k", "sk")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        for c, v in thresholds.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
+    import re
+
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert any("__salt" in p for p in parts)  # big side shuffled by (k, salt)
+    assert any("__rep" in p for p in parts)  # replicated side likewise
