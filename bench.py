@@ -98,6 +98,7 @@ HEADLINE = [
     "revenue_cube",
     "bloom_semijoin_revenue",
     "order_items_array",
+    "chunk_documents",
 ]
 
 

@@ -6,6 +6,10 @@ from fastembed_rs_spark.operators.bloom import (  # noqa: F401
     bloom_prune,
     bloom_semi_join,
 )
+from fastembed_rs_spark.operators.chunk import (  # noqa: F401
+    chunk_by_chars,
+    chunk_by_tokens,
+)
 from fastembed_rs_spark.operators.ivf_index import (  # noqa: F401
     build_ivf_index,
     load_ivf_index,

@@ -1,0 +1,93 @@
+"""Document chunking: sliding windows with overlap, as pure algebra.
+
+Every RAG / embedding pipeline splits documents into passages before the
+embed stage (the reference embeds whatever strings it is handed —
+`/root/reference/src/text_embedding/impl.rs:432-449` — leaving chunking
+to the caller; here it is an engine operator). Both variants are a
+`sequence -> explode -> slice` plan: per-row generation, no shuffle, no
+Python — the chunk stream feeds straight into `embed_text`'s
+`mapInPandas` with only a narrow exchange if the user repartitions by
+length.
+
+- ``chunk_by_chars``: fixed character windows (size, overlap). Exact,
+  locale-free, cheap — the form the DuckDB oracle replays char-for-char
+  (catalog query ``chunk_documents``).
+- ``chunk_by_tokens``: fixed whitespace-token windows with overlap,
+  rejoined with single spaces. The shape LLM pipelines actually use
+  (token budget per passage); still expression-only via
+  split + slice + array_join.
+
+Scale: chunk count per doc is len/stride — output rows grow linearly
+with corpus size; `explode` runs inside whole-stage codegen. For
+token-window packing ACROSS documents (training sequences, not
+retrieval passages) see ``q_sequence_packing``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _n_chunks(length_expr: str, size: int, overlap: int) -> str:
+    stride = size - overlap
+    return (
+        f"greatest(1, cast(ceil(({length_expr} - {overlap}) / {stride}.0) as int))"
+    )
+
+
+def chunk_by_chars(
+    docs: DataFrame,
+    text_col: str = "text",
+    size: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Explode each document into overlapping character windows.
+
+    Adds (chunk_idx int, n_chunks int, chunk_text string); every other
+    column is carried. The last chunk may be shorter than ``size``;
+    chunking a shorter-than-size document yields exactly one chunk.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap} >= {size}")
+    stride = size - overlap
+    n = _n_chunks(f"length({text_col})", size, overlap)
+    return (
+        docs.withColumn("n_chunks", F.expr(n))
+        .withColumn("chunk_idx", F.expr("explode(sequence(0, n_chunks - 1))"))
+        .withColumn(
+            "chunk_text",
+            F.expr(f"substring({text_col}, chunk_idx * {stride} + 1, {size})"),
+        )
+    )
+
+
+def chunk_by_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Explode each document into overlapping whitespace-token windows,
+    re-joined with single spaces (so downstream tokenization is stable).
+
+    Adds (chunk_idx int, n_chunks int, chunk_text string). Empty/blank
+    documents produce one empty chunk.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap} >= {size}")
+    stride = size - overlap
+    toks = f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
+    n = _n_chunks(f"size({toks})", size, overlap)
+    return (
+        docs.withColumn("__toks", F.expr(toks))
+        .withColumn("n_chunks", F.expr(n.replace(f"size({toks})", "size(__toks)")))
+        .withColumn("chunk_idx", F.expr("explode(sequence(0, n_chunks - 1))"))
+        .withColumn(
+            "chunk_text",
+            F.expr(
+                f"array_join(slice(__toks, chunk_idx * {stride} + 1, {size}), ' ')"
+            ),
+        )
+        .drop("__toks")
+    )

@@ -2326,6 +2326,38 @@ def q_order_items_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "chunk_documents",
+    """
+WITH d AS (
+  SELECT doc_id, text,
+         greatest(1, CAST(ceil((length(text) - 50) / 150.0) AS INT)) AS n_chunks
+  FROM documents
+), e AS (
+  SELECT doc_id, text, n_chunks,
+         CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_idx
+  FROM d
+)
+SELECT doc_id, chunk_idx, n_chunks,
+       substr(text, chunk_idx * 150 + 1, 200) AS chunk_text,
+       CAST(length(substr(text, chunk_idx * 150 + 1, 200)) AS BIGINT) AS chunk_len
+FROM e
+""",
+    "RAG-style passage chunking: 200-char sliding windows with 50-char "
+    "overlap (operators/chunk.py) — sequence -> explode -> substring, all "
+    "codegen, no shuffle; the stage that feeds embed_text in a retrieval "
+    "pipeline",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.chunk import chunk_by_chars
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_by_chars(docs, "text", size=200, overlap=50).select(
+        "doc_id", "chunk_idx", "n_chunks", "chunk_text",
+        F.length("chunk_text").cast("long").alias("chunk_len"),
+    )
+
+
+@q(
     "customers_without_orders",
     """
 SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
