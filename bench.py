@@ -99,6 +99,7 @@ HEADLINE = [
     "bloom_semijoin_revenue",
     "order_items_array",
     "chunk_documents",
+    "rag_passage_topk",
 ]
 
 

@@ -2357,6 +2357,105 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RAG_MAXP_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         greatest(1, CAST(ceil((length(text) - 50) / 150.0) AS INT)) AS n_chunks
+  FROM documents
+), e AS (
+  SELECT doc_id, text, CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_idx FROM d
+), chunks AS (
+  SELECT doc_id, chunk_idx, substr(text, chunk_idx * 150 + 1, 200) AS ctext FROM e
+), ctoks AS (
+  SELECT doc_id, chunk_idx,
+         unnest(list_transform({duck_tokens('ctext')}, tk -> {duck_token_hash('tk')} % 64)) AS bucket
+  FROM chunks
+), ctf AS (
+  SELECT doc_id, chunk_idx, bucket, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM ctoks GROUP BY doc_id, chunk_idx, bucket
+), cnorm AS (
+  SELECT doc_id, chunk_idx, sqrt(SUM(tf * tf)) AS nrm
+  FROM ctf GROUP BY doc_id, chunk_idx
+), cc AS (
+  SELECT ctf.doc_id, ctf.chunk_idx, ctf.bucket, round(ctf.tf / cnorm.nrm, 6) AS w
+  FROM ctf JOIN cnorm ON ctf.doc_id = cnorm.doc_id AND ctf.chunk_idx = cnorm.chunk_idx
+), qtoks AS (
+  SELECT doc_id AS query_id,
+         unnest(list_transform({duck_tokens('text')}, tk -> {duck_token_hash('tk')} % 64)) AS bucket
+  FROM documents WHERE doc_id < 3
+), qtf AS (
+  SELECT query_id, bucket, CAST(COUNT(*) AS DOUBLE) AS tf FROM qtoks GROUP BY query_id, bucket
+), qnorm AS (SELECT query_id, sqrt(SUM(tf * tf)) AS nrm FROM qtf GROUP BY query_id),
+qc AS (
+  SELECT qtf.query_id, qtf.bucket, round(qtf.tf / qnorm.nrm, 6) AS w
+  FROM qtf JOIN qnorm ON qtf.query_id = qnorm.query_id
+), dots AS (
+  SELECT qc.query_id, cc.doc_id, cc.chunk_idx, round(SUM(qc.w * cc.w), 6) AS dot
+  FROM qc JOIN cc ON qc.bucket = cc.bucket
+  GROUP BY qc.query_id, cc.doc_id, cc.chunk_idx
+), maxp AS (
+  SELECT query_id, doc_id, MAX(dot) AS maxp_score,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks_scored
+  FROM dots GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, maxp_score, n_chunks_scored,
+       row_number() OVER (PARTITION BY query_id ORDER BY maxp_score DESC, doc_id ASC) AS rank
+FROM maxp QUALIFY rank <= 5
+"""
+
+# chunk ids pack (doc_id, chunk_idx) into one key for the embedding kernel;
+# 2^20 chunks/doc = 150 MB of text per document before overflow
+_CHUNK_KEY = 1 << 20
+
+
+@q(
+    "rag_passage_topk",
+    _RAG_MAXP_ORACLE,
+    "end-to-end RAG retrieval pipeline: chunk (200/50 sliding windows) -> "
+    "hash-embed passages -> bucket equi-join dot vs query embeddings -> "
+    "per-document MaxP aggregation -> top-5 docs per query. The full "
+    "chunk/embed/score/aggregate composition in one oracle-checked plan",
+)
+def q_rag_passage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.chunk import chunk_by_chars
+    from fastembed_rs_spark.operators.fast_text import hash_embed_coords_fast
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_by_chars(docs, "text", size=200, overlap=50).select(
+        (F.col("doc_id") * _CHUNK_KEY + F.col("chunk_idx")).alias("chunk_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    cc = hash_embed_coords_fast(chunks, "chunk_id", "text", dim=64).select(
+        "chunk_id", "bucket", F.col("weight").alias("cw")
+    )
+    qc = hash_embed_coords_fast(
+        docs.filter(F.col("doc_id") < 3), "doc_id", "text", dim=64
+    ).select(F.col("doc_id").alias("query_id"), "bucket", F.col("weight").alias("qw"))
+    dots = (
+        cc.join(F.broadcast(qc), "bucket")
+        .groupBy("query_id", "chunk_id")
+        .agg(F.round(F.sum(F.col("qw") * F.col("cw")), 6).alias("dot"))
+    )
+    maxp = (
+        dots.select(
+            "query_id",
+            (F.col("chunk_id") / _CHUNK_KEY).cast("long").alias("doc_id"),
+            "dot",
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.max("dot").alias("maxp_score"),
+            F.count("*").cast("long").alias("n_chunks_scored"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("maxp_score"), F.asc("doc_id"))
+    return (
+        maxp.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "maxp_score", "n_chunks_scored", "rank")
+    )
+
+
 @q(
     "customers_without_orders",
     """
