@@ -100,6 +100,7 @@ HEADLINE = [
     "order_items_array",
     "chunk_documents",
     "rag_passage_topk",
+    "chunk_documents_tokens",
 ]
 
 

@@ -2357,6 +2357,41 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "chunk_documents_tokens",
+    """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), d AS (
+  SELECT doc_id, tk, greatest(1, CAST(ceil((len(tk) - 16) / 48.0) AS INT)) AS n_chunks
+  FROM toks
+), e AS (
+  SELECT doc_id, tk, n_chunks, CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_idx FROM d
+)
+SELECT doc_id, chunk_idx, n_chunks,
+       array_to_string(list_slice(tk, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ') AS chunk_text,
+       CAST(least(64, len(tk) - chunk_idx * 48) AS INT) AS n_tokens
+FROM e
+""",
+    "token-budget passage chunking: 64-token sliding windows with 16-token "
+    "overlap (operators/chunk.py::chunk_by_tokens) — the chunk size LLM "
+    "pipelines actually control; split/slice/array_join, codegen-only",
+)
+def q_chunk_documents_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.chunk import chunk_by_tokens
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_by_tokens(docs, "text", size=64, overlap=16).select(
+        "doc_id", "chunk_idx", "n_chunks", "chunk_text",
+        # empty chunk (blank doc): split('') yields [''], not [] — guard to 0
+        F.when(F.col("chunk_text") == "", F.lit(0))
+        .otherwise(F.size(F.split("chunk_text", " ")))
+        .cast("int")
+        .alias("n_tokens"),
+    )
+
+
 _RAG_MAXP_ORACLE = f"""
 WITH d AS (
   SELECT doc_id, text,
