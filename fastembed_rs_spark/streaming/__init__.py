@@ -1,4 +1,5 @@
 from fastembed_rs_spark.streaming.join_stream import (  # noqa: F401
+    enrich_stream,
     view_click_attribution,
 )
 from fastembed_rs_spark.streaming.neardup_stream import neardup_stream  # noqa: F401

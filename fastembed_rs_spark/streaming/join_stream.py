@@ -18,6 +18,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    static dimension DataFrame (broadcast when small — same planning as
+    batch). No state store involvement: the static side is re-resolvable
+    per batch, so dimension updates between batches are picked up for
+    file-based sources. The third join form next to batch joins
+    (queries.py) and the stream-stream interval join below."""
+    renamed = dim.withColumnRenamed(dim_key, "__dk")
+    return stream.join(
+        renamed, stream[stream_key] == F.col("__dk"), how
+    ).drop("__dk")
+
+
 def view_click_attribution(
     views: DataFrame,
     clicks: DataFrame,

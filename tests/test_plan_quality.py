@@ -118,3 +118,40 @@ def test_unigram_lm_is_broadcast(spark, catalog):
     p = plan_of(spark, catalog, "unigram_surprisal")
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_revenue_cube_is_one_expand_one_aggregate(spark, catalog):
+    """CUBE = Expand (4 grouping sets) feeding ONE partially-aggregated
+    hash aggregate — not a union of 4 scans."""
+    p = plan_of(spark, catalog, "revenue_cube")
+    assert p.count("Expand") == 1
+    assert p.count("FileScan") == 1
+    assert "partial_sum" in p or "partial_count" in p
+
+
+def test_bloom_query_filter_stays_below_semijoin(spark, catalog):
+    """The bloom bit-test must prune the lineitem scan BELOW the exact
+    semi-join (the broadcast-bitmap formulation regressed this — Catalyst
+    floated the join underneath the bloom, see operators/bloom.py)."""
+    p = plan_of(spark, catalog, "bloom_semijoin_revenue")
+    above, below = p.split("LeftSemi", 1)
+    assert "xxhash64" in below
+    assert "xxhash64" not in above
+
+
+def test_rag_pipeline_broadcasts_queries_and_limits_rank_window(spark, catalog):
+    """Query embeddings broadcast into the bucket join; the top-5 window is
+    rank-limited (WindowGroupLimit) so no partition buffers unbounded."""
+    p = plan_of(spark, catalog, "rag_passage_topk")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "WindowGroupLimit" in p
+
+
+def test_chunking_is_codegen_only(spark, catalog):
+    """Chunk explosion must stay JVM-side: no Python eval, no shuffle
+    before the explode."""
+    for name in ("chunk_documents", "chunk_documents_tokens"):
+        p = plan_of(spark, catalog, name)
+        assert "Generate explode" in p, name
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, name

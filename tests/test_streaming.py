@@ -347,3 +347,34 @@ def test_stream_stream_interval_join_matches_batch(spark, stream_dir):
     )
     q.stop()
     assert got == [(11, 10, 300), (22, 20, 720), (22, 21, 120)]
+
+
+def test_stream_static_enrichment_matches_batch(spark, stream_dir):
+    """Stream-static left join == the batch join; unmatched keys keep NULL."""
+    from fastembed_rs_spark.streaming import enrich_stream
+
+    _write_events(spark, stream_dir)
+    dim = spark.createDataFrame(
+        [(1, "alice"), (3, "carol")], ["uid", "name"]  # user 2 unmatched
+    )
+    src = spark.readStream.schema(EVENT_SCHEMA).parquet(stream_dir)
+    q = (
+        enrich_stream(src, dim, "user_id", "uid")
+        .select("event_id", "user_id", "name")
+        .writeStream.format("memory").queryName("enriched")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: (r["user_id"], r["name"])
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    q.stop()
+    want = {
+        r["event_id"]: (r["user_id"], r["name"])
+        for r in enrich_stream(
+            spark.read.parquet(stream_dir), dim, "user_id", "uid"
+        ).select("event_id", "user_id", "name").collect()
+    }
+    assert got == want
+    assert got[4] == (2, None)  # unmatched user survives the left join
