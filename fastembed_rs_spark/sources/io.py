@@ -97,3 +97,39 @@ def write_embeddings(
     if partition_by is not None:
         writer = writer.partitionBy(partition_by)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 128,
+    sort_col: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    roughly ``target_file_mb``. Returns the output file count.
+
+    Streaming sinks and fine-grained incremental writes accumulate
+    thousands of KB-sized files; at lake scale, listing + footer reads
+    then dominate scan time and crush the namenode. Compaction sizes the
+    rewrite from the REAL byte size of the source (Hadoop FileSystem
+    stat, so it works on any supported filesystem), not a row-count
+    guess. With ``sort_col`` the rewrite range-partitions by that column,
+    so each output file covers a tight min/max range and parquet
+    row-group statistics prune reads on it.
+    """
+    df = spark.read.parquet(src_path)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for uri in df.inputFiles():
+        p = jvm.org.apache.hadoop.fs.Path(uri)
+        total += p.getFileSystem(conf).getFileStatus(p).getLen()
+    n = max(1, -(-total // (target_file_mb * 1024 * 1024)))  # ceil div
+    out = (
+        df.repartitionByRange(n, F.col(sort_col))
+        if sort_col is not None
+        else df.repartition(n)
+    )
+    out.write.mode("overwrite").parquet(dst_path)
+    return n

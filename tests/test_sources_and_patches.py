@@ -182,3 +182,47 @@ def test_running_user_stats_stateful(spark, tmpdir):
            for r in spark.sql("SELECT * FROM user_stats").collect()}
     q.stop()
     assert got == {1: (2, 15.0), 2: (1, 7.0)}
+
+
+def test_compact_parquet_reduces_file_count(spark, tmpdir):
+    from fastembed_rs_spark.sources import compact_parquet
+
+    src = os.path.join(tmpdir, "many")
+    dst = os.path.join(tmpdir, "compacted")
+    df = spark.range(10_000).selectExpr("id", "id * 2 AS v")
+    df.repartition(40).write.parquet(src)
+    n_small = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_small == 40
+
+    n_out = compact_parquet(spark, src, dst, target_file_mb=128)
+    assert n_out == 1  # 10k tiny rows ≪ 128 MB -> one file
+    files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert len(files) == 1
+    back = spark.read.parquet(dst)
+    assert back.count() == 10_000
+    assert back.selectExpr("sum(v)").first()[0] == df.selectExpr("sum(v)").first()[0]
+
+
+def test_compact_parquet_sorted_ranges_are_disjoint(spark, tmpdir):
+    """With sort_col, output files carry disjoint ranges -> row-group
+    stats prune point/range reads on that column."""
+    from fastembed_rs_spark.sources import compact_parquet
+
+    src = os.path.join(tmpdir, "many2")
+    dst = os.path.join(tmpdir, "sorted")
+    # md5 strings don't compress — enough bytes to span several 1 MB files
+    spark.range(300_000).selectExpr("id", "md5(cast(id as string)) AS s") \
+        .repartition(20).write.parquet(src)
+    # pick a target that yields several files for this byte size
+    compact_parquet(spark, src, dst, target_file_mb=1, sort_col="id")
+    files = sorted(
+        os.path.join(dst, f) for f in os.listdir(dst) if f.endswith(".parquet")
+    )
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        mm = spark.read.parquet(f).selectExpr("min(id)", "max(id)").first()
+        ranges.append((mm[0], mm[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint, ordered ranges
