@@ -101,6 +101,7 @@ HEADLINE = [
     "chunk_documents",
     "rag_passage_topk",
     "chunk_documents_tokens",
+    "incremental_embed",
 ]
 
 

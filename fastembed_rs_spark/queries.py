@@ -3554,6 +3554,55 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "incremental_embed",
+    f"""
+WITH fp AS (
+  SELECT doc_id, {duck_doc_fingerprint('text')} AS fingerprint FROM documents
+),
+known AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 < 8),
+todo AS (
+  SELECT min(doc_id) AS doc_id FROM fp
+  WHERE doc_id % 10 >= 8 AND fingerprint NOT IN (SELECT fingerprint FROM known)
+  GROUP BY fingerprint
+),
+docs2 AS (SELECT d.doc_id, d.text FROM documents d JOIN todo USING (doc_id)),
+toks AS (
+  SELECT doc_id, unnest(list_transform({duck_tokens('text')}, tk -> {duck_token_hash('tk')} % 64)) AS bucket
+  FROM docs2
+),
+tf AS (SELECT doc_id, bucket, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks GROUP BY doc_id, bucket),
+nrm AS (SELECT doc_id, sqrt(SUM(tf * tf)) AS nrm FROM tf GROUP BY doc_id)
+SELECT tf.doc_id, CAST(tf.bucket AS BIGINT) AS bucket,
+       round(tf.tf / nrm.nrm, 6) AS weight
+FROM tf JOIN nrm ON tf.doc_id = nrm.doc_id
+""",
+    "cache-aware embedding: a new batch (doc_id % 10 >= 8) embeds ONLY "
+    "content whose fingerprint is absent from the persisted store (docs "
+    "% 10 < 8) and not duplicated within the batch — at 100 TB the "
+    "anti-join on the bucketed store is what keeps re-ingest from "
+    "re-paying the GPU bill; one canonical embed per new fingerprint",
+)
+def q_incremental_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.fast_text import (
+        doc_fingerprints_fast,
+        hash_embed_coords_fast,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    fp = doc_fingerprints_fast(docs, "doc_id", "text").localCheckpoint()
+    known = fp.filter(F.col("doc_id") % 10 < 8).select("fingerprint").distinct()
+    todo = (
+        fp.filter(F.col("doc_id") % 10 >= 8)
+        .join(known, "fingerprint", "left_anti")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    to_embed = docs.join(todo, "doc_id").select("doc_id", "text")
+    return hash_embed_coords_fast(to_embed, "doc_id", "text", dim=64)
+
+
+@q(
     "embed_qwen_vl_stub",
     None,
     "Qwen3-VL image embedding through the REAL smart-resize + merge-block "

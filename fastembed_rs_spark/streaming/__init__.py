@@ -5,6 +5,7 @@ from fastembed_rs_spark.streaming.join_stream import (  # noqa: F401
 from fastembed_rs_spark.streaming.neardup_stream import neardup_stream  # noqa: F401
 from fastembed_rs_spark.streaming.topk_stream import topk_stream  # noqa: F401
 from fastembed_rs_spark.streaming.pipelines import (  # noqa: F401
+    dedup_to_store_stream,
     dedup_stream,
     embed_stream,
     embed_to_parquet_stream,

@@ -182,3 +182,50 @@ def windowed_hll_registers(
         .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("bucket"))
         .agg(F.max("rho").alias("rho"))
     )
+
+
+def dedup_to_store_stream(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuously grow a persisted fingerprint store: per micro-batch,
+    fingerprint the batch, anti-join against the CURRENT store (and dedup
+    within the batch, min-id canonical), and append only novel
+    fingerprints — the streaming form of the ``incremental_dedup`` /
+    ``incremental_embed`` catalog queries.
+
+    The store re-reads per batch (stream-static joins re-resolve file
+    sources), so novelty is judged against everything committed by prior
+    batches. Offsets live in ``checkpoint``: a restart never replays a
+    committed batch, which is what keeps the append-only store
+    duplicate-free. At scale, write the store bucketed by fingerprint so
+    the per-batch anti-join co-locates.
+
+    Returns the started StreamingQuery; caller owns stop/await.
+    """
+    import os
+
+    from fastembed_rs_spark.operators.fast_text import doc_fingerprints_fast
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fp = doc_fingerprints_fast(batch_df, id_col, text_col)
+        fresh = (
+            fp.groupBy("fingerprint")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col, "fingerprint")
+        )
+        if os.path.exists(store_path):
+            store = spark.read.parquet(store_path).select("fingerprint")
+            fresh = fresh.join(store, "fingerprint", "left_anti")
+        fresh.write.mode("append").parquet(store_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

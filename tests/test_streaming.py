@@ -378,3 +378,41 @@ def test_stream_static_enrichment_matches_batch(spark, stream_dir):
     }
     assert got == want
     assert got[4] == (2, None)  # unmatched user survives the left join
+
+
+def test_dedup_to_store_stream_restarts_without_duplicates(spark, stream_dir):
+    """The persisted fingerprint store stays duplicate-free across a
+    second run that adds new files (offsets committed) and across
+    batch-content overlap (anti-join vs the store)."""
+    import os
+
+    from fastembed_rs_spark.streaming import dedup_to_store_stream
+
+    src_dir = os.path.join(stream_dir, "src")
+    store = os.path.join(stream_dir, "store")
+    ckpt = os.path.join(stream_dir, "ckpt")
+    schema = StructType([
+        StructField("doc_id", LongType()), StructField("text", StringType()),
+    ])
+    spark.createDataFrame(
+        [(0, "alpha doc"), (1, "ALPHA   doc!"), (2, "beta doc")], schema
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    q = dedup_to_store_stream(
+        spark.readStream.schema(schema).parquet(src_dir), store, ckpt
+    )
+    q.awaitTermination(120); q.stop()
+    first = spark.read.parquet(store).collect()
+    assert len(first) == 2  # alpha (0/1 same fingerprint) + beta
+
+    # second batch: one repeat of alpha, one novel doc
+    spark.createDataFrame(
+        [(3, "alpha doc"), (4, "gamma doc")], schema
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    q2 = dedup_to_store_stream(
+        spark.readStream.schema(schema).parquet(src_dir), store, ckpt
+    )
+    q2.awaitTermination(120); q2.stop()
+    rows = spark.read.parquet(store).collect()
+    fps = [r["fingerprint"] for r in rows]
+    assert len(fps) == len(set(fps)) == 3  # alpha, beta, gamma — no dupes
+    assert sorted(r["doc_id"] for r in rows) == [0, 2, 4]
