@@ -102,6 +102,7 @@ HEADLINE = [
     "rag_passage_topk",
     "chunk_documents_tokens",
     "incremental_embed",
+    "order_rank_profile",
 ]
 
 

@@ -3554,6 +3554,40 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "order_rank_profile",
+    """
+SELECT o_orderkey, o_orderpriority,
+       round(o_totalprice, 2) AS price,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       round(coalesce(lag(o_totalprice) OVER w, 0.0), 2) AS prev_price,
+       round(coalesce(lead(o_totalprice) OVER w, 0.0), 2) AS next_price
+FROM orders
+WHERE o_totalprice > 480000
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+    "rank-window completeness: percent_rank / cume_dist / lag / lead in one "
+    "pass over a single window spec — one sort per partition, four "
+    "functions share it",
+)
+def q_order_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 480000)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2).alias(
+            "prev_price"
+        ),
+        F.round(F.coalesce(F.lead("o_totalprice").over(w), F.lit(0.0)), 2).alias(
+            "next_price"
+        ),
+    )
+
+
+@q(
     "incremental_embed",
     f"""
 WITH fp AS (
