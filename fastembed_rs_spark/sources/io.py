@@ -133,3 +133,50 @@ def compact_parquet(
     )
     out.write.mode("overwrite").parquet(dst_path)
     return n
+
+
+def upsert_embeddings(
+    spark: SparkSession,
+    store_path: str,
+    new_df: DataFrame,
+    key_col: str,
+    n_buckets: int = 64,
+) -> None:
+    """Partition-scoped upsert into a hash-bucketed parquet store: rows in
+    ``new_df`` replace same-key rows; only the bucket partitions that
+    contain touched keys are rewritten.
+
+    The store is hive-partitioned by ``__bucket = pmod(xxhash64(key),
+    n_buckets)``. The merge reads ONLY the affected buckets (partition
+    pruning on the read), anti-joins the old rows against the new keys,
+    unions the new rows, and writes back under
+    ``partitionOverwriteMode=dynamic`` — untouched bucket directories are
+    not listed, read, or rewritten. At a 100 TB store with a 1 GB daily
+    delta this is the difference between rewriting ~1/64th of the store
+    and rewriting all of it (the MERGE pattern, without a table format).
+
+    First call creates the store. Keys must be unique within ``new_df``.
+    """
+    bucketed = new_df.withColumn(
+        "__bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    )
+    import os
+
+    if not os.path.exists(store_path):
+        bucketed.write.partitionBy("__bucket").parquet(store_path)
+        return
+    affected = [r["__bucket"] for r in bucketed.select("__bucket").distinct().collect()]
+    old = spark.read.parquet(store_path).filter(F.col("__bucket").isin(affected))
+    keep = old.join(bucketed.select(key_col), key_col, "left_anti")
+    # materialize before the overwrite so no task reads a file the commit
+    # is about to replace; bounded by the affected buckets + the delta
+    merged = keep.unionByName(bucketed).localCheckpoint()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("__bucket").parquet(store_path)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

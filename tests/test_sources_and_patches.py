@@ -226,3 +226,51 @@ def test_compact_parquet_sorted_ranges_are_disjoint(spark, tmpdir):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2  # disjoint, ordered ranges
+
+
+def test_upsert_embeddings_rewrites_only_affected_buckets(spark, tmpdir):
+    """MERGE semantics on a hash-bucketed parquet store: updated keys
+    replaced, new keys added, all other rows intact — and bucket
+    directories with no touched key keep their exact files."""
+    from fastembed_rs_spark.sources import upsert_embeddings
+
+    store = os.path.join(tmpdir, "store")
+    base = spark.createDataFrame(
+        [(i, f"v1-{i}") for i in range(100)], ["doc_id", "payload"]
+    )
+    upsert_embeddings(spark, store, base, "doc_id", n_buckets=8)
+
+    def bucket_files():
+        out = {}
+        for d in os.listdir(store):
+            if d.startswith("__bucket="):
+                out[d] = sorted(
+                    f for f in os.listdir(os.path.join(store, d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = bucket_files()
+    assert len(before) == 8
+
+    delta = spark.createDataFrame(
+        [(5, "v2-5"), (200, "v2-200")], ["doc_id", "payload"]
+    )
+    upsert_embeddings(spark, store, delta, "doc_id", n_buckets=8)
+
+    back = {r["doc_id"]: r["payload"] for r in spark.read.parquet(store).collect()}
+    assert len(back) == 101
+    assert back[5] == "v2-5" and back[200] == "v2-200"
+    assert back[6] == "v1-6"
+
+    # the buckets of keys 5 and 200 changed; every other bucket kept its files
+    after = bucket_files()
+    touched = {
+        r["b"]
+        for r in delta.selectExpr("cast(pmod(xxhash64(doc_id), 8) as int) AS b")
+        .distinct().collect()
+    }
+    for d, files in before.items():
+        b = int(d.split("=")[1])
+        if b not in touched:
+            assert after[d] == files, f"untouched bucket {d} was rewritten"
