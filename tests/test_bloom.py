@@ -103,3 +103,13 @@ def test_catalog_bloom_query_matches_plain_semijoin(spark):
         .collect()
     }
     assert got == want
+
+
+def test_no_false_negatives_extreme_keys(spark):
+    """Negative and near-overflow keys hash into range (pmod, not %)."""
+    keys = [(-(2**62) + 13,), (-1,), (0,), (2**62 + 7,), (999_999_999_999,)]
+    build = spark.createDataFrame(keys, ["k"])
+    probe = spark.createDataFrame(keys + [(12345,)], ["k"])
+    bitmap = bloom_build(build, "k")
+    kept = {r["k"] for r in bloom_prune(probe, "k", bitmap).collect()}
+    assert {k for (k,) in keys} <= kept

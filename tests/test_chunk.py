@@ -83,3 +83,48 @@ def test_chunk_plan_has_no_shuffle(spark, docs):
     assert "Exchange" not in plan
     assert "Generate explode" in plan  # codegen explode, no Python eval
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_randomized_configs_match_python(spark):
+    """200 random-length docs × 3 (size, overlap) configs, one Spark call
+    per config, each compared to the Python reference."""
+    import random
+
+    rng = random.Random(7)
+    docs_py = [
+        (i, "".join(rng.choice("ab cd\tef  g") for _ in range(rng.randrange(0, 400))))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(docs_py, ["doc_id", "text"])
+    for size, overlap in [(50, 0), (64, 16), (37, 36)]:
+        got = {
+            (r["doc_id"], r["chunk_idx"]): (r["n_chunks"], r["chunk_text"])
+            for r in chunk_by_chars(docs, size=size, overlap=overlap).collect()
+        }
+        want = {}
+        for doc_id, text in docs_py:
+            for i, n, chunk in _py_char_chunks(text, size, overlap):
+                want[(doc_id, i)] = (n, chunk)
+        assert got == want, (size, overlap)
+
+
+def test_chunk_tokens_randomized_matches_python(spark):
+    import random
+
+    rng = random.Random(11)
+    words = ["alpha", "b", "gamma7", "Δδ", "x" * 30]
+    docs_py = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randrange(0, 120))))
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(docs_py, ["doc_id", "text"])
+    for size, overlap in [(16, 4), (8, 7)]:
+        got = {
+            (r["doc_id"], r["chunk_idx"]): (r["n_chunks"], r["chunk_text"])
+            for r in chunk_by_tokens(docs, size=size, overlap=overlap).collect()
+        }
+        want = {}
+        for doc_id, text in docs_py:
+            for i, n, chunk in _py_token_chunks(text, size, overlap):
+                want[(doc_id, i)] = (n, chunk)
+        assert got == want, (size, overlap)
