@@ -103,6 +103,7 @@ HEADLINE = [
     "chunk_documents_tokens",
     "incremental_embed",
     "order_rank_profile",
+    "retrieve_then_rerank",
 ]
 
 

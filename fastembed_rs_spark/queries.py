@@ -3553,6 +3553,96 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RETRIEVE_RERANK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_transform({duck_tokens('text')}, tk -> {duck_token_hash('tk')} % 64)) AS bucket
+  FROM documents
+),
+tf AS (SELECT doc_id, bucket, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks GROUP BY doc_id, bucket),
+nrm AS (SELECT doc_id, sqrt(SUM(tf * tf)) AS nrm FROM tf GROUP BY doc_id),
+coords AS (
+  SELECT tf.doc_id, tf.bucket, round(tf.tf / nrm.nrm, 6) AS weight
+  FROM tf JOIN nrm ON tf.doc_id = nrm.doc_id
+),
+qc AS (SELECT doc_id AS query_id, bucket, weight FROM coords WHERE doc_id < 3),
+dots AS (
+  SELECT qc.query_id, c.doc_id, round(SUM(qc.weight * c.weight), 6) AS dot
+  FROM qc JOIN coords c ON qc.bucket = c.bucket
+  GROUP BY qc.query_id, c.doc_id
+),
+cands AS (
+  SELECT query_id, doc_id, dot,
+         row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, doc_id ASC) AS rr
+  FROM dots QUALIFY rr <= 20
+),
+qt AS (SELECT doc_id AS query_id, list_distinct({duck_tokens('text')}) AS qtk
+       FROM documents WHERE doc_id < 3),
+dt AS (SELECT doc_id, list_distinct({duck_tokens('text')}) AS dtk FROM documents),
+scored AS (
+  SELECT c.query_id, c.doc_id, c.dot,
+         round(
+           CASE WHEN (len(qtk) = 0 AND len(dtk) = 0) THEN 0.0 ELSE
+             CAST(len(list_intersect(qtk, dtk)) AS DOUBLE)
+             / (CAST(len(qtk) AS DOUBLE) + CAST(len(dtk) AS DOUBLE)
+                - CAST(len(list_intersect(qtk, dtk)) AS DOUBLE))
+           END, 6) AS score
+  FROM cands c
+  JOIN qt ON c.query_id = qt.query_id
+  JOIN dt ON c.doc_id = dt.doc_id
+)
+SELECT query_id, doc_id, dot, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
+
+@q(
+    "retrieve_then_rerank",
+    _RETRIEVE_RERANK_ORACLE,
+    "two-stage retrieval, the production search stack: dense hash-embed "
+    "retrieval (bucket equi-join dot) takes top-20 candidates per query, "
+    "a pairwise rerank scorer (cross-encoder analogue) re-orders ONLY "
+    "those candidates to a final top-5 — rerank cost bounded by "
+    "queries x 20, never the corpus",
+)
+def q_retrieve_then_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.fast_text import hash_embed_coords_fast
+    from fastembed_rs_spark.operators.rerank import token_overlap_score
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    coords = hash_embed_coords_fast(docs, "doc_id", "text", dim=64).localCheckpoint()
+    qc = coords.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "bucket", F.col("weight").alias("qw")
+    )
+    dots = (
+        coords.join(F.broadcast(qc), "bucket")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(F.col("qw") * F.col("weight")), 6).alias("dot"))
+    )
+    w_retrieve = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("doc_id"))
+    cands = (
+        dots.withColumn("__rr", F.row_number().over(w_retrieve))
+        .filter(F.col("__rr") <= 20)
+        .drop("__rr")
+    )
+    qs = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("__qtext")
+    )
+    pairs = (
+        cands.join(docs.select("doc_id", F.col("text").alias("__dtext")), "doc_id")
+        .join(F.broadcast(qs), "query_id")
+    )
+    scored = pairs.withColumn(
+        "score", F.round(token_overlap_score(F.col("__qtext"), F.col("__dtext")), 6)
+    )
+    w_final = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_final).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "dot", "score", "rank")
+    )
+
+
 @q(
     "order_rank_profile",
     """
