@@ -155,3 +155,11 @@ def test_chunking_is_codegen_only(spark, catalog):
         p = plan_of(spark, catalog, name)
         assert "Generate explode" in p, name
         assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, name
+
+
+def test_retrieve_then_rerank_is_candidate_bounded(spark, catalog):
+    """Both windows are rank-limited and the rerank join is broadcast —
+    stage 2 never touches the corpus beyond the 20 candidates."""
+    p = plan_of(spark, catalog, "retrieve_then_rerank")
+    assert p.count("WindowGroupLimit") >= 2
+    assert "BroadcastHashJoin" in p
