@@ -104,6 +104,7 @@ HEADLINE = [
     "incremental_embed",
     "order_rank_profile",
     "retrieve_then_rerank",
+    "events_funnel",
 ]
 
 

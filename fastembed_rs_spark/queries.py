@@ -3553,6 +3553,77 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "events_funnel",
+    """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS vts FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS cts
+  FROM events e JOIN v ON e.user_id = v.user_id
+   AND e.ts > v.vts AND e.ts <= v.vts + INTERVAL 24 HOUR
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS pts
+  FROM events e JOIN c ON e.user_id = c.user_id
+   AND e.ts > c.cts AND e.ts <= c.cts + INTERVAL 24 HOUR
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+), u AS (SELECT DISTINCT user_id FROM events),
+staged AS (
+  SELECT u.user_id,
+         CASE WHEN p.user_id IS NOT NULL THEN 3
+              WHEN c.user_id IS NOT NULL THEN 2
+              WHEN v.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS stage
+  FROM u
+  LEFT JOIN v ON u.user_id = v.user_id
+  LEFT JOIN c ON u.user_id = c.user_id
+  LEFT JOIN p ON u.user_id = p.user_id
+)
+SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM staged GROUP BY stage
+""",
+    "ordered funnel conversion (view -> click within 24h -> purchase "
+    "within 24h, strictly increasing event times): three "
+    "map-side-combinable min aggregations chained by user equi-joins — "
+    "no window over full history, no per-user sort; the "
+    "sequential-pattern family next to sessionize/journey",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day_ns = 24 * 3600 * 1_000_000_000  # ts is epoch nanos (see t())
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("vts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("vts")) & (F.col("ts") <= F.col("vts") + day_ns))
+        .groupBy("user_id").agg(F.min("ts").alias("cts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("cts")) & (F.col("ts") <= F.col("cts") + day_ns))
+        .groupBy("user_id").agg(F.min("ts").alias("pts"))
+    )
+    u = ev.select("user_id").distinct()
+    staged = (
+        u.join(v.select("user_id", F.lit(1).alias("__v")), "user_id", "left")
+        .join(c.select("user_id", F.lit(1).alias("__c")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("__p")), "user_id", "left")
+        .select(
+            F.when(F.col("__p").isNotNull(), 3)
+            .when(F.col("__c").isNotNull(), 2)
+            .when(F.col("__v").isNotNull(), 1)
+            .otherwise(0)
+            .alias("stage")
+        )
+    )
+    return staged.groupBy("stage").agg(F.count("*").cast("long").alias("n_users"))
+
+
 _RETRIEVE_RERANK_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_transform({duck_tokens('text')}, tk -> {duck_token_hash('tk')} % 64)) AS bucket
