@@ -163,3 +163,12 @@ def test_retrieve_then_rerank_is_candidate_bounded(spark, catalog):
     p = plan_of(spark, catalog, "retrieve_then_rerank")
     assert p.count("WindowGroupLimit") >= 2
     assert "BroadcastHashJoin" in p
+
+
+def test_events_funnel_is_aggregation_only(spark, catalog):
+    """Funnel = chained min-aggs with map-side partials; no history window,
+    no sort of the event stream."""
+    p = plan_of(spark, catalog, "events_funnel")
+    assert "Window" not in p
+    assert "partial_min" in p
+    assert "partial_count" in p
