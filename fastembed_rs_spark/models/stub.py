@@ -80,14 +80,27 @@ def _id_vectors(ids: np.ndarray, dim: int) -> np.ndarray:
 
 class StubDenseSession:
     """Emits ``last_hidden_state`` (B,T,H) — pooling happens engine-side,
-    exactly as with a real transformer ONNX export."""
+    exactly as with a real transformer ONNX export.
+
+    Hidden states are per-token id vectors plus a masked-mean context mix,
+    so every position (including CLS at 0) depends on the WHOLE sequence —
+    without the mix, the CLS vector was a constant and cls-pooling tests
+    could not detect an operator that ignored its input. The mix is a
+    per-row masked mean, so batch composition and padding length still
+    cannot change any row's output (the invariance tests rely on that).
+    """
 
     def __init__(self, spec: ModelSpec):
         self.spec = spec
         self.output_names = ["last_hidden_state"]
 
     def run(self, _out, feeds: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
-        return {"last_hidden_state": _id_vectors(feeds["input_ids"], self.spec.dim)}
+        tok = _id_vectors(feeds["input_ids"], self.spec.dim)  # (B,T,H)
+        m = feeds["attention_mask"][..., None].astype(np.float32)
+        ctx = (tok * m).sum(axis=1, keepdims=True) / np.maximum(
+            m.sum(axis=1, keepdims=True), 1.0
+        )
+        return {"last_hidden_state": (tok + 0.25 * ctx).astype(np.float32)}
 
 
 class StubSparseSession:

@@ -20,12 +20,15 @@ DOCS = [
 
 DENSE_GOLDEN = {
     "stub-dense-mean": [-0.073716, 0.697897, -0.268031, 0.083365],
-    "stub-dense-cls": [0.083365, 0.083365, 0.083365, 0.083365],
-    "stub-dense-last": [-0.079348, 0.075761, -0.039399, 0.083365],
+    # cls/last are content-dependent (sequence context mix in the stub);
+    # mean is invariant to the mix: mean(tok + 0.25·mean(tok)) is collinear
+    # with mean(tok), and L2 normalization removes the scale
+    "stub-dense-cls": [0.066547, 0.144439, 0.059203, 0.083365],
+    "stub-dense-last": [-0.082374, 0.135927, -0.060097, 0.083365],
 }
 SPARSE_GOLDEN = {
     "stub-sparse": [3.826147, 5.323154, 7.244038, 1.784696],
-    "stub-sparse-bgem3": [0.0, 1.006115, 1.563643, 0.0],
+    "stub-sparse-bgem3": [0.0, 0.886976, 1.190173, 0.0],
 }
 BGEM3_GOLDEN = {
     "dense": [-0.073716, 0.697897, -0.268031, 0.083365],
