@@ -84,3 +84,14 @@ def test_rerank_golden_scores(spark, docs):
     rows = rerank_score(pairs, "q", "d").orderBy("doc_id").collect()
     scores = [float(r["score"]) for r in rows]
     assert scores == pytest.approx(RERANK_GOLDEN, abs=EPS)
+
+
+def test_cls_pooling_is_content_dependent(spark, docs):
+    """The CLS hidden state mixes sequence context — distinct documents
+    must embed differently under cls pooling (a constant-CLS stub once
+    made this test family blind to operators that ignore their input)."""
+    from fastembed_rs_spark.operators.embed import embed_text
+
+    rows = embed_text(docs, "text", model="stub-dense-cls").orderBy("doc_id").collect()
+    vecs = [tuple(r["embedding"]) for r in rows]
+    assert len(set(vecs[:3])) == 3  # three non-empty docs, three embeddings
