@@ -170,9 +170,49 @@ def main() -> int:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+
+    # The driver captures only the tail of stdout (~2000 chars), which
+    # truncated the 80-query JSON line in round 3 (BENCH_r03.json parsed:
+    # null). Persist the FULL result to a committed side file and keep the
+    # stdout line short enough to survive the capture buffer: if the full
+    # line would overflow, emit it with the per-query map trimmed to the
+    # slowest entries and a pointer to the side file.
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_file = f"BENCH_LOCAL_r{_next_round(here):02d}.json"
+    try:
+        with open(os.path.join(here, detail_file), "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as e:  # read-only checkout must not kill the bench line
+        print(f"# could not write {detail_file}: {e}", file=sys.stderr)
+
+    line = dict(out, detail_file=detail_file)
+    LINE_BUDGET = 1600
+    if len(json.dumps(line)) > LINE_BUDGET:
+        slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+        line["queries"] = {}
+        line["queries_truncated_to_slowest"] = True
+        line["n_queries"] = len(timings)
+        for name_, sec in slowest:
+            line["queries"][name_] = sec
+            if len(json.dumps(line)) > LINE_BUDGET:
+                del line["queries"][name_]
+                break
+    print(json.dumps(line))
     spark.stop()
     return 0
+
+
+def _next_round(repo_dir: str) -> int:
+    """Infer the current round: 1 + the highest driver-written
+    ``BENCH_r{N}.json`` (the driver records round N's bench AFTER the round,
+    so during round N only r1..N-1 exist)."""
+    rounds = [0]
+    for fn in os.listdir(repo_dir):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1
 
 
 if __name__ == "__main__":

@@ -3868,5 +3868,61 @@ def _fill_sketch_oracles() -> None:
 _fill_sketch_oracles()
 
 
+# Driver-verification rotation. The driver's CORRECTNESS_r{N}.json covers
+# only the first ~50 entries of ``queries()`` per round, so ordering is the
+# coverage lever: names listed here come FIRST, everything else follows in
+# registration order. Round 4 front-loads the 40 queries that had never had
+# a driver oracle row through r1–r3 (they were judge-verified green in
+# VERDICT.md r3, but the hard signal must come from the driver). Rotate this
+# list each round so every query keeps getting a driver row.
+_DRIVER_PRIORITY: list[str] = [
+    "events_props_json",
+    "revenue_rollup",
+    "revenue_cube",
+    "bloom_semijoin_revenue",
+    "order_items_array",
+    "chunk_documents",
+    "chunk_documents_tokens",
+    "rag_passage_topk",
+    "customers_without_orders",
+    "user_rolling_value",
+    "value_percentiles",
+    "value_percentiles_approx",
+    "brand_buyers_setops",
+    "orders_by_month",
+    "tfidf_top_terms",
+    "multimodal_probe",
+    "cms_heavy_estimate",
+    "stratified_sample",
+    "value_quartiles",
+    "clean_text",
+    "user_journey",
+    "unigram_surprisal",
+    "benchmark_decontam",
+    "pii_redact",
+    "repetition_signals",
+    "semantic_dedup",
+    "dsir_importance",
+    "sequence_packing",
+    "embedding_stats",
+    "mmr_diversify",
+    "hll_distinct_per_lang",
+    "customers_with_returns",
+    "user_event_pivot",
+    "value_by_type_salted",
+    "incremental_dedup",
+    "events_funnel",
+    "retrieve_then_rerank",
+    "order_rank_profile",
+    "incremental_embed",
+    "embed_qwen_vl_stub",
+]
+
+
 def all_queries() -> dict[str, QuerySpec]:
-    return dict(QUERIES)
+    """Full catalog, ordered for driver-verification rotation: the
+    ``_DRIVER_PRIORITY`` names first (they occupy the driver's correctness
+    window this round), then every other query in registration order."""
+    prioritized = {n: QUERIES[n] for n in _DRIVER_PRIORITY if n in QUERIES}
+    rest = {n: s for n, s in QUERIES.items() if n not in prioritized}
+    return {**prioritized, **rest}

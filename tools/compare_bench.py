@@ -15,17 +15,44 @@ is not a regression signal).
 from __future__ import annotations
 
 import json
+import os
+import re
 import sys
 
 
+def queries_of(path: str) -> dict[str, float]:
+    """Per-query timing map for a bench artifact.
+
+    Prefers the committed ``BENCH_LOCAL_r{N}.json`` side file when ``path``
+    is a driver ``BENCH_r{N}.json`` (the driver's tail capture truncates
+    long lines — bench.py writes the full map to the side file), then falls
+    back to the artifact's own ``queries`` / ``parsed.queries``.
+    """
+    m = re.search(r"BENCH_r(\d+)\.json$", path)
+    if m:
+        local = os.path.join(
+            os.path.dirname(path), f"BENCH_LOCAL_r{int(m.group(1)):02d}.json"
+        )
+        if os.path.exists(local):
+            return json.load(open(local))["queries"]
+    obj = json.load(open(path))
+    if "queries" not in obj and "parsed" in obj:
+        obj = obj["parsed"] or {}  # driver BENCH_r{N}.json wraps bench's line
+    if obj.get("detail_file"):
+        local = os.path.join(os.path.dirname(path), obj["detail_file"])
+        if os.path.exists(local):
+            return json.load(open(local))["queries"]
+    if "queries" not in obj:
+        raise SystemExit(f"{path}: no per-query timings (truncated artifact?)")
+    return obj["queries"]
+
+
 def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__.strip())
+        return 2
     old_path, new_path = sys.argv[1], sys.argv[2]
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    def queries_of(path: str) -> dict[str, float]:
-        obj = json.load(open(path))
-        if "queries" not in obj and "parsed" in obj:
-            obj = obj["parsed"]  # driver BENCH_r{N}.json wraps bench's line
-        return obj["queries"]
 
     old = queries_of(old_path)
     new = queries_of(new_path)
@@ -46,7 +73,10 @@ def main() -> int:
         if flag:
             print(f"{q}: {o:.2f}s -> {n:.2f}s ({r:.2f}x){flag}")
     so, sn = sum(old[q] for q in shared), sum(new[q] for q in shared)
-    print(f"shared {len(shared)} queries: {so:.1f}s -> {sn:.1f}s ({sn/so:.2f}x)")
+    if shared and so > 0:
+        print(f"shared {len(shared)} queries: {so:.1f}s -> {sn:.1f}s ({sn/so:.2f}x)")
+    else:
+        print(f"shared {len(shared)} queries (no comparable total)")
     if added:
         print(f"added ({len(added)}): " + ", ".join(f"{q}={new[q]:.2f}s" for q in added))
     if removed:
