@@ -59,6 +59,12 @@ class ModelSpec:
 
 _REGISTRY: dict[str, ModelSpec] = {}
 _ALIASES: dict[str, str] = {}
+# (kind, alias) -> name: the reference resolves codes WITHIN a model family
+# (SparseTextEmbedding::try_from("BAAI/bge-m3") finds the sparse entry even
+# though the dense registry carries the same code — src/models/sparse.rs:31
+# vs src/models/text_embedding.rs BGEM3), so by-code lookup is kind-scoped
+# when the caller knows the family.
+_KIND_ALIASES: dict[tuple[str, str], str] = {}
 
 
 def register(spec: ModelSpec, *aliases: str) -> ModelSpec:
@@ -70,11 +76,15 @@ def register(spec: ModelSpec, *aliases: str) -> ModelSpec:
             # resolves by-code to the FIRST registry match (models/*.rs
             # from_str uses .find()), i.e. the non-quantized entry
             _ALIASES.setdefault(a, spec.name)
+            _KIND_ALIASES.setdefault((spec.kind, a), spec.name)
     return spec
 
 
-def get_model_spec(name: str) -> ModelSpec:
-    key = name if name in _REGISTRY else _ALIASES.get(name, name)
+def get_model_spec(name: str, kind: str | None = None) -> ModelSpec:
+    if kind is not None and name not in _REGISTRY:
+        key = _KIND_ALIASES.get((kind, name)) or _ALIASES.get(name, name)
+    else:
+        key = name if name in _REGISTRY else _ALIASES.get(name, name)
     try:
         return _REGISTRY[key]
     except KeyError:
@@ -178,10 +188,13 @@ register(ModelSpec(
 register(ModelSpec(
     name="SparseBGEM3", dim=1024, kind="sparse", vocab_size=250002,
     sparse_method="bgem3",
-    model_code="BAAI/bge-m3-sparse", model_file="onnx/model.onnx",
+    # upstream code matches the reference registry (src/models/sparse.rs:31);
+    # the dense BGEM3 shares this code, so sparse call sites resolve it via
+    # the kind-scoped alias (get_model_spec(..., kind="sparse"))
+    model_code="BAAI/bge-m3", model_file="onnx/model.onnx",
     description="BGE-M3 sparse head: embedded linear weights, max-by-token-id "
                 "(src/sparse_text_embedding/impl.rs:256-304)",
-))
+), "BAAI/bge-m3-sparse")
 
 # joint bge-m3 triple (src/bgem3_embedding/)
 register(ModelSpec(

@@ -78,10 +78,13 @@ def chunk_by_tokens(
         raise ValueError(f"need 0 <= overlap < size, got {overlap} >= {size}")
     stride = size - overlap
     toks = f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
-    n = _n_chunks(f"size({toks})", size, overlap)
+    # build n_chunks on the materialized __toks column directly (not by
+    # string-rewriting the full tokens expression) so the split/filter is
+    # guaranteed to be computed once per row
+    n = _n_chunks("size(__toks)", size, overlap)
     return (
         docs.withColumn("__toks", F.expr(toks))
-        .withColumn("n_chunks", F.expr(n.replace(f"size({toks})", "size(__toks)")))
+        .withColumn("n_chunks", F.expr(n))
         .withColumn("chunk_idx", F.expr("explode(sequence(0, n_chunks - 1))"))
         .withColumn(
             "chunk_text",

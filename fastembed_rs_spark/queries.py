@@ -57,11 +57,18 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # `ts` as epoch-nanoseconds bigint, so every downstream window /
         # sessionize / as-of computation is exact int64 arithmetic that
         # hash-matches DuckDB's epoch_ns()/epoch_us() regardless of zone.
-        # nanosAsLong is a read-path flag with no per-read scope — setting it
-        # here (idempotent; same value session.py pins) keeps sessions built
-        # elsewhere working should the testdata revert to NANOS.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # session.py pins legacy.parquet.nanosAsLong=true for the NANOS case;
+        # sessions built elsewhere get a one-time, documented conf repair
+        # ONLY if the read actually fails on a NANOS file (the flag has no
+        # per-read scope, so there is no narrower place to set it).
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            df.schema  # force analysis so a NANOS type error surfaces here
+        except Exception:
+            if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true":
+                raise  # flag already on → not the NANOS issue; re-raise
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         dt = dict(df.dtypes).get("ts", "")
         if dt == "timestamp_ntz":
             # naive wall times are UTC by convention (matches DuckDB
@@ -1056,7 +1063,6 @@ QUALIFY rank <= 10
     "TPC-H Q3-shaped shipping priority: selective 3-way join + agg + global top-N",
 )
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
@@ -1064,15 +1070,17 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
+    # o_orderdate is TIMESTAMP_NTZ; timestampdiff between NTZ values is exact
+    # integer math independent of the session time zone (matches DuckDB
+    # epoch() on the naive ts) — no session-conf mutation needed
+    orderdate_epoch = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "cast(o_orderdate as timestamp_ntz))"
+    ).cast("long").alias("orderdate_epoch")
     rev = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy(
-            "l_orderkey",
-            # o_orderdate is TIMESTAMP_NTZ; NTZ->LTZ uses the (UTC) session tz,
-            # LTZ->long is epoch seconds — matches DuckDB epoch() on the naive ts
-            F.col("o_orderdate").cast("timestamp_ltz").cast("long").alias("orderdate_epoch"),
-        )
+        .groupBy("l_orderkey", orderdate_epoch)
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
             .alias("revenue")

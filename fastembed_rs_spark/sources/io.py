@@ -23,6 +23,21 @@ from pyspark.sql import functions as F
 _TEXT_FORMATS = {"parquet", "json", "csv", "text"}
 
 
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-agnostic existence check via the Hadoop FileSystem API.
+
+    ``os.path.exists`` only sees the driver's local disk; on HDFS/S3 (the
+    lake-scale target) it would report every store as absent — silently
+    skipping anti-joins that keep append-only stores duplicate-free. The
+    Hadoop ``Path.getFileSystem(conf)`` resolves whatever scheme the path
+    carries (file://, hdfs://, s3a://, ...), same pattern
+    ``compact_parquet`` uses for byte sizing.
+    """
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
 def read_documents(
     spark: SparkSession,
     path: str,
@@ -160,9 +175,7 @@ def upsert_embeddings(
     bucketed = new_df.withColumn(
         "__bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
     )
-    import os
-
-    if not os.path.exists(store_path):
+    if not fs_exists(spark, store_path):
         bucketed.write.partitionBy("__bucket").parquet(store_path)
         return
     affected = [r["__bucket"] for r in bucketed.select("__bucket").distinct().collect()]

@@ -44,24 +44,28 @@ def view_click_attribution(
     watermark: str = "30 minutes",
     user_col: str = "user_id",
     ts_col: str = "ts",
+    event_id_col: str = "event_id",
+    value_col: str = "value",
 ) -> DataFrame:
     """Attribute every click to all of the same user's views in the
     preceding ``max_delay`` window (inclusive bounds on both ends).
 
     Both inputs must be streaming DataFrames with an event-time ``ts_col``.
     Inner interval joins support append output; rows emit once the
-    watermark passes the end of their possible-match window.
+    watermark passes the end of their possible-match window. All column
+    names are parameters so any schema can be attributed without renaming
+    upstream.
     """
     v = views.withWatermark(ts_col, watermark).select(
         F.col(user_col).alias("v_user"),
-        F.col("event_id").alias("view_event_id"),
+        F.col(event_id_col).alias("view_event_id"),
         F.col(ts_col).alias("view_ts"),
     )
     c = clicks.withWatermark(ts_col, watermark).select(
         F.col(user_col).alias("user_id"),
-        F.col("event_id").alias("click_event_id"),
+        F.col(event_id_col).alias("click_event_id"),
         F.col(ts_col).alias("click_ts"),
-        F.col("value").alias("click_value"),
+        F.col(value_col).alias("click_value"),
     )
     cond = (
         (c.user_id == v.v_user)
@@ -71,6 +75,11 @@ def view_click_attribution(
     return c.join(v, cond, "inner").select(
         "user_id", "click_event_id", "click_ts", "view_event_id", "view_ts",
         "click_value",
-        # attribution lag in seconds — the metric this join usually feeds
-        (F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts")).alias("lag_s"),
+        # attribution lag in fractional seconds — timestamp difference at
+        # microsecond precision (unix_timestamp would truncate sub-second
+        # lags to whole seconds)
+        (
+            (F.unix_micros("click_ts") - F.unix_micros("view_ts"))
+            / F.lit(1_000_000.0)
+        ).alias("lag_s"),
     )

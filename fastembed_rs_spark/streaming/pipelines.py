@@ -206,9 +206,8 @@ def dedup_to_store_stream(
 
     Returns the started StreamingQuery; caller owns stop/await.
     """
-    import os
-
     from fastembed_rs_spark.operators.fast_text import doc_fingerprints_fast
+    from fastembed_rs_spark.sources.io import fs_exists
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -218,7 +217,10 @@ def dedup_to_store_stream(
             .agg(F.min(id_col).alias(id_col))
             .select(id_col, "fingerprint")
         )
-        if os.path.exists(store_path):
+        # Hadoop-FS existence check (not os.path.exists): works on HDFS/S3
+        # too, where a local check would silently skip the anti-join and
+        # corrupt the store's dedup invariant
+        if fs_exists(spark, store_path):
             store = spark.read.parquet(store_path).select("fingerprint")
             fresh = fresh.join(store, "fingerprint", "left_anti")
         fresh.write.mode("append").parquet(store_path)

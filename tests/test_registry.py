@@ -50,6 +50,20 @@ def test_lookup_by_model_code_and_alias():
     assert get_model_spec("prithivida/Splade_PP_en_v1").name == "SPLADEPPV1"
 
 
+def test_bgem3_code_is_kind_scoped():
+    # src/models/sparse.rs:31 registers the SPARSE model under the upstream
+    # code "BAAI/bge-m3" — the same code the dense registry uses. The
+    # reference resolves by-code within the family, so: bare lookup → dense
+    # (first registration), kind="sparse" → the sparse head.
+    assert get_model_spec("BAAI/bge-m3").name == "BGEM3"
+    assert get_model_spec("BAAI/bge-m3", kind="sparse").name == "SparseBGEM3"
+    assert get_model_spec("SparseBGEM3").model_code == "BAAI/bge-m3"
+    # legacy repo-local alias keeps resolving
+    assert get_model_spec("BAAI/bge-m3-sparse").name == "SparseBGEM3"
+    # kind scoping doesn't break exact-name lookups
+    assert get_model_spec("BGEM3", kind="sparse").name == "BGEM3"
+
+
 def test_kind_inventories():
     assert len(list_models("image")) == 6   # 5 reference + stub
     assert len(list_models("rerank")) == 5  # 4 reference + stub

@@ -346,7 +346,7 @@ def test_stream_stream_interval_join_matches_batch(spark, stream_dir):
         for r in spark.sql("SELECT * FROM attrib").collect()
     )
     q.stop()
-    assert got == [(11, 10, 300), (22, 20, 720), (22, 21, 120)]
+    assert got == [(11, 10, 300.0), (22, 20, 720.0), (22, 21, 120.0)]
 
 
 def test_stream_static_enrichment_matches_batch(spark, stream_dir):
