@@ -67,15 +67,25 @@ def test_tfidf_join_is_not_sort_merge(spark, catalog):
 
 def test_hybrid_rrf_has_no_corpus_window(spark, catalog):
     """RRF fuses two ≤10-row-per-query rank lists; the fused window must
-    run on the union of rank lists, never the corpus."""
+    run on the union of rank lists, never the corpus. Asserted per Window
+    NODE (not by substring counting), so introducing ANY corpus-wide
+    window — row_number or otherwise — fails this test."""
+    import re
+
     p = plan_of(spark, catalog, "hybrid_rrf_topk")
     assert "rrf_score" in p
+    lines = p.splitlines()
+    window_idx = [i for i, ln in enumerate(lines) if "Window [" in ln]
     # three row_number windows: per-source rank lists (bm25, dense) + fused
-    n_windows = p.count("Window [row_number()")
-    assert n_windows >= 3
-    # every one of them is rank-limited (WindowGroupLimit pushdown), so no
-    # window ever buffers an unlimited partition
-    assert p.count("WindowGroupLimit") >= n_windows
+    assert len(window_idx) >= 3
+    for i in window_idx:
+        # every window partitions by query_id — a corpus-global window
+        # (empty partitionBy) would buffer the whole input in one task
+        spec = re.search(r"windowspecdefinition\((.*?) DESC", lines[i])
+        assert spec and "query_id" in spec.group(1), lines[i][:160]
+        # ...and its DIRECT child is the rank-limit (WindowGroupLimit
+        # pushdown), so no window ever buffers an unlimited partition
+        assert "WindowGroupLimit" in lines[i + 1], lines[i : i + 2]
     # the fused window consumes the Union of the ≤k rank lists, never a scan:
     # everything above the Union node must be scan-free
     above_union = p.partition("Union")[0]

@@ -83,7 +83,9 @@ def main() -> int:
 
     trained = train_ivf_centroids(emb, k=40, iters=3).localCheckpoint()
     tbucketed = assign_ivf_buckets_fast(emb, trained).localCheckpoint()
-    for nprobe in (1, 3, 5):
+    # full nprobe ladder so the table names an operating point per recall
+    # target (recall climbs with the fraction of buckets probed)
+    for nprobe in (1, 3, 5, 8, 12, 16, 20):
         t0 = time.time()
         approx = ivf_top_k(qs, tbucketed, trained, k=K, nprobe=nprobe).collect()
         rows.append((f"IVF (k-means k=40) nprobe={nprobe}",
@@ -160,6 +162,17 @@ def main() -> int:
         "higher. At 100 TB the same knobs trade shuffle/scan volume",
         "against recall — pick by the product's recall floor, then bench",
         "the cheapest config that clears it.",
+        "",
+        "Operating points (trained IVF, k=40): the nprobe ladder above is",
+        "the recall dial — pick the smallest nprobe whose measured",
+        "recall@10 clears the product's floor. Each +1 nprobe adds ~1/40th",
+        "of the corpus to the candidate scan, so cost scales linearly in",
+        "nprobe while recall saturates; on this no-structure worst case the",
+        "0.8 floor lands at a nprobe that probes a large corpus fraction,",
+        "on clustered real corpora the same floor lands at nprobe 2-5.",
+        "When even the saturated IVF recall is short of the floor, the",
+        "scalar-int8 full-scan row (0.93+ here) is the fallback: same",
+        "broadcast-join shape, 4x less I/O than f32, no bucket pruning.",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                            "ANN_RECALL.md"), "w") as f:
