@@ -105,6 +105,14 @@ HEADLINE = [
     "order_rank_profile",
     "retrieve_then_rerank",
     "events_funnel",
+    # round 4 additions
+    "customer_order_distribution",
+    "sales_opportunity_segments",
+    "promo_revenue_share",
+    "order_priority_pending",
+    "chunk_exact_dedup",
+    "domain_mix_weights",
+    "token_vocab_coverage",
 ]
 
 

@@ -182,3 +182,47 @@ def test_events_funnel_is_aggregation_only(spark, catalog):
     assert "Window" not in p
     assert "partial_min" in p
     assert "partial_count" in p
+
+
+def test_promo_share_broadcasts_part_and_pushes_shipdate(spark, catalog):
+    """Q14 shape: the part dim broadcasts (fact table never shuffles for
+    the join) and the shipdate range reaches the lineitem scan."""
+    p = plan_of(spark, catalog, "promo_revenue_share")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "partial_sum" in p
+    scan = p.split("FileScan parquet [l_partkey", 1)[1][:400]
+    assert "l_shipdate" in scan.split("DataFilters: [", 1)[1][:200]
+
+
+def test_order_priority_semi_join_keeps_inequality_residual(spark, catalog):
+    """Q4 shape: EXISTS plans as LeftSemi with the l_shipdate > o_orderdate
+    comparison as join residual — lineitem is never aggregated first."""
+    p = plan_of(spark, catalog, "order_priority_pending")
+    assert "LeftSemi" in p
+    semi_line = next(ln for ln in p.splitlines() if "LeftSemi" in ln)
+    assert "l_shipdate" in semi_line and "o_orderdate" in semi_line
+    assert "partial_count" in p  # map-side partial on the grouped count
+
+
+def test_chunk_dedup_shuffles_fingerprints_not_text(spark, catalog):
+    """Passage dedup: the only exchanges group 8-byte fingerprints (+
+    doc_id for the distinct expansion) — chunk_text never crosses the
+    wire."""
+    p = plan_of(spark, catalog, "chunk_exact_dedup")
+    for ln in p.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "chunk_text" not in ln and "text#" not in ln, ln[:160]
+    assert "Generate explode" in p  # chunking is codegen explode
+
+
+def test_vocab_coverage_take_ordered_then_tiny_window(spark, catalog):
+    """Vocabulary build: global top-256 via TakeOrderedAndProject (no full
+    sort), rank/cumsum windows only above it, total via shuffle-free size
+    sum (no second token groupBy)."""
+    p = plan_of(spark, catalog, "token_vocab_coverage")
+    assert "TakeOrderedAndProject(limit=256" in p
+    # windows sit above the limit: nothing below TakeOrdered is a Window
+    below = p.split("TakeOrderedAndProject", 1)[1]
+    assert "Window" not in below
+    # one token groupBy, not two (the total is a per-doc size sum)
+    assert p.count("partial_count(1)") == 1
