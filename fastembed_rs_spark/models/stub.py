@@ -92,7 +92,14 @@ class StubDenseSession:
 
     def __init__(self, spec: ModelSpec):
         self.spec = spec
-        self.output_names = ["last_hidden_state"]
+        # models whose export emits a pre-pooled (B,H) sentence embedding
+        # (Gemma family / optimum-cli exports — text_embedding.rs:423-443,
+        # pooling pass-through src/pooling.rs:22) stub that exact shape, so
+        # the 2-D pass-through path is exercised end to end offline
+        self._pooled = spec.output_key == "sentence_embedding"
+        self.output_names = (
+            ["sentence_embedding"] if self._pooled else ["last_hidden_state"]
+        )
 
     def run(self, _out, feeds: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
         tok = _id_vectors(feeds["input_ids"], self.spec.dim)  # (B,T,H)
@@ -100,7 +107,11 @@ class StubDenseSession:
         ctx = (tok * m).sum(axis=1, keepdims=True) / np.maximum(
             m.sum(axis=1, keepdims=True), 1.0
         )
-        return {"last_hidden_state": (tok + 0.25 * ctx).astype(np.float32)}
+        hidden = (tok + 0.25 * ctx).astype(np.float32)
+        if self._pooled:
+            pooled = (hidden * m).sum(axis=1) / np.maximum(m.sum(axis=1), 1.0)
+            return {"sentence_embedding": pooled.astype(np.float32)}
+        return {"last_hidden_state": hidden}
 
 
 class StubSparseSession:
