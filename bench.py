@@ -116,10 +116,45 @@ HEADLINE = [
 ]
 
 
+def _calibrate() -> dict:
+    """Fixed CPU micro-workloads recorded alongside the timings: bench runs
+    land on whatever VM/host the round got, and hosts have differed by >1.5x
+    single-core speed between rounds. Per-query comparisons across rounds
+    should be read relative to the calibration ratio, not as absolutes."""
+    import numpy as np
+
+    t0 = time.time()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i * i
+    single = time.time() - t0
+    a = np.random.default_rng(0).random((1500, 1500))
+    t0 = time.time()
+    for _ in range(3):
+        a = 0.5 * (a @ a) / np.linalg.norm(a)  # keep values bounded
+    matmul = time.time() - t0
+    cpu = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    cpu = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return {
+        "single_core_loop_s": round(single, 3),
+        "matmul_s": round(matmul, 3),
+        "cpu": cpu,
+        "n_cpus": os.cpu_count(),
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    calib = _calibrate()
 
     from fastembed_rs_spark.queries import all_queries
     from fastembed_rs_spark.session import get_spark
@@ -175,6 +210,7 @@ def main() -> int:
         "runs_per_query": RUNS,
         "agg": "min",
         "sf": sf,
+        "calib": calib,
     }
     if errors:
         out["errors"] = errors

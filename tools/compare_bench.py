@@ -20,6 +20,20 @@ import re
 import sys
 
 
+def full_obj(path: str) -> dict:
+    m = re.search(r"BENCH_r(\d+)\.json$", path)
+    if m:
+        local = os.path.join(
+            os.path.dirname(path), f"BENCH_LOCAL_r{int(m.group(1)):02d}.json"
+        )
+        if os.path.exists(local):
+            return json.load(open(local))
+    obj = json.load(open(path))
+    if "queries" not in obj and "parsed" in obj:
+        obj = obj["parsed"] or {}
+    return obj
+
+
 def queries_of(path: str) -> dict[str, float]:
     """Per-query timing map for a bench artifact.
 
@@ -28,18 +42,9 @@ def queries_of(path: str) -> dict[str, float]:
     long lines — bench.py writes the full map to the side file), then falls
     back to the artifact's own ``queries`` / ``parsed.queries``.
     """
-    m = re.search(r"BENCH_r(\d+)\.json$", path)
-    if m:
-        local = os.path.join(
-            os.path.dirname(path), f"BENCH_LOCAL_r{int(m.group(1)):02d}.json"
-        )
-        if os.path.exists(local):
-            return json.load(open(local))["queries"]
-    obj = json.load(open(path))
-    if "queries" not in obj and "parsed" in obj:
-        obj = obj["parsed"] or {}  # driver BENCH_r{N}.json wraps bench's line
-    if obj.get("detail_file"):
-        local = os.path.join(os.path.dirname(path), obj["detail_file"])
+    obj = full_obj(path)
+    if obj.get("detail_file") and obj.get("queries_truncated_to_slowest"):
+        local = os.path.join(os.path.dirname(path) or ".", obj["detail_file"])
         if os.path.exists(local):
             return json.load(open(local))["queries"]
     if "queries" not in obj:
@@ -56,6 +61,16 @@ def main() -> int:
 
     old = queries_of(old_path)
     new = queries_of(new_path)
+
+    # host-speed calibration: rounds run on whatever VM they get, and hosts
+    # have differed by >1.5x — print the ratio so per-query ratios are read
+    # relative to it (only available when both artifacts carry `calib`)
+    co = full_obj(old_path).get("calib")
+    cn = full_obj(new_path).get("calib")
+    if co and cn and co.get("single_core_loop_s"):
+        r = cn["single_core_loop_s"] / co["single_core_loop_s"]
+        print(f"host calibration: new/old single-core = {r:.2f}x "
+              f"({co.get('cpu','?')} -> {cn.get('cpu','?')})")
 
     shared = sorted(set(old) & set(new))
     added = sorted(set(new) - set(old))
