@@ -20,4 +20,12 @@ genuinely requires Python.
 
 __version__ = "0.1.0"
 
+from fastembed_rs_spark.api import (  # noqa: F401
+    Bgem3Embedding,
+    ImageEmbedding,
+    InitOptions,
+    SparseTextEmbedding,
+    TextEmbedding,
+    TextRerank,
+)
 from fastembed_rs_spark.session import get_spark  # noqa: F401

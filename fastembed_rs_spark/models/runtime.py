@@ -56,15 +56,28 @@ def _try_build_onnx(spec: ModelSpec):
     so.graph_optimization_level = ort.GraphOptimizationLevel.ORT_ENABLE_ALL
     intra = int(os.environ.get("FASTEMBED_INTRA_THREADS", "0")) or (os.cpu_count() or 1)
     so.intra_op_num_threads = intra
-    session = ort.InferenceSession(onnx_path, sess_options=so)
+    # execution providers (reference with_execution_providers,
+    # src/init.rs:43-49 / common.rs:207-213): comma-separated names, e.g.
+    # "CUDAExecutionProvider,CPUExecutionProvider"; default CPU
+    eps = [
+        p.strip()
+        for p in os.environ.get("FASTEMBED_EXECUTION_PROVIDERS", "").split(",")
+        if p.strip()
+    ] or ["CPUExecutionProvider"]
+    session = ort.InferenceSession(onnx_path, sess_options=so, providers=eps)
     tokenizer = Tokenizer.from_file(tok_path)
     return tokenizer, session
 
 
-def get_session(model_name: str):
-    """(tokenizer, session) singleton for this Python worker process."""
-    if model_name not in _SESSIONS:
-        spec = get_model_spec(model_name)
+def get_session(model: str | ModelSpec):
+    """(tokenizer, session) singleton for this Python worker process.
+
+    Accepts the resolved ``ModelSpec`` itself (preferred — operators resolve
+    on the driver and ship the picklable spec in the UDF closure, so
+    driver-side registrations like BYO / max_length-derived specs work even
+    though workers never saw the ``register()`` call) or a registry name."""
+    spec = model if isinstance(model, ModelSpec) else get_model_spec(model)
+    if spec.name not in _SESSIONS:
         built = _try_build_onnx(spec)
         if built is None:
             padding = "left" if spec.pooling == "last_token" else "right"
@@ -72,24 +85,24 @@ def get_session(model_name: str):
                 StubTokenizer(spec.vocab_size, spec.max_length, padding_side=padding),
                 build_stub_session(spec),
             )
-        _SESSIONS[model_name] = built
-    return _SESSIONS[model_name]
+        _SESSIONS[spec.name] = built
+    return _SESSIONS[spec.name]
 
 
 _SPARSE_LINEAR: dict[str, tuple] = {}
 
 
-def get_sparse_linear(model_name: str):
+def get_sparse_linear(model: str | ModelSpec):
     """(weight (H,), bias) of the bgem3 sparse head — per-worker cached.
 
     Real path: the safetensors blob shipped as package data / broadcast
     (models.safetensors_io.bgem3_sparse_linear, mirroring the reference's
     embedded weights, bgem3_weights.rs:16-27). Offline fallback: a
     deterministic pseudo-random head so the full pipeline stays testable."""
+    spec = model if isinstance(model, ModelSpec) else get_model_spec(model)
+    model_name = spec.name
     if model_name not in _SPARSE_LINEAR:
         import numpy as np
-
-        spec = get_model_spec(model_name)
         blob_path = os.path.join(
             cache_dir(), spec.model_code.replace("/", "--"), "sparse_linear.safetensors"
         )

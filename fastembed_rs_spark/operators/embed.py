@@ -210,7 +210,7 @@ def embed_text(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from fastembed_rs_spark.models.runtime import get_session
 
-        tokenizer, session = get_session(model)
+        tokenizer, session = get_session(spec)
         for pdf in batches:
             for chunk in _chunks(pdf, batch_size):
                 texts = chunk[text_col].fillna("").astype(str).tolist()
@@ -252,7 +252,7 @@ def embed_sparse(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from fastembed_rs_spark.models.runtime import get_session, get_sparse_linear
 
-        tokenizer, session = get_session(model)
+        tokenizer, session = get_session(spec)
         for pdf in batches:
             for chunk in _chunks(pdf, batch_size):
                 texts = chunk[text_col].fillna("").astype(str).tolist()
@@ -261,7 +261,7 @@ def embed_sparse(
                 rows = []
                 if spec.sparse_method == "bgem3":
                     hidden = select_output(outputs, spec.output_key)  # (B,T,H)
-                    w, b = get_sparse_linear(model)
+                    w, b = get_sparse_linear(spec)
                     tok_w = np.maximum(hidden @ w + b, 0.0)  # (B,T)
                     for i in range(len(texts)):
                         on = mask[i] == 1
@@ -307,7 +307,7 @@ def embed_bgem3(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from fastembed_rs_spark.models.runtime import get_session
 
-        tokenizer, session = get_session(model)
+        tokenizer, session = get_session(spec)
         for pdf in batches:
             for chunk in _chunks(pdf, batch_size):
                 texts = chunk[text_col].fillna("").astype(str).tolist()
@@ -397,7 +397,7 @@ def embed_image(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from fastembed_rs_spark.models.runtime import get_session
 
-        _tok, session = get_session(model)
+        _tok, session = get_session(spec)
         if preprocessor_config is not None:
             from fastembed_rs_spark.operators.preprocessing import load_preprocessor
 
@@ -450,6 +450,7 @@ def embed_qwen_vl(
     token count varies per image); the mapInPandas batch amortizes session
     reuse, not tower batching — matching the reference, whose VL forward
     is also per-image."""
+    spec = get_model_spec(model)
     kept = [c for c in df.columns if keep_content or c != content_col]
     out_schema = StructType(
         [f for f in df.schema.fields if f.name in kept]
@@ -462,7 +463,7 @@ def embed_qwen_vl(
         from fastembed_rs_spark.models.runtime import get_session
         from fastembed_rs_spark.operators.preprocessing import qwen_vl_patches
 
-        _tok, session = get_session(model)
+        _tok, session = get_session(spec)
         for pdf in batches:
             for chunk in _chunks(pdf, batch_size):
                 embs, grids = [], []
@@ -498,12 +499,13 @@ def rerank_score(
     """Append cross-encoder relevance ``score float`` for (query, doc) pairs —
     logits[:,0] (src/reranking/impl.rs:167-180). Rank downstream with
     operators.rerank.rerank."""
+    spec = get_model_spec(model, kind="rerank")
     out_schema = _with_schema(pairs, f"{out_col} float")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from fastembed_rs_spark.models.runtime import get_session
 
-        tokenizer, session = get_session(model)
+        tokenizer, session = get_session(spec)
         for pdf in batches:
             for chunk in _chunks(pdf, batch_size):
                 qs = chunk[query_col].fillna("").astype(str).tolist()

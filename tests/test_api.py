@@ -1,0 +1,132 @@
+"""The public API facade (fastembed_rs_spark.api) mirrors the reference's
+handle classes: names, init options, call shapes, and result semantics
+(src/lib.rs:2-12, src/init.rs:9-80). Each facade method must produce
+bit-identical results to the underlying operator it delegates to."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fastembed_rs_spark import (
+    Bgem3Embedding,
+    ImageEmbedding,
+    InitOptions,
+    SparseTextEmbedding,
+    TextEmbedding,
+    TextRerank,
+)
+
+DOCS = ["hello world", "spark engine", "fast embeddings", "hello spark"]
+
+
+@pytest.fixture()
+def docs_df(spark):
+    return spark.createDataFrame(
+        [(i, d) for i, d in enumerate(DOCS)], ["doc_id", "text"]
+    )
+
+
+def test_init_options_builder_mirrors_reference():
+    o = InitOptions.new("BGESmallENV15").with_max_length(128).with_intra_threads(2)
+    assert o.model_name == "BGESmallENV15"
+    assert o.max_length == 128 and o.intra_threads == 2
+    o2 = InitOptions.new("X").with_execution_providers(["CPUExecutionProvider"])
+    assert o2.execution_providers == ["CPUExecutionProvider"]
+
+
+def test_text_embedding_matches_operator(spark, docs_df):
+    from fastembed_rs_spark.operators.embed import embed_text
+
+    h = TextEmbedding.try_new("stub-dense-mean")
+    got = {r["doc_id"]: r["embedding"] for r in h.embed(docs_df).collect()}
+    want = {
+        r["doc_id"]: r["embedding"]
+        for r in embed_text(docs_df, "text", model="stub-dense-mean").collect()
+    }
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k])
+
+
+def test_embed_list_preserves_order(spark):
+    h = TextEmbedding.try_new("stub-dense-mean")
+    out = h.embed_list(spark, DOCS)
+    assert len(out) == len(DOCS)
+    # same text → same embedding regardless of position; distinct → distinct
+    again = h.embed_list(spark, list(reversed(DOCS)))
+    np.testing.assert_array_equal(out[0], again[-1])
+    assert not np.allclose(out[0], out[1])
+
+
+def test_max_length_override_derives_spec(spark):
+    h = TextEmbedding.try_new(InitOptions.new("stub-dense-mean").with_max_length(16))
+    assert h.spec.max_length == 16
+    assert h.spec.name.endswith("#len16")
+    # the derived spec truncates: long doc == its 16-token prefix
+    long_doc = " ".join(["tok"] * 200) + " tail-marker-short"
+    prefix_only = " ".join(["tok"] * 200)
+    a = h.embed_list(spark, [long_doc])
+    b = h.embed_list(spark, [prefix_only])
+    np.testing.assert_array_equal(a[0], b[0])
+    # while the default-length handle distinguishes them
+    full = TextEmbedding.try_new("stub-dense-mean")
+    c = full.embed_list(spark, [long_doc])
+    d = full.embed_list(spark, [prefix_only])
+    assert not np.allclose(c[0], d[0])
+
+
+def test_sparse_and_bgem3_shapes(spark, docs_df):
+    s = SparseTextEmbedding.try_new("stub-sparse").embed(docs_df).collect()
+    for r in s:
+        se = r["sparse_embedding"]
+        assert list(se.indices) == sorted(se.indices)
+        assert all(v > 0 for v in se.values)
+    j = Bgem3Embedding.try_new("stub-bgem3").embed(docs_df).collect()
+    for r in j:
+        assert r["bgem3"].dense is not None and r["bgem3"].colbert is not None
+
+
+def test_sparse_resolves_shared_bgem3_code():
+    # SparseTextEmbedding("BAAI/bge-m3") must find the SPARSE entry even
+    # though the dense registry shares the code (src/models/sparse.rs:31)
+    h = SparseTextEmbedding.try_new("BAAI/bge-m3")
+    assert h.spec.name == "SparseBGEM3"
+
+
+def test_image_embedding_runs(spark):
+    df = spark.createDataFrame(
+        [(i, bytes([i] * 64)) for i in range(4)], ["doc_id", "content"]
+    )
+    out = ImageEmbedding.try_new("stub-image").embed(df).collect()
+    assert len(out) == 4
+    dims = {len(r["embedding"]) for r in out}
+    assert len(dims) == 1
+
+
+def test_rerank_list_matches_reference_shape(spark):
+    h = TextRerank.try_new("stub-rerank")
+    docs = ["the cat sat", "dogs bark loudly", "cats purr and sit"]
+    res = h.rerank_list(spark, "cat sat", docs, return_documents=True)
+    assert [set(r) for r in res] == [{"index", "score", "document"}] * 3
+    assert [r["score"] for r in res] == sorted((r["score"] for r in res), reverse=True)
+    assert {r["index"] for r in res} == {0, 1, 2}
+    res2 = h.rerank_list(spark, "cat sat", docs, return_documents=False)
+    assert all("document" not in r for r in res2)
+    assert [r["index"] for r in res2] == [r["index"] for r in res]
+
+
+def test_list_supported_models_covers_registry():
+    assert {s.name for s in TextEmbedding.list_supported_models()} >= {
+        "BGESmallENV15", "AllMiniLML6V2", "BGEM3",
+    }
+    assert any(s.name == "SparseBGEM3" for s in SparseTextEmbedding.list_supported_models())
+    assert TextRerank.get_model_info("stub-rerank").kind == "rerank"
+
+
+def test_user_defined_registration(spark):
+    h = TextEmbedding.try_new_from_user_defined(
+        "local/my-export", dim=32, pooling="cls", output_key="sentence_embedding"
+    )
+    out = h.embed_list(spark, ["a doc", "another doc"])
+    assert len(out[0]) == 32
+    assert not np.allclose(out[0], out[1])
