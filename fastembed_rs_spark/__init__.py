@@ -28,4 +28,11 @@ from fastembed_rs_spark.api import (  # noqa: F401
     TextEmbedding,
     TextRerank,
 )
+from fastembed_rs_spark.functions.vector import (  # noqa: F401
+    # src/similarity.rs:14-40 — the reference's public similarity surface,
+    # as Catalyst column expressions / the distributed top-k operator
+    cosine_similarity,
+    dot,
+)
+from fastembed_rs_spark.operators.topk import cosine_top_k  # noqa: F401
 from fastembed_rs_spark.session import get_spark  # noqa: F401

@@ -155,6 +155,23 @@ class TextEmbedding(_Handle):
             pack_by_length=pack_by_length,
         )
 
+    def embed_stream(
+        self,
+        stream_df: DataFrame,
+        text_col: str = "text",
+        batch_size: int | None = None,
+        out_col: str = "embedding",
+    ) -> DataFrame:
+        """Same plan as :meth:`embed` over an unbounded (readStream)
+        DataFrame — stateless, so any output mode works
+        (streaming/pipelines.py::embed_stream)."""
+        from fastembed_rs_spark.operators.embed import embed_text
+
+        return embed_text(
+            stream_df, text_col, model=self.spec.name, out_col=out_col,
+            batch_size=batch_size or DEFAULT_BATCH_SIZE,
+        )
+
     def embed_list(
         self, spark: SparkSession, documents: list[str],
         batch_size: int | None = None,
@@ -167,6 +184,18 @@ class TextEmbedding(_Handle):
         )
         rows = self.embed(df, "text", batch_size).select("__i", "embedding").collect()
         return [list(r["embedding"]) for r in sorted(rows, key=lambda r: r["__i"])]
+
+    @classmethod
+    def get_quantization_mode(cls, model_name: str) -> str:
+        """Mirror of ``get_quantization_mode`` (src/text_embedding/impl.rs:233):
+        'none' | 'static' | 'dynamic' (dynamic carries the single-batch
+        embedding constraint enforced at plan-build time)."""
+        return get_model_spec(model_name, kind=cls.KIND).quantization
+
+    @classmethod
+    def get_default_pooling_method(cls, model_name: str) -> str:
+        """Mirror of ``get_default_pooling_method`` (src/text_embedding/impl.rs:158)."""
+        return get_model_spec(model_name, kind=cls.KIND).pooling
 
     @classmethod
     def try_new_from_user_defined(

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_TEXT_FORMATS = {"parquet", "json", "csv", "text"}
+_TEXT_FORMATS = {"parquet", "orc", "json", "csv", "text"}
 
 
 def fs_exists(spark: SparkSession, path: str) -> bool:

@@ -20,6 +20,19 @@ from fastembed_rs_spark import (
 DOCS = ["hello world", "spark engine", "fast embeddings", "hello spark"]
 
 
+@pytest.fixture(autouse=True)
+def _registry_isolation():
+    """Handles may register derived/BYO specs; restore the global registry
+    so registry-inventory tests in other modules see the pristine state."""
+    from fastembed_rs_spark.models import registry as R
+
+    snap = (dict(R._REGISTRY), dict(R._ALIASES), dict(R._KIND_ALIASES))
+    yield
+    R._REGISTRY.clear(); R._REGISTRY.update(snap[0])
+    R._ALIASES.clear(); R._ALIASES.update(snap[1])
+    R._KIND_ALIASES.clear(); R._KIND_ALIASES.update(snap[2])
+
+
 @pytest.fixture()
 def docs_df(spark):
     return spark.createDataFrame(
@@ -115,12 +128,49 @@ def test_rerank_list_matches_reference_shape(spark):
     assert [r["index"] for r in res2] == [r["index"] for r in res]
 
 
+def test_quantization_and_pooling_introspection():
+    assert TextEmbedding.get_quantization_mode("AllMiniLML6V2Q") == "dynamic"
+    assert TextEmbedding.get_quantization_mode("BGESmallENV15") == "none"
+    assert TextEmbedding.get_default_pooling_method("BGESmallENV15") == "cls"
+
+
 def test_list_supported_models_covers_registry():
     assert {s.name for s in TextEmbedding.list_supported_models()} >= {
         "BGESmallENV15", "AllMiniLML6V2", "BGEM3",
     }
     assert any(s.name == "SparseBGEM3" for s in SparseTextEmbedding.list_supported_models())
     assert TextRerank.get_model_info("stub-rerank").kind == "rerank"
+
+
+def test_embed_stream_delegates(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    src_dir = str(tmp_path / "stream_src")
+    spark.createDataFrame(
+        [(i, d) for i, d in enumerate(DOCS)], ["doc_id", "text"]
+    ).write.parquet(src_dir)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    out = TextEmbedding.try_new("stub-dense-mean").embed_stream(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("api_embed_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM api_embed_stream").collect()
+    q.stop()
+    # streaming output == batch output, row for row
+    batch = {
+        r["doc_id"]: r["embedding"]
+        for r in TextEmbedding.try_new("stub-dense-mean")
+        .embed(spark.read.parquet(src_dir)).collect()
+    }
+    assert len(rows) == len(DOCS)
+    for r in rows:
+        np.testing.assert_array_equal(r["embedding"], batch[r["doc_id"]])
 
 
 def test_user_defined_registration(spark):

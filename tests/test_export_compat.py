@@ -40,6 +40,18 @@ DOCS = [
 ]
 
 
+@pytest.fixture(autouse=True)
+def _registry_isolation():
+    """BYO registrations below must not leak into registry-inventory tests."""
+    from fastembed_rs_spark.models import registry as R
+
+    snap = (dict(R._REGISTRY), dict(R._ALIASES), dict(R._KIND_ALIASES))
+    yield
+    R._REGISTRY.clear(); R._REGISTRY.update(snap[0])
+    R._ALIASES.clear(); R._ALIASES.update(snap[1])
+    R._KIND_ALIASES.clear(); R._KIND_ALIASES.update(snap[2])
+
+
 @pytest.mark.parametrize("strategy", [POOL_CLS, POOL_MEAN, POOL_LAST_TOKEN])
 def test_pool_is_identity_on_2d(strategy):
     h = np.arange(12, dtype=np.float32).reshape(3, 4)

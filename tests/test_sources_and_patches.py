@@ -96,6 +96,27 @@ def test_read_documents_text_and_csv(spark, tmpdir):
         read_documents(spark, txt_dir, fmt="orcish")
 
 
+def test_read_documents_orc_roundtrip(spark, tmpdir):
+    """ORC is a first-class columnar source (built into Spark): write a
+    corpus as ORC, read it back through read_documents, and check that a
+    filter reaches the ORC scan as a pushed predicate."""
+    orc_dir = os.path.join(tmpdir, "orc")
+    src = spark.createDataFrame(
+        [(i, f"doc number {i}", "en") for i in range(20)],
+        ["doc_id", "text", "lang"],
+    )
+    src.write.format("orc").save(orc_dir)
+    df = read_documents(spark, orc_dir, fmt="orc")
+    assert df.count() == 20
+    assert {r["doc_id"] for r in df.filter("doc_id < 3").collect()} == {0, 1, 2}
+    plan = (
+        df.filter("doc_id < 3").select("doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "orc" in plan.lower()
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,3)]" in plan
+
+
 def test_read_images_binary_glob(spark, tmpdir):
     img_dir = os.path.join(tmpdir, "imgs")
     os.makedirs(img_dir)
