@@ -113,6 +113,8 @@ HEADLINE = [
     "chunk_exact_dedup",
     "domain_mix_weights",
     "token_vocab_coverage",
+    "value_percentiles_sampled",
+    "bigram_lift",
 ]
 
 

@@ -4131,6 +4131,126 @@ def q_token_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SAMPLED_PCTL_ORACLE = f"""
+WITH h AS (
+  SELECT value,
+         {duck_token_hash("CAST(event_id AS VARCHAR) || '#pctl'")} AS hh
+  FROM events
+), s AS (
+  SELECT value FROM h ORDER BY hh, value LIMIT 512
+)
+SELECT round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       CAST(count(*) AS BIGINT) AS sample_n
+FROM s
+"""
+
+
+@q(
+    "value_percentiles_sampled",
+    _SAMPLED_PCTL_ORACLE,
+    "deterministic-sample quantile sketch: the 512 rows with the smallest "
+    "engine-shared hash form a uniform sample (a KMV-style bottom-k set — "
+    "constant memory, mergeable by min-union across partitions/streams), "
+    "exact interpolated percentiles over it. Unlike approx_percentile this "
+    "IS cross-engine replayable, so it oracle-checks; the sample is picked "
+    "by distributed TakeOrdered, never a full sort",
+)
+def q_value_percentiles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import token_hash
+
+    ev = t(spark, sf_dir, "events")
+    hashed = ev.select(
+        "value",
+        token_hash(
+            F.concat(F.col("event_id").cast("string"), F.lit("#pctl"))
+        ).alias("__h"),
+    )
+    samp = hashed.orderBy("__h", "value").limit(512)
+    return samp.agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("sample_n"),
+    )
+
+
+_BIGRAM_LIFT_ORACLE = f"""
+WITH toks AS (
+  SELECT {duck_tokens('text')} AS tk FROM documents
+), big AS (
+  SELECT list_extract(tk, i) AS w1, list_extract(tk, i + 1) AS w2
+  FROM toks, unnest(range(1, len(tk))) AS t(i)
+), bc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2
+), uni AS (
+  SELECT w1 AS w, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY w1
+), nb AS (SELECT sum(c12) AS n12 FROM bc),
+scored AS (
+  SELECT bc.w1, bc.w2, bc.c12,
+         round((bc.c12 / n12) / ((u1.c / n12) * (u2.c / n12)), 6) AS lift
+  FROM bc JOIN uni u1 ON bc.w1 = u1.w JOIN uni u2 ON bc.w2 = u2.w, nb
+  WHERE bc.c12 >= 5
+)
+SELECT w1, w2, c12, lift,
+       CAST(row_number() OVER (ORDER BY lift DESC, w1, w2) AS BIGINT) AS rnk
+FROM scored QUALIFY rnk <= 30
+"""
+
+
+@q(
+    "bigram_lift",
+    _BIGRAM_LIFT_ORACLE,
+    "collocation / phrase mining: adjacent-token bigram lift "
+    "(observed/expected co-occurrence under independence — the log-free "
+    "PMI ranking, kept log-free so the oracle is exact integer-ratio "
+    "arithmetic). Bigrams via zipped slices (codegen, shuffle-free "
+    "explode), unigram table broadcast into the scoring join, global "
+    "top-30 by TakeOrdered before the rank window",
+)
+def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import tokens as sp_tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tk = sp_tokens("text")
+    # adjacent pairs: zip(tk[0:n-1], tk[1:n]) — first-word position i also
+    # drives the unigram counts below, so both stats share ONE explode
+    pairs = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))).alias("w1"),
+                F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    # ONE corpus scan: bigram counts are materialized once, and the unigram
+    # marginal (sum over second words) + grand total both derive from them —
+    # without this the corpus would be scanned and exploded 4x
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).localCheckpoint()
+    uni = bc.groupBy("w1").agg(F.sum("c12").alias("c")).withColumnRenamed("w1", "w")
+    nb = bc.agg(F.sum("c12").alias("__n12"))
+    scored = (
+        bc.filter(F.col("c12") >= 5)
+        .join(F.broadcast(uni.withColumnRenamed("c", "__c1")), F.col("w1") == F.col("w"))
+        .drop("w")
+        .join(F.broadcast(uni.withColumnRenamed("c", "__c2")), F.col("w2") == F.col("w"))
+        .drop("w")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1", "w2", "c12",
+            F.round(
+                (F.col("c12") / F.col("__n12"))
+                / ((F.col("__c1") / F.col("__n12")) * (F.col("__c2") / F.col("__n12"))),
+                6,
+            ).alias("lift"),
+        )
+    )
+    top = scored.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2")).limit(30)
+    w = Window.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import (
         duck_cms,
@@ -4230,6 +4350,8 @@ _DRIVER_PRIORITY: list[str] = [
     "chunk_exact_dedup",
     "domain_mix_weights",
     "token_vocab_coverage",
+    "value_percentiles_sampled",
+    "bigram_lift",
 ]
 
 
