@@ -115,6 +115,7 @@ HEADLINE = [
     "token_vocab_coverage",
     "value_percentiles_sampled",
     "bigram_lift",
+    "jaccard_prefix_neardup",
 ]
 
 

@@ -21,7 +21,7 @@ joins.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fastembed_rs_spark.functions.text import (
@@ -293,6 +293,69 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b", "__sza", "__szb")
         .agg(inter.alias("__inter"))
         .withColumn("jaccard", F.round(F.col("__inter") / union, round_to))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    threshold: float = 0.5, round_to: int = 6,
+) -> DataFrame:
+    """``ngram_jaccard_pairs`` with PPJoin-style prefix filtering — the
+    candidate-generation upgrade for high thresholds at corpus scale.
+
+    Prefix-filter principle (Chaudhuri et al. SSJoin / Xiao et al. PPJoin):
+    fix ONE global ordering of grams — rarest first (ascending document
+    frequency, ties by gram) — and index only each set's PREFIX of length
+    ``|s| - ceil(t·|s|) + 1``. Two sets with Jaccard ≥ t must overlap in at
+    least ``ceil(t·|s|)`` grams, so they MUST share a prefix gram: candidate
+    recall is exactly 1 (no false negatives), while postings volume drops
+    toward (1-t)·Σ|s| and, because prefixes hold the RAREST grams, the
+    join's per-gram fan-out collapses — the hot boilerplate grams that force
+    ``max_df`` capping in the plain inverted index never enter the index at
+    all, and unlike ``max_df`` this prunes nothing that could still match.
+
+    Exact verification follows on the bounded candidate set (full gram
+    arrays, array_intersect), so output ≡ the all-pairs ground truth at the
+    same threshold. Shuffles: postings×df-count join on gram, per-DOC rank
+    window (partition bounded by doc length), candidate equi-join on prefix
+    grams, verify join on ids. threshold must be > 0 (prefix length is
+    undefined at t=0 — use ngram_jaccard_pairs / the all-pairs form there).
+    """
+    if threshold <= 0:
+        raise ValueError("prefix filtering needs threshold > 0")
+    from fastembed_rs_spark.operators.fast_text import word_ngram_postings_fast
+
+    postings = word_ngram_postings_fast(df, id_col, text_col, n)
+    gram_df = postings.groupBy("__g").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__g"))
+    prefix_len = (
+        F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")).cast("int") + 1
+    )
+    prefix = (
+        postings.join(gram_df, "__g")
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= prefix_len)
+        .select(id_col, "__g")
+    )
+    a = prefix.select(F.col(id_col).alias("id_a"), "__g")
+    b = prefix.select(F.col(id_col).alias("id_b"), "__g")
+    cands = (
+        a.join(b, on=[a["__g"] == b["__g"], F.col("id_a") < F.col("id_b")])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = df.select(
+        F.col(id_col), F.array_distinct(word_ngrams(text_col, n)).alias("__grams")
+    )
+    ga = sets.select(F.col(id_col).alias("id_a"), F.col("__grams").alias("__ga"))
+    gb = sets.select(F.col(id_col).alias("id_b"), F.col("__grams").alias("__gb"))
+    inter = F.size(F.array_intersect("__ga", "__gb")).cast("double")
+    union = F.size("__ga").cast("double") + F.size("__gb").cast("double") - inter
+    return (
+        cands.join(ga, "id_a").join(gb, "id_b")
+        .withColumn("jaccard", F.round(inter / union, round_to))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -983,7 +983,11 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 6b. More dedup / text analysis / relational coverage
 # ===========================================================================
 
-_NGRAM_ORACLE = f"""
+def _ngram_allpairs_oracle(threshold: float) -> str:
+    """All-pairs word-3-gram Jaccard ground truth at ``threshold`` — the
+    oracle for BOTH the inverted-index and the prefix-filtered variants
+    (each is exact, so each must equal the brute-force answer)."""
+    return f"""
 WITH g AS (
   SELECT doc_id,
          list_distinct(CASE WHEN len({duck_tokens('text')}) >= 3 THEN
@@ -999,8 +1003,11 @@ SELECT * FROM (
            / (CAST(len(a.grams) AS DOUBLE) + CAST(len(b.grams) AS DOUBLE)
               - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)) END, 6) AS jaccard
   FROM g a JOIN g b ON a.doc_id < b.doc_id
-) WHERE jaccard >= 0.5
+) WHERE jaccard >= {threshold}
 """
+
+
+_NGRAM_ORACLE = _ngram_allpairs_oracle(0.5)
 
 
 @q(
@@ -1014,6 +1021,22 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+@q(
+    "jaccard_prefix_neardup",
+    _ngram_allpairs_oracle(0.25),
+    "PPJoin-style prefix-filtered Jaccard near-dup pairs, threshold 0.25: "
+    "rarest-first global gram order, index only each set's "
+    "|s|-ceil(t*|s|)+1 prefix (candidate recall exactly 1), exact verify "
+    "on candidates — the high-threshold scale path where hot boilerplate "
+    "grams never enter the index (operators/dedup.py::jaccard_prefix_pairs)",
+)
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.dedup import jaccard_prefix_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    return jaccard_prefix_pairs(docs, "doc_id", "text", n=3, threshold=0.25)
 
 
 _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
@@ -4352,6 +4375,7 @@ _DRIVER_PRIORITY: list[str] = [
     "token_vocab_coverage",
     "value_percentiles_sampled",
     "bigram_lift",
+    "jaccard_prefix_neardup",
 ]
 
 

@@ -506,3 +506,46 @@ def test_ngram_max_df_cap(spark):
     assert capped <= uncapped
     assert (0, 1) in capped
     assert (2, 3) not in capped
+
+
+def test_jaccard_prefix_matches_inverted_index(spark):
+    """Prefix filtering is EXACT: at any threshold > 0, output (pairs AND
+    scores) must equal the plain inverted-index formulation — the
+    no-false-negative guarantee of the prefix-filter principle."""
+    from fastembed_rs_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        base = [rng.choice(vocab) for _ in range(rng.randrange(5, 15))]
+        rows.append((2 * i, " ".join(base)))
+        # near-dup partner: small mutation
+        mut = list(base)
+        if mut:
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+        rows.append((2 * i + 1, " ".join(mut)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for thr in (0.25, 0.5, 0.8):
+        want = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=thr).collect()
+        }
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_prefix_pairs(docs, "doc_id", "text", threshold=thr).collect()
+        }
+        assert got == want, thr
+
+
+def test_jaccard_prefix_rejects_zero_threshold(spark):
+    import pytest as _pytest
+
+    from fastembed_rs_spark.operators.dedup import jaccard_prefix_pairs
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="threshold > 0"):
+        jaccard_prefix_pairs(docs, "doc_id", "text", threshold=0.0)
