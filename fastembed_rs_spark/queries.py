@@ -1025,8 +1025,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "jaccard_prefix_neardup",
-    _ngram_allpairs_oracle(0.25),
-    "PPJoin-style prefix-filtered Jaccard near-dup pairs, threshold 0.25: "
+    _ngram_allpairs_oracle(0.5),
+    "PPJoin-style prefix-filtered Jaccard near-dup pairs, threshold 0.5 "
+    "(same t as ngram_jaccard_neardup for head-to-head comparison): "
     "rarest-first global gram order, index only each set's "
     "|s|-ceil(t*|s|)+1 prefix (candidate recall exactly 1), exact verify "
     "on candidates — the high-threshold scale path where hot boilerplate "
@@ -1036,7 +1037,7 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastembed_rs_spark.operators.dedup import jaccard_prefix_pairs
 
     docs = t(spark, sf_dir, "documents")
-    return jaccard_prefix_pairs(docs, "doc_id", "text", n=3, threshold=0.25)
+    return jaccard_prefix_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
 _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
