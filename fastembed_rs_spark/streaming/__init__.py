@@ -9,6 +9,7 @@ from fastembed_rs_spark.streaming.pipelines import (  # noqa: F401
     dedup_stream,
     embed_stream,
     embed_to_parquet_stream,
+    kmv_quantile_store_stream,
     sessionize_stream,
     windowed_event_counts,
 )

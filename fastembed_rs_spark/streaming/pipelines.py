@@ -231,3 +231,48 @@ def dedup_to_store_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def kmv_quantile_store_stream(
+    stream_df: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    value_col: str = "value",
+    key_col: str = "event_id",
+    k: int = 512,
+):
+    """Maintain a persisted KMV bottom-k sample across micro-batches — the
+    streaming form of the ``value_percentiles_sampled`` catalog query, and
+    the live demonstration of the sketch's merge law: ``bottom_k(A ∪ B) =
+    bottom_k(bottom_k(A) ∪ B)`` for a total order, so per batch it suffices
+    to min-union the batch with the current store and keep the k smallest
+    (by the engine-shared rolling hash of the key, ties by value).
+
+    After ANY prefix of batches, percentiles computed from the store are
+    bit-identical to running the batch query over every row seen so far
+    (pinned by test). The store rewrite is k rows (localCheckpoint-ed
+    before overwrite so no task reads a file the commit replaces); offsets
+    in ``checkpoint`` keep restarts exactly-once. Returns the started
+    StreamingQuery; caller owns stop/await."""
+    from fastembed_rs_spark.functions.text import token_hash
+    from fastembed_rs_spark.sources.io import fs_exists
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hashed = batch_df.select(
+            F.col(value_col).alias("value"),
+            token_hash(
+                F.concat(F.col(key_col).cast("string"), F.lit("#pctl"))
+            ).alias("__h"),
+        )
+        if fs_exists(spark, store_path):
+            hashed = hashed.unionByName(spark.read.parquet(store_path))
+        merged = hashed.orderBy("__h", "value").limit(k).localCheckpoint()
+        merged.write.mode("overwrite").parquet(store_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

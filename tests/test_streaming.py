@@ -10,7 +10,7 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    LongType, StringType, StructField, StructType, TimestampType,
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
 )
 
 from fastembed_rs_spark.streaming import (
@@ -416,3 +416,57 @@ def test_dedup_to_store_stream_restarts_without_duplicates(spark, stream_dir):
     fps = [r["fingerprint"] for r in rows]
     assert len(fps) == len(set(fps)) == 3  # alpha, beta, gamma — no dupes
     assert sorted(r["doc_id"] for r in rows) == [0, 2, 4]
+
+
+def test_kmv_quantile_store_matches_batch(spark, stream_dir):
+    """Streaming KMV bottom-k store == the batch bottom-k over everything
+    seen, after every prefix of micro-batches AND across a restart — the
+    sketch's min-union merge law, exercised as streaming state."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fastembed_rs_spark.functions.text import token_hash
+    from fastembed_rs_spark.streaming import kmv_quantile_store_stream
+
+    src_dir = os.path.join(stream_dir, "kmv_src")
+    store = os.path.join(stream_dir, "kmv_store")
+    ckpt = os.path.join(stream_dir, "kmv_ckpt")
+    schema = StructType([
+        StructField("event_id", LongType()), StructField("value", DoubleType()),
+    ])
+    K = 16
+
+    def batch_bottom_k(rows):
+        df = spark.createDataFrame(rows, schema)
+        hashed = df.select(
+            "value",
+            token_hash(
+                F.concat(F.col("event_id").cast("string"), F.lit("#pctl"))
+            ).alias("__h"),
+        )
+        return sorted(
+            (r["__h"], r["value"])
+            for r in hashed.orderBy("__h", "value").limit(K).collect()
+        )
+
+    all_rows = [(i, float((i * 37) % 101)) for i in range(60)]
+    first, second = all_rows[:35], all_rows[35:]
+
+    spark.createDataFrame(first, schema).coalesce(1).write.mode("append").parquet(src_dir)
+    q = kmv_quantile_store_stream(
+        spark.readStream.schema(schema).parquet(src_dir), store, ckpt, k=K
+    )
+    q.awaitTermination(120); q.stop()
+    got1 = sorted((r["__h"], r["value"]) for r in spark.read.parquet(store).collect())
+    assert got1 == batch_bottom_k(first)
+
+    # restart with more data: store must equal batch over the union
+    spark.createDataFrame(second, schema).coalesce(1).write.mode("append").parquet(src_dir)
+    q2 = kmv_quantile_store_stream(
+        spark.readStream.schema(schema).parquet(src_dir), store, ckpt, k=K
+    )
+    q2.awaitTermination(120); q2.stop()
+    got2 = sorted((r["__h"], r["value"]) for r in spark.read.parquet(store).collect())
+    assert got2 == batch_bottom_k(all_rows)
+    assert len(got2) == K
