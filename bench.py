@@ -116,6 +116,18 @@ HEADLINE = [
     "value_percentiles_sampled",
     "bigram_lift",
     "jaccard_prefix_neardup",
+    # full-catalog coverage: every queries() entry is benched
+    "dot_pairs",
+    "doc_fingerprint",
+    "ngram_jaccard_neardup",
+    "bpe_token_count",
+    "shipping_priority",
+    "local_supplier_volume",
+    "embed_sparse_stub",
+    "embed_bgem3_stub",
+    "embed_image_stub",
+    "crossmodal_similarity",
+    "rerank_model_stub",
 ]
 
 

@@ -31,6 +31,16 @@ def test_reorder_preserves_catalog():
         assert spec is QUERIES[name]
 
 
+def test_bench_headline_covers_full_catalog():
+    """Every catalog query is benched (and bench never names a dead query),
+    so a new operator can't silently skip the perf feedback loop."""
+    import bench
+    from fastembed_rs_spark.queries import all_queries
+
+    assert set(bench.HEADLINE) == set(all_queries())
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
 def test_entry_adapters_match_catalog():
     import __spark_entry__ as entry_mod
     from fastembed_rs_spark.queries import all_queries
