@@ -1298,15 +1298,17 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "embed_text_stub",
     None,
-    "mapInPandas dense embedding (stub session): checks schema/batching plumbing; "
-    "returns (doc_id, dim, norm) — norm must be 1.0 after L2 normalization",
+    "mapInPandas dense embedding (stub session) THROUGH the public API "
+    "handle (api.TextEmbedding — same plan as operators.embed.embed_text, "
+    "so the facade wiring is driver-verified too); returns (doc_id, dim, "
+    "norm) — norm must be 1.0 after L2 normalization",
 )
 def q_embed_text_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.api import TextEmbedding
     from fastembed_rs_spark.functions.vector import l2_norm
-    from fastembed_rs_spark.operators.embed import embed_text
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    out = embed_text(docs, "text", model="stub-dense-mean")
+    out = TextEmbedding.try_new("stub-dense-mean").embed(docs, "text")
     return out.select(
         "doc_id",
         F.size("embedding").cast("long").alias("dim"),
