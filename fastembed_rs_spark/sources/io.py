@@ -114,6 +114,75 @@ def write_embeddings(
     writer.parquet(path)
 
 
+def zorder_column(df: DataFrame, cols: list[str], bits: int = 8):
+    """Z-order (Morton) key over ``cols`` as a Catalyst column.
+
+    Each column is bucketed into ``2^bits`` equal-width bins over its
+    observed [min, max] (two scalars per column, one aggregate scan), and
+    the bucket bits are interleaved — round-robin, column 0 in the lowest
+    bit — so locality in the Z value implies locality in EVERY input
+    column at once. Pure bit arithmetic (shiftleft / bitwise or), fully
+    codegen; the only driver-side data is the 2·k min/max scalars.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    stats = df.agg(*aggs).collect()[0]
+    nbuckets = 1 << bits
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        mn, mx = float(stats[f"__mn_{c}"]), float(stats[f"__mx_{c}"])
+        span = (mx - mn) or 1.0
+        bucket = F.least(
+            F.lit(nbuckets - 1),
+            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * nbuckets),
+        ).cast("long")
+        for bi in range(bits):
+            bit = F.shiftright(bucket, bi).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, bi * len(cols) + ci))
+    return z
+
+
+def zorder_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    cols: list[str],
+    target_file_mb: int = 128,
+    bits: int = 8,
+    n_files: int | None = None,
+) -> int:
+    """Rewrite a parquet dataset clustered by the Z-order of ``cols`` —
+    multi-dimensional file/row-group pruning (the lakehouse OPTIMIZE
+    ZORDER BY). A 1-D sort (``compact_parquet(sort_col=...)``) gives each
+    file a tight min/max range on ONE column and the full span on every
+    other; Z-order clustering gives every listed column a fractional span
+    per file, so parquet statistics prune scans filtered on ANY of them.
+    Sized from the real source byte size like ``compact_parquet``.
+    Returns the output file count."""
+    df = spark.read.parquet(src_path)
+    if n_files is not None:
+        n = n_files
+    else:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        total = 0
+        for uri in df.inputFiles():
+            p = jvm.org.apache.hadoop.fs.Path(uri)
+            total += p.getFileSystem(conf).getFileStatus(p).getLen()
+        n = max(1, -(-total // (target_file_mb * 1024 * 1024)))  # ceil div
+    z = zorder_column(df, cols, bits=bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(dst_path)
+    )
+    return n
+
+
 def compact_parquet(
     spark: SparkSession,
     src_path: str,

@@ -117,6 +117,48 @@ def test_read_documents_orc_roundtrip(spark, tmpdir):
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,3)]" in plan
 
 
+def test_zorder_prunes_on_both_columns(spark, tmpdir):
+    """Z-order clustering: every output file covers a FRACTIONAL range of
+    BOTH clustering columns, so parquet min/max statistics prune scans
+    filtered on either one — where a 1-D sort leaves the second column
+    spanning ~the full range in every file."""
+    import duckdb
+
+    from fastembed_rs_spark.sources.io import compact_parquet, zorder_parquet
+
+    src = os.path.join(tmpdir, "zsrc")
+    # two independent uniform dimensions — worst case for 1-D sorting
+    n = 20000
+    spark.range(n).selectExpr(
+        "cast(pmod(id * 2654435761, 4096) as double) as a",
+        "cast(pmod(id * 40503 + 7, 4096) as double) as b",
+    ).coalesce(1).write.parquet(src)
+
+    def avg_spans(path: str) -> tuple[float, float]:
+        q = duckdb.sql(
+            f"""SELECT avg(sa), avg(sb) FROM (
+                  SELECT (max(a)-min(a))/4095.0 AS sa,
+                         (max(b)-min(b))/4095.0 AS sb
+                  FROM read_parquet('{path}/*.parquet', filename=true)
+                  GROUP BY filename)"""
+        ).fetchone()
+        return float(q[0]), float(q[1])
+
+    zdst = os.path.join(tmpdir, "zdst")
+    assert zorder_parquet(spark, src, zdst, ["a", "b"], n_files=16) == 16
+    za, zb = avg_spans(zdst)
+    # 16 files over 2 interleaved dims → each file ≈ 1/4 of each dim
+    assert za < 0.5 and zb < 0.5, (za, zb)
+
+    sdst = os.path.join(tmpdir, "sdst")
+    compact_parquet(spark, src, sdst, target_file_mb=1, sort_col="a")
+    # 1-D comparison point: b spans ~everything per file
+    _, sb = avg_spans(sdst)
+    assert sb > 0.9, sb
+    # row counts preserved
+    assert spark.read.parquet(zdst).count() == n
+
+
 def test_read_images_binary_glob(spark, tmpdir):
     img_dir = os.path.join(tmpdir, "imgs")
     os.makedirs(img_dir)
