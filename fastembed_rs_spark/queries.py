@@ -14,6 +14,7 @@ tests instead (tests/test_embed_runtime.py).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable
 
@@ -4321,11 +4322,12 @@ _fill_sketch_oracles()
 
 # Driver-verification rotation. The driver's CORRECTNESS_r{N}.json covers
 # only the first ~50 entries of ``queries()`` per round, so ordering is the
-# coverage lever: names listed here come FIRST, everything else follows in
-# registration order. Round 4 front-loads the 40 queries that had never had
-# a driver oracle row through r1–r3 (they were judge-verified green in
-# VERDICT.md r3, but the hard signal must come from the driver). Rotate this
-# list each round so every query keeps getting a driver row.
+# coverage lever. ``all_queries`` orders AUTOMATICALLY: queries never seen
+# in any committed CORRECTNESS_r*.json first, then ascending by the last
+# round that checked them — so the window always lands on the least-
+# recently-verified queries with no per-round list maintenance. The static
+# list below is the round-4 snapshot, kept ONLY as the fallback when no
+# driver artifacts are readable (fresh clone without history).
 _DRIVER_PRIORITY: list[str] = [
     "events_props_json",
     "revenue_rollup",
@@ -4382,10 +4384,45 @@ _DRIVER_PRIORITY: list[str] = [
 ]
 
 
+def _last_driver_round() -> dict[str, int]:
+    """name -> highest round number whose committed CORRECTNESS_r{N}.json
+    contains a row for it (any row counts — oracle or rows-only)."""
+    import json
+    import re as _re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return last
+    for fn in entries:
+        m = _re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(os.path.join(root, fn)) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name in data:
+            last[name] = max(last.get(name, -1), rnd)
+    return last
+
+
 def all_queries() -> dict[str, QuerySpec]:
-    """Full catalog, ordered for driver-verification rotation: the
-    ``_DRIVER_PRIORITY`` names first (they occupy the driver's correctness
-    window this round), then every other query in registration order."""
-    prioritized = {n: QUERIES[n] for n in _DRIVER_PRIORITY if n in QUERIES}
-    rest = {n: s for n, s in QUERIES.items() if n not in prioritized}
-    return {**prioritized, **rest}
+    """Full catalog, ordered for driver-verification rotation: queries
+    NEVER seen in a committed CORRECTNESS_r*.json first, then ascending by
+    the round that last checked them (ties keep registration order) — the
+    driver's ~50-row window always covers the least-recently-verified
+    queries, with no manual list upkeep. Falls back to the static
+    ``_DRIVER_PRIORITY`` snapshot when no driver artifacts are readable."""
+    last = _last_driver_round()
+    names = list(QUERIES)
+    if not last:
+        prioritized = {n: QUERIES[n] for n in _DRIVER_PRIORITY if n in QUERIES}
+        rest = {n: s for n, s in QUERIES.items() if n not in prioritized}
+        return {**prioritized, **rest}
+    order = sorted(range(len(names)), key=lambda i: (last.get(names[i], -1), i))
+    return {names[i]: QUERIES[names[i]] for i in order}
