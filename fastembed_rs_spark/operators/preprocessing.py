@@ -261,3 +261,97 @@ def load_preprocessor(config: dict) -> Compose:
         std = tuple(config.get("image_std", _DEFAULT_STD))
         steps.append(lambda x: normalize(x, mean, std))
     return Compose(steps)
+
+
+# ---------------------------------------------------------------------------
+# Qwen3-VL LLM-side plumbing: chat-template prompt, image-token expansion,
+# MRoPE position ids (src/models/qwen3.rs:338-467). Pure deterministic
+# logic, mirrored exactly so the candle/ONNX swap-in only has to supply the
+# tower forward; used by the embed path once a real VL tokenizer/session is
+# staged (the offline stub path skips the text side entirely).
+# ---------------------------------------------------------------------------
+
+VL_DEFAULT_INSTRUCTION = "Represent the user's input."  # qwen3.rs:1223
+VL_IMAGE_TOKEN = "<|image_pad|>"
+
+
+def build_vl_prompt(
+    text: str | None = None,
+    include_image: bool = True,
+    instruction: str = VL_DEFAULT_INSTRUCTION,
+) -> str:
+    """Chat-template prompt for Qwen3-VL embedding (qwen3.rs:338-351):
+    system instruction, then the user turn holding the vision placeholder
+    and/or text, then the assistant header the embedding is read from."""
+    prompt = "<|im_start|>system\n" + instruction + "<|im_end|>\n<|im_start|>user\n"
+    if include_image:
+        prompt += "<|vision_start|>" + VL_IMAGE_TOKEN + "<|vision_end|>"
+    if text is not None:
+        prompt += text
+    return prompt + "<|im_end|>\n<|im_start|>assistant\n"
+
+
+def expand_image_token_placeholders(prompt: str, num_image_tokens: int) -> str:
+    """Replace the FIRST ``<|image_pad|>`` with ``num_image_tokens`` copies
+    (qwen3.rs:353-364); 0 tokens is a no-op, a missing placeholder with
+    tokens to place is an error."""
+    if num_image_tokens == 0:
+        return prompt
+    if VL_IMAGE_TOKEN not in prompt:
+        raise ValueError("Prompt contains no <|image_pad|> placeholder")
+    return prompt.replace(VL_IMAGE_TOKEN, VL_IMAGE_TOKEN * num_image_tokens, 1)
+
+
+def build_image_position_ids(
+    attention_masks: "np.ndarray",
+    image_spans: list[tuple[int, int] | None],
+    grids: list[tuple[int, int, int] | None],
+    merge_size: int = 2,
+) -> "np.ndarray":
+    """MRoPE position ids, shape (3, B, T) uint32 — temporal/height/width
+    axes (qwen3.rs:366-467). Text positions advance all three axes
+    together; the image span gets (start+t, start+h, start+w) per LLM grid
+    cell in t-major order; the suffix resumes at
+    ``max(prefix_max, image_max) + 1``; padded positions keep the init
+    value 1. ``grids`` are the PRE-merge (t, h, w) from ``qwen_vl_patches``
+    — h and w divide by ``merge_size`` here, as in the reference."""
+    masks = np.asarray(attention_masks)
+    if masks.ndim != 2 or masks.shape[0] == 0:
+        raise ValueError("attention_masks must be a non-empty (B, T) array")
+    B, T = masks.shape
+    if len(image_spans) != B or len(grids) != B:
+        raise ValueError("batch size mismatch while building position ids")
+    out = np.ones((3, B, T), dtype=np.uint32)
+    for b in range(B):
+        visible = int((masks[b] != 0).sum())
+        span = image_spans[b]
+        if span is None:
+            seq = np.arange(visible, dtype=np.uint32)
+            out[:, b, :visible] = seq
+            continue
+        start, end = span
+        grid = grids[b]
+        if grid is None:
+            raise ValueError("image token span for a sample without prepared image")
+        if end > visible:
+            raise ValueError("image token span exceeds visible sequence length")
+        llm_t, llm_h, llm_w = grid[0], grid[1] // merge_size, grid[2] // merge_size
+        if end - start != llm_t * llm_h * llm_w:
+            raise ValueError(
+                f"image token span length {end - start} does not match "
+                f"expected LLM grid {llm_t}x{llm_h}x{llm_w}"
+            )
+        prefix = np.arange(start, dtype=np.uint32)
+        out[:, b, :start] = prefix
+        tt, hh, ww = np.meshgrid(
+            np.arange(llm_t), np.arange(llm_h), np.arange(llm_w), indexing="ij"
+        )
+        out[0, b, start:end] = (start + tt.ravel()).astype(np.uint32)
+        out[1, b, start:end] = (start + hh.ravel()).astype(np.uint32)
+        out[2, b, start:end] = (start + ww.ravel()).astype(np.uint32)
+        prefix_max = max(start - 1, 0)
+        image_max = start + max(llm_t, llm_h, llm_w) - 1
+        st_idx = max(prefix_max, image_max) + 1
+        tail = np.arange(st_idx, st_idx + (visible - end), dtype=np.uint32)
+        out[:, b, end:visible] = tail
+    return out

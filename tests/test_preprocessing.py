@@ -125,3 +125,83 @@ def test_embed_image_with_config(spark):
     )
     rows = out.collect()
     assert len(rows) == 2 and all(len(r["embedding"]) == 32 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Qwen3-VL LLM-side plumbing (qwen3.rs:338-467)
+# ---------------------------------------------------------------------------
+
+
+def test_build_vl_prompt_golden():
+    from fastembed_rs_spark.operators.preprocessing import build_vl_prompt
+
+    # exact string from build_vl_prompt (qwen3.rs:338-351) with the default
+    # instruction (qwen3.rs:1223)
+    assert build_vl_prompt(None, True) == (
+        "<|im_start|>system\nRepresent the user's input.<|im_end|>\n"
+        "<|im_start|>user\n<|vision_start|><|image_pad|><|vision_end|>"
+        "<|im_end|>\n<|im_start|>assistant\n"
+    )
+    assert build_vl_prompt("hello", False, "Embed.") == (
+        "<|im_start|>system\nEmbed.<|im_end|>\n"
+        "<|im_start|>user\nhello<|im_end|>\n<|im_start|>assistant\n"
+    )
+
+
+def test_expand_image_token_placeholders():
+    import pytest
+
+    from fastembed_rs_spark.operators.preprocessing import (
+        VL_IMAGE_TOKEN,
+        expand_image_token_placeholders,
+    )
+
+    p = "a" + VL_IMAGE_TOKEN + "b" + VL_IMAGE_TOKEN
+    out = expand_image_token_placeholders(p, 3)
+    # only the FIRST placeholder expands (replacen(.., 1))
+    assert out == "a" + VL_IMAGE_TOKEN * 3 + "b" + VL_IMAGE_TOKEN
+    assert expand_image_token_placeholders("no token", 0) == "no token"
+    with pytest.raises(ValueError, match="no <\\|image_pad\\|>"):
+        expand_image_token_placeholders("no token", 2)
+
+
+def test_build_image_position_ids_text_and_image_rows():
+    import numpy as np
+    import pytest
+
+    from fastembed_rs_spark.operators.preprocessing import build_image_position_ids
+
+    T = 16
+    masks = np.zeros((2, T), dtype=np.int64)
+    masks[0, :6] = 1          # text-only row, 6 visible
+    masks[1, :12] = 1         # image row: prefix 2, image 8, suffix 2
+    # grid pre-merge (t=2,h=4,w=2), merge 2 -> llm grid 2x2x1 = 4 tokens?
+    # no: 2*(4//2)*(2//2) = 4 -> use span length 4
+    masks_spans = [None, (2, 6)]
+    grids = [None, (2, 4, 2)]
+    out = build_image_position_ids(masks, masks_spans, grids, merge_size=2)
+    assert out.shape == (3, 2, T) and out.dtype == np.uint32
+    # text-only: sequential on all axes, padding stays 1
+    for d in range(3):
+        assert list(out[d, 0, :6]) == [0, 1, 2, 3, 4, 5]
+        assert set(out[d, 0, 6:].tolist()) == {1}
+    # image row prefix
+    for d in range(3):
+        assert list(out[d, 1, :2]) == [0, 1]
+    # image block: t-major (t,h,w) offsets from start=2
+    # llm grid t=2,h=2,w=1 -> cells (0,0,0),(0,1,0),(1,0,0),(1,1,0)
+    assert list(out[0, 1, 2:6]) == [2, 2, 3, 3]       # start + t
+    assert list(out[1, 1, 2:6]) == [2, 3, 2, 3]       # start + h
+    assert list(out[2, 1, 2:6]) == [2, 2, 2, 2]       # start + w
+    # suffix resumes at max(prefix_max=1, image_max=2+2-1=3)+1 = 4
+    for d in range(3):
+        assert list(out[d, 1, 6:12]) == [4, 5, 6, 7, 8, 9]
+        assert set(out[d, 1, 12:].tolist()) == {1}
+
+    with pytest.raises(ValueError, match="does not match expected"):
+        build_image_position_ids(masks, [None, (2, 7)], grids, merge_size=2)
+    with pytest.raises(ValueError, match="exceeds visible"):
+        bad = masks.copy(); bad[1, :] = 0; bad[1, :5] = 1
+        build_image_position_ids(bad, masks_spans, grids, merge_size=2)
+    with pytest.raises(ValueError, match="without prepared image"):
+        build_image_position_ids(masks, masks_spans, [None, None], merge_size=2)
