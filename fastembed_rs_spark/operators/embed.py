@@ -414,6 +414,9 @@ def embed_image(
                 emb = select_output(out, spec.output_key)
                 if emb.ndim == 3:
                     emb = emb[:, 0]  # CLS-slice 3-D outputs (impl.rs:234-266)
+                elif emb.ndim != 2:
+                    # reference rejects anything but (B,T,H)/(B,H) (impl.rs:260-266)
+                    raise ValueError(f"unexpected image output tensor shape {emb.shape}")
                 res = chunk.copy()
                 res[out_col] = list(l2n(emb).astype(np.float32))
                 yield res
