@@ -102,3 +102,25 @@ def duck_char_shingles(s: str, k: int = 3) -> str:
 def duck_doc_fingerprint(s: str) -> str:
     joined = f"array_to_string({duck_tokens(s)}, ' ')"
     return duck_token_hash(joined)
+
+
+# ---------------------------------------------------------------------------
+# Qwen3-Embedding query formatting (tests/qwen3.rs:66-73; the convention the
+# official model card scores assume — documents are embedded raw, queries
+# carry the instruct prefix)
+# ---------------------------------------------------------------------------
+
+QWEN3_DEFAULT_TASK = (
+    "Given a web search query, retrieve relevant passages that answer the query"
+)
+
+
+def format_qwen3_query(query: str, task: str = QWEN3_DEFAULT_TASK) -> str:
+    """``Instruct: {task}\\nQuery:{query}`` — exact string (no space after
+    ``Query:``) the reference's model-card parity test uses."""
+    return f"Instruct: {task}\nQuery:{query}"
+
+
+def qwen3_query(query: Column | str, task: str = QWEN3_DEFAULT_TASK) -> Column:
+    """Column form of :func:`format_qwen3_query` for embedding query tables."""
+    return F.concat(F.lit(f"Instruct: {task}\nQuery:"), _c(query))

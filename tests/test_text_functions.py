@@ -82,3 +82,24 @@ def test_char_shingles_edges(spark):
 ])
 def test_tokens_examples(spark, s, expected):
     assert _spark_vals(spark, tokens("s"), [s]) == [expected]
+
+
+def test_qwen3_query_formatting(spark):
+    from fastembed_rs_spark.functions.text import (
+        QWEN3_DEFAULT_TASK,
+        format_qwen3_query,
+        qwen3_query,
+    )
+
+    # exact string from tests/qwen3.rs:70-73 — note NO space after "Query:"
+    assert format_qwen3_query("Explain gravity") == (
+        "Instruct: Given a web search query, retrieve relevant passages "
+        "that answer the query\nQuery:Explain gravity"
+    )
+    assert format_qwen3_query("x", task="T") == "Instruct: T\nQuery:x"
+    row = (
+        spark.createDataFrame([("Explain gravity",)], ["q"])
+        .select(qwen3_query("q").alias("f"))
+        .collect()[0]
+    )
+    assert row["f"] == format_qwen3_query("Explain gravity", QWEN3_DEFAULT_TASK)
