@@ -313,3 +313,83 @@ def test_bgem3_sparse_golden(spark):
         assert len(got) == len(SPARSE_BGEM3_EXPECTED[i])
         for idx, v in SPARSE_BGEM3_EXPECTED[i].items():
             assert abs(got[idx] - v) < BGEM3_EPS, (i, idx)
+
+
+# ---------------------------------------------------------------------------
+# Python-counterpart element baselines + rerank semantics (artifact-gated)
+# Transcribed from tests/text-embeddings.rs:297-601. The input text lives in
+# tests/assets/sample_text.txt (fixture data copied from the reference's
+# public test assets, with citation).
+# ---------------------------------------------------------------------------
+
+def _sample_text() -> str:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "assets", "sample_text.txt")) as f:
+        return f.read()
+
+
+#: first 10 embedding dims of sample_text at max_length=384, generated by the
+#: python SentenceTransformer counterparts (text-embeddings.rs:536-553, 578-590)
+PY_BASELINES = {
+    "BGESmallENV15": (1e-3, [
+        4.2081937e-2, -2.7481332e-2, 6.7428105e-2, 2.2827905e-2, 4.257192e-2,
+        -4.1639835e-2, 6.8148074e-6, -9.643933e-3, -3.475583e-3, 6.606272e-2,
+    ]),
+    "AllMiniLML6V2": (1e-6, [
+        3.5105176e-2, 1.046043e-2, 3.7679985e-2, 7.0736334e-2, 9.097775e-2,
+        -2.5077147e-2, -2.214382e-2, -1.0164359e-2, 4.6601273e-2, 7.431366e-2,
+    ]),
+}
+
+
+@pytest.mark.parametrize("model", sorted(PY_BASELINES))
+def test_python_counterpart_elements(spark, model):
+    if model not in STAGED:
+        pytest.skip(f"{model} not staged")
+    from fastembed_rs_spark.api import InitOptions, TextEmbedding
+
+    tol, baseline = PY_BASELINES[model]
+    h = TextEmbedding.try_new(InitOptions.new(model).with_max_length(384))
+    emb = h.embed_list(spark, [_sample_text()])[0]
+    for i, expected in enumerate(baseline):
+        assert abs(emb[i] - expected) < tol, (model, i)
+
+
+def _staged_rerankers() -> list[str]:
+    if not _have_runtime():
+        return []
+    return [
+        s.name for s in list_models("rerank")
+        if s.model_code and _staged(s) and not s.name.startswith("stub")
+    ]
+
+
+@pytest.mark.parametrize("model", _staged_rerankers() or ["__none__"])
+def test_rerank_semantics_panda(spark, model):
+    if model == "__none__":
+        pytest.skip("no staged reranker artifacts")
+    from fastembed_rs_spark.api import TextRerank
+
+    docs = [
+        "hi",
+        "The giant panda, sometimes called a panda bear or simply panda, "
+        "is a bear species endemic to China.",
+        "panda is an animal",
+        "i dont know",
+        "kind of mammal",
+    ]
+    res = TextRerank.try_new(model).rerank_list(spark, "what is panda?", docs)
+    assert len(res) == len(docs)
+    top2 = {res[0]["document"], res[1]["document"]}
+    assert top2 == {docs[1], docs[2]}, top2  # text-embeddings.rs:323-337
+
+
+@needs_artifacts
+@pytest.mark.parametrize("model", STAGED[:1] or ["__none__"])
+def test_real_path_deterministic_across_calls(spark, model):
+    # issue-171 regression in the reference (text-embeddings.rs:604-622):
+    # repeated embeds of the same input must be bit-identical
+    first = _embed_docs(spark, model, batch_size=256)
+    for _ in range(3):
+        again = _embed_docs(spark, model, batch_size=256)
+        assert again == first
