@@ -114,6 +114,7 @@ HEADLINE = [
     "domain_mix_weights",
     "token_vocab_coverage",
     "value_percentiles_sampled",
+    "value_percentiles_sampled_by_type",
     "bigram_lift",
     "jaccard_prefix_neardup",
     # full-catalog coverage: every queries() entry is benched

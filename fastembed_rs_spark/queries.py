@@ -4203,6 +4203,55 @@ def q_value_percentiles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SAMPLED_PCTL_GROUPED_ORACLE = f"""
+WITH h AS (
+  SELECT event_type, value,
+         {duck_token_hash("CAST(event_id AS VARCHAR) || '#pctl'")} AS hh
+  FROM events
+), r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY hh, value) AS rn
+  FROM h QUALIFY rn <= 256
+)
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       CAST(count(*) AS BIGINT) AS sample_n
+FROM r GROUP BY event_type
+"""
+
+
+@q(
+    "value_percentiles_sampled_by_type",
+    _SAMPLED_PCTL_GROUPED_ORACLE,
+    "grouped KMV quantile sketch: per-group bottom-256-by-hash sample via a "
+    "rank-limited window (WindowGroupLimit caps every partition's buffer at "
+    "256 — the grouped counterpart of the global TakeOrdered form), exact "
+    "interpolated percentiles per group. One shuffle on the group key; "
+    "per-group state is constant-size regardless of group cardinality skew",
+)
+def q_value_percentiles_sampled_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import token_hash
+
+    ev = t(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type", "value",
+        token_hash(
+            F.concat(F.col("event_id").cast("string"), F.lit("#pctl"))
+        ).alias("__h"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.asc("__h"), F.asc("value"))
+    samp = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 256)
+    )
+    return samp.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.count(F.lit(1)).alias("sample_n"),
+    )
+
+
 _BIGRAM_LIFT_ORACLE = f"""
 WITH toks AS (
   SELECT {duck_tokens('text')} AS tk FROM documents
