@@ -242,6 +242,22 @@ class SparseTextEmbedding(_Handle):
             batch_size=batch_size or DEFAULT_BATCH_SIZE,
         )
 
+    def embed_list(
+        self, spark: SparkSession, documents: list[str],
+        batch_size: int | None = None,
+    ) -> list[dict[int, float]]:
+        """Reference list signature for SMALL inputs (collects!): one
+        {vocab_index: weight} map per document, order preserved — the
+        SparseEmbedding pairs (src/sparse_text_embedding/init.rs)."""
+        df = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(documents)], ["__i", "text"]
+        )
+        rows = self.embed(df, "text", batch_size).select("__i", "sparse_embedding").collect()
+        return [
+            dict(zip(r["sparse_embedding"].indices, r["sparse_embedding"].values))
+            for r in sorted(rows, key=lambda r: r["__i"])
+        ]
+
 
 class Bgem3Embedding(_Handle):
     """Joint dense+sparse+ColBERT handle (src/bgem3_embedding/impl.rs:149-303)."""
@@ -261,6 +277,27 @@ class Bgem3Embedding(_Handle):
             df, text_col, model=self.spec.name, out_col=out_col,
             batch_size=batch_size or DEFAULT_BATCH_SIZE,
         )
+
+    def embed_list(
+        self, spark: SparkSession, documents: list[str],
+        batch_size: int | None = None,
+    ) -> list[dict]:
+        """Reference list signature for SMALL inputs (collects!): one
+        {dense, sparse, colbert} dict per document, order preserved —
+        Bgem3Output (src/bgem3_embedding/init.rs)."""
+        df = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(documents)], ["__i", "text"]
+        )
+        rows = self.embed(df, "text", batch_size).select("__i", "bgem3").collect()
+        out = []
+        for r in sorted(rows, key=lambda r: r["__i"]):
+            trip = r["bgem3"]
+            out.append({
+                "dense": list(trip.dense),
+                "sparse": dict(zip(trip.sparse.indices, trip.sparse.values)),
+                "colbert": [list(t) for t in trip.colbert],
+            })
+        return out
 
 
 class ImageEmbedding(_Handle):

@@ -99,6 +99,19 @@ def test_sparse_and_bgem3_shapes(spark, docs_df):
         assert r["bgem3"].dense is not None and r["bgem3"].colbert is not None
 
 
+def test_sparse_and_bgem3_embed_list(spark):
+    s = SparseTextEmbedding.try_new("stub-sparse").embed_list(spark, DOCS[:2])
+    assert len(s) == 2 and all(isinstance(m, dict) and m for m in s)
+    assert all(v > 0 for m in s for v in m.values())
+    j = Bgem3Embedding.try_new("stub-bgem3").embed_list(spark, DOCS[:2])
+    assert len(j) == 2
+    assert set(j[0]) == {"dense", "sparse", "colbert"}
+    assert len(j[0]["dense"]) == len(j[1]["dense"])
+    # order preserved: reversing inputs reverses outputs
+    rev = Bgem3Embedding.try_new("stub-bgem3").embed_list(spark, DOCS[:2][::-1])
+    assert rev[1]["dense"] == j[0]["dense"]
+
+
 def test_sparse_resolves_shared_bgem3_code():
     # SparseTextEmbedding("BAAI/bge-m3") must find the SPARSE entry even
     # though the dense registry shares the code (src/models/sparse.rs:31)
