@@ -117,6 +117,7 @@ HEADLINE = [
     "value_percentiles_sampled_by_type",
     "bigram_lift",
     "jaccard_prefix_neardup",
+    "daily_activity_reconcile",
     # full-catalog coverage: every queries() entry is benched
     "dot_pairs",
     "doc_fingerprint",

@@ -4203,6 +4203,72 @@ def q_value_percentiles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "daily_activity_reconcile",
+    """
+WITH ev AS (
+  SELECT epoch_ns(ts) // 86400000000000 AS day,
+         CAST(count(*) AS BIGINT) AS event_count,
+         round(sum(value), 2) AS event_value
+  FROM events GROUP BY 1
+), ord AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS order_count,
+         round(sum(o_totalprice), 2) AS order_total
+  FROM orders GROUP BY 1
+)
+SELECT coalesce(ev.day, ord.day) AS day,
+       coalesce(ev.event_count, 0) AS event_count,
+       coalesce(ev.event_value, 0.0) AS event_value,
+       coalesce(ord.order_count, 0) AS order_count,
+       coalesce(ord.order_total, 0.0) AS order_total
+FROM ev FULL OUTER JOIN ord ON ev.day = ord.day
+""",
+    "FULL OUTER JOIN reconciliation: daily event activity vs daily order "
+    "volume, days present on either side kept with zero-filled gaps — the "
+    "one join type the catalog lacked. Day keys are exact integer "
+    "epoch-day division on both engines (no zone-dependent date casts); "
+    "both sides aggregate before the join, so the join input is "
+    "days-sized, not row-sized",
+)
+def q_daily_activity_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        t(spark, sf_dir, "events")
+        .select(F.expr("ts div 86400000000000").alias("day"), "value")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("event_value"),
+        )
+    )
+    ords = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+                "cast(o_orderdate as timestamp_ntz)) div 86400"
+            ).alias("day"),
+            "o_totalprice",
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("order_total"),
+        )
+    )
+    e, o = ev.alias("e"), ords.alias("o")
+    return (
+        e.join(o, F.col("e.day") == F.col("o.day"), "full_outer")
+        .select(
+            F.coalesce(F.col("e.day"), F.col("o.day")).alias("day"),
+            F.coalesce("event_count", F.lit(0).cast("long")).alias("event_count"),
+            F.coalesce("event_value", F.lit(0.0)).alias("event_value"),
+            F.coalesce("order_count", F.lit(0).cast("long")).alias("order_count"),
+            F.coalesce("order_total", F.lit(0.0)).alias("order_total"),
+        )
+    )
+
+
 _SAMPLED_PCTL_GROUPED_ORACLE = f"""
 WITH h AS (
   SELECT event_type, value,
