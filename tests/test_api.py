@@ -48,6 +48,30 @@ def test_init_options_builder_mirrors_reference():
     assert o2.execution_providers == ["CPUExecutionProvider"]
 
 
+def test_init_options_export_env(monkeypatch):
+    import os
+
+    monkeypatch.delenv("FASTEMBED_CACHE_DIR", raising=False)
+    monkeypatch.delenv("FASTEMBED_INTRA_THREADS", raising=False)
+    monkeypatch.delenv("FASTEMBED_EXECUTION_PROVIDERS", raising=False)
+    TextEmbedding.try_new(
+        InitOptions.new("stub-dense-mean")
+        .with_cache_dir("/tmp/fe-cache")
+        .with_intra_threads(2)
+        .with_execution_providers(["CUDAExecutionProvider", "CPUExecutionProvider"])
+    )
+    assert os.environ["FASTEMBED_CACHE_DIR"] == "/tmp/fe-cache"
+    assert os.environ["FASTEMBED_INTRA_THREADS"] == "2"
+    assert (
+        os.environ["FASTEMBED_EXECUTION_PROVIDERS"]
+        == "CUDAExecutionProvider,CPUExecutionProvider"
+    )
+    # defaults leave the environment untouched
+    monkeypatch.delenv("FASTEMBED_CACHE_DIR", raising=False)
+    TextEmbedding.try_new("stub-dense-mean")
+    assert "FASTEMBED_CACHE_DIR" not in os.environ
+
+
 def test_text_embedding_matches_operator(spark, docs_df):
     from fastembed_rs_spark.operators.embed import embed_text
 
