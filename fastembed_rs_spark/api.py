@@ -179,6 +179,8 @@ class TextEmbedding(_Handle):
         """The reference's exact list-in/list-out signature, for
         interactive/driver-side use on SMALL inputs (collects!). Order of
         ``documents`` is preserved."""
+        if not documents:
+            return []  # reference embed(vec![]) -> Ok(vec![])
         df = spark.createDataFrame(
             [(i, d) for i, d in enumerate(documents)], ["__i", "text"]
         )
@@ -249,6 +251,8 @@ class SparseTextEmbedding(_Handle):
         """Reference list signature for SMALL inputs (collects!): one
         {vocab_index: weight} map per document, order preserved — the
         SparseEmbedding pairs (src/sparse_text_embedding/init.rs)."""
+        if not documents:
+            return []
         df = spark.createDataFrame(
             [(i, d) for i, d in enumerate(documents)], ["__i", "text"]
         )
@@ -285,6 +289,8 @@ class Bgem3Embedding(_Handle):
         """Reference list signature for SMALL inputs (collects!): one
         {dense, sparse, colbert} dict per document, order preserved —
         Bgem3Output (src/bgem3_embedding/init.rs)."""
+        if not documents:
+            return []
         df = spark.createDataFrame(
             [(i, d) for i, d in enumerate(documents)], ["__i", "text"]
         )
@@ -371,6 +377,8 @@ class TextRerank(_Handle):
         """The reference's exact single-query signature for SMALL inputs
         (collects!). Returns [{index, score, document?}] sorted score desc —
         RerankResult (src/reranking/init.rs:126-137)."""
+        if not documents:
+            return []
         pairs = spark.createDataFrame(
             [(0, i, query, d) for i, d in enumerate(documents)],
             ["query_id", "index", "query", "document"],

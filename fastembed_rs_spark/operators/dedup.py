@@ -350,8 +350,15 @@ def jaccard_prefix_pairs(
     # ONE shuffle by doc builds BOTH tables: the sorted gram array gives
     # the rarest-first prefix (array slice — no rank window, no per-doc
     # sort pass) and the full gram set for exact verification.
+    # ceil(t·|s|) on a double can OVERSHOOT the exact ceiling (e.g.
+    # 0.3*10 = 3.0000000000000004 → ceil 4, not 3), which would shorten
+    # the prefix below the proven bound and silently drop qualifying
+    # pairs. Nudge below the representation error before ceiling: exact
+    # integer products are ≥ 1 apart, so the epsilon can never undershoot.
     prefix_len = (
-        F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")).cast("int") + 1
+        F.col("__sz")
+        - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9)).cast("int")
+        + 1
     )
     perdoc = (
         annotated.groupBy(id_col, "__sz")

@@ -65,7 +65,14 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         try:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
             df.schema  # force analysis so a NANOS type error surfaces here
-        except Exception:
+        except Exception as e:
+            # repair ONLY the NANOS-decode failure ("Illegal Parquet type:
+            # INT64 (TIMESTAMP(NANOS,...))"); any other read error (missing
+            # path, corrupt file) re-raises untouched — a session-global
+            # conf flip must not mask unrelated failures
+            msg = str(e)
+            if "NANOS" not in msg and "Illegal Parquet type" not in msg:
+                raise
             if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true":
                 raise  # flag already on → not the NANOS issue; re-raise
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -4484,8 +4491,7 @@ _DRIVER_PRIORITY: list[str] = [
     "order_rank_profile",
     "incremental_embed",
     "embed_qwen_vl_stub",
-    # round-4 additions (never driver-checked yet); 47 priority entries
-    # keeps all of them inside the driver's ~50-row window
+    # round-4 additions (never driver-checked as of this snapshot)
     "customer_order_distribution",
     "sales_opportunity_segments",
     "promo_revenue_share",
@@ -4494,8 +4500,10 @@ _DRIVER_PRIORITY: list[str] = [
     "domain_mix_weights",
     "token_vocab_coverage",
     "value_percentiles_sampled",
+    "value_percentiles_sampled_by_type",
     "bigram_lift",
     "jaccard_prefix_neardup",
+    "daily_activity_reconcile",
 ]
 
 

@@ -131,6 +131,13 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int = 8):
     nbuckets = 1 << bits
     z = F.lit(0).cast("long")
     for ci, c in enumerate(cols):
+        if stats[f"__mn_{c}"] is None or stats[f"__mx_{c}"] is None:
+            raise ValueError(
+                f"cannot Z-order by {c!r}: dataset is empty or the column is "
+                "entirely null (no min/max). Rows with SOME nulls are fine — "
+                "their Z key is null and range partitioning groups them "
+                "together."
+            )
         mn, mx = float(stats[f"__mn_{c}"]), float(stats[f"__mx_{c}"])
         span = (mx - mn) or 1.0
         bucket = F.least(

@@ -251,9 +251,15 @@ def kmv_quantile_store_stream(
     After ANY prefix of batches, percentiles computed from the store are
     bit-identical to running the batch query over every row seen so far
     (pinned by test). The store rewrite is k rows (localCheckpoint-ed
-    before overwrite so no task reads a file the commit replaces); offsets
-    in ``checkpoint`` keep restarts exactly-once. Returns the started
-    StreamingQuery; caller owns stop/await."""
+    before overwrite so no task reads a file the commit replaces).
+
+    Replay safety: foreachBatch is at-least-once — a crash between the
+    store overwrite and the offset commit replays the batch into a store
+    that already absorbed it. The min-union is made idempotent by
+    deduplicating (hash, value) pairs before the cut: hashes derive from
+    the (unique) key column, so within one logical dataset every row's
+    pair is distinct and the dedup only ever removes replay copies.
+    Returns the started StreamingQuery; caller owns stop/await."""
     from fastembed_rs_spark.functions.text import token_hash
     from fastembed_rs_spark.sources.io import fs_exists
 
@@ -267,7 +273,10 @@ def kmv_quantile_store_stream(
         )
         if fs_exists(spark, store_path):
             hashed = hashed.unionByName(spark.read.parquet(store_path))
-        merged = hashed.orderBy("__h", "value").limit(k).localCheckpoint()
+        merged = (
+            hashed.dropDuplicates(["__h", "value"])  # replay idempotence
+            .orderBy("__h", "value").limit(k).localCheckpoint()
+        )
         merged.write.mode("overwrite").parquet(store_path)
 
     return (

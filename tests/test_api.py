@@ -48,28 +48,46 @@ def test_init_options_builder_mirrors_reference():
     assert o2.execution_providers == ["CPUExecutionProvider"]
 
 
-def test_init_options_export_env(monkeypatch):
+def test_init_options_export_env():
+    """Handles export the env vars the runtime reads. The handle writes
+    ``os.environ`` directly, so this test snapshots and RESTORES the three
+    keys itself — monkeypatch's delenv-undo would re-leak the values the
+    handle set mid-test into the rest of the session (and a stray
+    FASTEMBED_CACHE_DIR/EXECUTION_PROVIDERS would break any later
+    artifact-staged golden test)."""
     import os
 
-    monkeypatch.delenv("FASTEMBED_CACHE_DIR", raising=False)
-    monkeypatch.delenv("FASTEMBED_INTRA_THREADS", raising=False)
-    monkeypatch.delenv("FASTEMBED_EXECUTION_PROVIDERS", raising=False)
-    TextEmbedding.try_new(
-        InitOptions.new("stub-dense-mean")
-        .with_cache_dir("/tmp/fe-cache")
-        .with_intra_threads(2)
-        .with_execution_providers(["CUDAExecutionProvider", "CPUExecutionProvider"])
+    keys = (
+        "FASTEMBED_CACHE_DIR",
+        "FASTEMBED_INTRA_THREADS",
+        "FASTEMBED_EXECUTION_PROVIDERS",
     )
-    assert os.environ["FASTEMBED_CACHE_DIR"] == "/tmp/fe-cache"
-    assert os.environ["FASTEMBED_INTRA_THREADS"] == "2"
-    assert (
-        os.environ["FASTEMBED_EXECUTION_PROVIDERS"]
-        == "CUDAExecutionProvider,CPUExecutionProvider"
-    )
-    # defaults leave the environment untouched
-    monkeypatch.delenv("FASTEMBED_CACHE_DIR", raising=False)
-    TextEmbedding.try_new("stub-dense-mean")
-    assert "FASTEMBED_CACHE_DIR" not in os.environ
+    saved = {k: os.environ.get(k) for k in keys}
+    try:
+        for k in keys:
+            os.environ.pop(k, None)
+        TextEmbedding.try_new(
+            InitOptions.new("stub-dense-mean")
+            .with_cache_dir("/tmp/fe-cache")
+            .with_intra_threads(2)
+            .with_execution_providers(["CUDAExecutionProvider", "CPUExecutionProvider"])
+        )
+        assert os.environ["FASTEMBED_CACHE_DIR"] == "/tmp/fe-cache"
+        assert os.environ["FASTEMBED_INTRA_THREADS"] == "2"
+        assert (
+            os.environ["FASTEMBED_EXECUTION_PROVIDERS"]
+            == "CUDAExecutionProvider,CPUExecutionProvider"
+        )
+        # defaults leave the environment untouched
+        os.environ.pop("FASTEMBED_CACHE_DIR", None)
+        TextEmbedding.try_new("stub-dense-mean")
+        assert "FASTEMBED_CACHE_DIR" not in os.environ
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
 
 def test_text_embedding_matches_operator(spark, docs_df):
@@ -83,6 +101,14 @@ def test_text_embedding_matches_operator(spark, docs_df):
     }
     for k in want:
         np.testing.assert_array_equal(got[k], want[k])
+
+
+def test_list_methods_accept_empty_input(spark):
+    # reference: embed(vec![]) -> Ok(vec![]) — no schema-inference crash
+    assert TextEmbedding.try_new("stub-dense-mean").embed_list(spark, []) == []
+    assert SparseTextEmbedding.try_new("stub-sparse").embed_list(spark, []) == []
+    assert Bgem3Embedding.try_new("stub-bgem3").embed_list(spark, []) == []
+    assert TextRerank.try_new("stub-rerank").rerank_list(spark, "q", []) == []
 
 
 def test_embed_list_preserves_order(spark):

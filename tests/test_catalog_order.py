@@ -62,6 +62,18 @@ def test_priority_snapshot_names_resolve():
     assert len(set(_DRIVER_PRIORITY)) == len(_DRIVER_PRIORITY)
 
 
+def test_priority_snapshot_covers_never_checked():
+    """The fallback snapshot must include every query with no driver row in
+    any committed artifact — otherwise a fresh clone would push exactly the
+    never-verified queries out of the driver's window."""
+    from fastembed_rs_spark.queries import _DRIVER_PRIORITY, QUERIES
+
+    last = _checked_rounds()
+    never = [n for n in QUERIES if n not in last]
+    missing = [n for n in never if n not in _DRIVER_PRIORITY]
+    assert not missing, f"add to _DRIVER_PRIORITY: {missing}"
+
+
 def test_reorder_preserves_catalog():
     from fastembed_rs_spark.queries import QUERIES, all_queries
 

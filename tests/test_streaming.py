@@ -470,3 +470,14 @@ def test_kmv_quantile_store_matches_batch(spark, stream_dir):
     got2 = sorted((r["__h"], r["value"]) for r in spark.read.parquet(store).collect())
     assert got2 == batch_bottom_k(all_rows)
     assert len(got2) == K
+
+    # replay: a fresh checkpoint re-delivers EVERY batch against the
+    # already-merged store (the at-least-once crash-replay case) — the
+    # (hash, value) dedup must keep the store bit-identical
+    q3 = kmv_quantile_store_stream(
+        spark.readStream.schema(schema).parquet(src_dir), store,
+        os.path.join(stream_dir, "kmv_ckpt_replay"), k=K,
+    )
+    q3.awaitTermination(120); q3.stop()
+    got3 = sorted((r["__h"], r["value"]) for r in spark.read.parquet(store).collect())
+    assert got3 == got2

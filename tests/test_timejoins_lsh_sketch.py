@@ -529,7 +529,9 @@ def test_jaccard_prefix_matches_inverted_index(spark):
             mut[rng.randrange(len(mut))] = rng.choice(vocab)
         rows.append((2 * i + 1, " ".join(mut)))
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    for thr in (0.25, 0.5, 0.8):
+    # 0.3 and 0.07 produce inexact double products (0.3*10 =
+    # 3.0000000000000004) — they pin the exact-ceiling fix for prefix_len
+    for thr in (0.07, 0.25, 0.3, 0.5, 0.8):
         want = {
             (r.id_a, r.id_b): r.jaccard
             for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=thr).collect()
