@@ -120,6 +120,19 @@ class _Handle:
     def try_new(cls, options: InitOptions | str | None = None):
         return cls(options)
 
+    def _embed_ordered(self, spark: SparkSession, documents: list[str],
+                       out_col: str, batch_size: int | None):
+        """Shared list-method scaffolding: enumerate → embed → collect →
+        restore input order. Returns the raw Row values of ``out_col``;
+        empty input short-circuits (reference embed(vec![]) → Ok(vec![]))."""
+        if not documents:
+            return []
+        df = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(documents)], ["__i", "text"]
+        )
+        rows = self.embed(df, "text", batch_size).select("__i", out_col).collect()
+        return [r[out_col] for r in sorted(rows, key=lambda r: r["__i"])]
+
     @classmethod
     def list_supported_models(cls) -> list[ModelSpec]:
         """Mirror of ``list_supported_models()`` (src/text_embedding/impl.rs:286)."""
@@ -179,13 +192,10 @@ class TextEmbedding(_Handle):
         """The reference's exact list-in/list-out signature, for
         interactive/driver-side use on SMALL inputs (collects!). Order of
         ``documents`` is preserved."""
-        if not documents:
-            return []  # reference embed(vec![]) -> Ok(vec![])
-        df = spark.createDataFrame(
-            [(i, d) for i, d in enumerate(documents)], ["__i", "text"]
-        )
-        rows = self.embed(df, "text", batch_size).select("__i", "embedding").collect()
-        return [list(r["embedding"]) for r in sorted(rows, key=lambda r: r["__i"])]
+        return [
+            list(e)
+            for e in self._embed_ordered(spark, documents, "embedding", batch_size)
+        ]
 
     @classmethod
     def get_quantization_mode(cls, model_name: str) -> str:
@@ -251,15 +261,11 @@ class SparseTextEmbedding(_Handle):
         """Reference list signature for SMALL inputs (collects!): one
         {vocab_index: weight} map per document, order preserved — the
         SparseEmbedding pairs (src/sparse_text_embedding/init.rs)."""
-        if not documents:
-            return []
-        df = spark.createDataFrame(
-            [(i, d) for i, d in enumerate(documents)], ["__i", "text"]
-        )
-        rows = self.embed(df, "text", batch_size).select("__i", "sparse_embedding").collect()
         return [
-            dict(zip(r["sparse_embedding"].indices, r["sparse_embedding"].values))
-            for r in sorted(rows, key=lambda r: r["__i"])
+            dict(zip(se.indices, se.values))
+            for se in self._embed_ordered(
+                spark, documents, "sparse_embedding", batch_size
+            )
         ]
 
 
@@ -289,21 +295,14 @@ class Bgem3Embedding(_Handle):
         """Reference list signature for SMALL inputs (collects!): one
         {dense, sparse, colbert} dict per document, order preserved —
         Bgem3Output (src/bgem3_embedding/init.rs)."""
-        if not documents:
-            return []
-        df = spark.createDataFrame(
-            [(i, d) for i, d in enumerate(documents)], ["__i", "text"]
-        )
-        rows = self.embed(df, "text", batch_size).select("__i", "bgem3").collect()
-        out = []
-        for r in sorted(rows, key=lambda r: r["__i"]):
-            trip = r["bgem3"]
-            out.append({
+        return [
+            {
                 "dense": list(trip.dense),
                 "sparse": dict(zip(trip.sparse.indices, trip.sparse.values)),
                 "colbert": [list(t) for t in trip.colbert],
-            })
-        return out
+            }
+            for trip in self._embed_ordered(spark, documents, "bgem3", batch_size)
+        ]
 
 
 class ImageEmbedding(_Handle):

@@ -81,16 +81,32 @@ def register(spec: ModelSpec, *aliases: str) -> ModelSpec:
 
 
 def get_model_spec(name: str, kind: str | None = None) -> ModelSpec:
-    if kind is not None and name not in _REGISTRY:
-        key = _KIND_ALIASES.get((kind, name)) or _ALIASES.get(name, name)
-    else:
+    if kind is None:
         key = name if name in _REGISTRY else _ALIASES.get(name, name)
-    try:
-        return _REGISTRY[key]
-    except KeyError:
-        raise KeyError(
-            f"unknown model {name!r}; known: {sorted(_REGISTRY)}"
-        ) from None
+        try:
+            return _REGISTRY[key]
+        except KeyError:
+            raise KeyError(
+                f"unknown model {name!r}; known: {sorted(_REGISTRY)}"
+            ) from None
+    # kind-scoped resolution mirrors the reference's per-family from_str
+    # (models/*.rs: resolve within the family, error on anything else —
+    # e.g. Bgem3Model::from_str("BAAI/bge-m3") is "Unknown BGEM3 model",
+    # never the dense entry). Precedence: family-scoped code alias, exact
+    # registry name OF that kind, then a global alias that lands in the
+    # kind; a resolution into a DIFFERENT kind is an error, not a silent
+    # wrong-family handle.
+    key = _KIND_ALIASES.get((kind, name))
+    if key is None and name in _REGISTRY and _REGISTRY[name].kind == kind:
+        key = name
+    if key is None:
+        cand = _ALIASES.get(name)
+        if cand is not None and _REGISTRY[cand].kind == kind:
+            key = cand
+    if key is None:
+        known = sorted(s.name for s in _REGISTRY.values() if s.kind == kind)
+        raise KeyError(f"unknown {kind} model {name!r}; known {kind} models: {known}")
+    return _REGISTRY[key]
 
 
 def list_models(kind: str | None = None) -> list[ModelSpec]:

@@ -244,7 +244,6 @@ def embed_sparse(
       ascending (impl.rs:256-304, bgem3_weights.rs:16-43)
     """
     spec = get_model_spec(model, kind="sparse")
-    model = spec.name  # canonicalize: "BAAI/bge-m3" is shared with the dense entry
     df = _enforce_quant_constraint(df, spec)
     out_schema = _with_schema(df, f"{out_col} struct<indices: array<int>, values: array<float>>")
     special_ids = np.array([0, 1, 2, 3], dtype=np.int64)  # impl.rs:264

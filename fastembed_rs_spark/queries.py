@@ -68,10 +68,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception as e:
             # repair ONLY the NANOS-decode failure ("Illegal Parquet type:
             # INT64 (TIMESTAMP(NANOS,...))"); any other read error (missing
-            # path, corrupt file) re-raises untouched — a session-global
-            # conf flip must not mask unrelated failures
-            msg = str(e)
-            if "NANOS" not in msg and "Illegal Parquet type" not in msg:
+            # path, corrupt file, OTHER illegal types like INT96) re-raises
+            # untouched — a session-global conf flip must not mask
+            # unrelated failures
+            if "NANOS" not in str(e):
                 raise
             if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true":
                 raise  # flag already on → not the NANOS issue; re-raise
@@ -1739,10 +1739,13 @@ def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").alias("total_qty"))
         .filter(F.col("total_qty") > 280)
     )
-    # LTZ->long is epoch seconds — matches DuckDB epoch() on the naive ts
-    od_epoch = (
-        F.col("o_orderdate").cast("timestamp_ltz").cast("long").alias("orderdate_epoch")
-    )
+    # NTZ timestampdiff is exact integer math independent of the session
+    # time zone (matches DuckDB epoch() on the naive ts) — the LTZ cast it
+    # replaces shifted by the zone offset on non-UTC sessions
+    od_epoch = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "cast(o_orderdate as timestamp_ntz))"
+    ).cast("long").alias("orderdate_epoch")
     return (
         big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])

@@ -124,6 +124,15 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int = 8):
     column at once. Pure bit arithmetic (shiftleft / bitwise or), fully
     codegen; the only driver-side data is the 2·k min/max scalars.
     """
+    if len(cols) * bits > 62:
+        # shiftleft masks shift amounts mod 64 on the JVM — beyond 62 the
+        # interleave would silently wrap high bits onto positions owned by
+        # other columns (and 63 is the long sign bit)
+        raise ValueError(
+            f"len(cols)*bits = {len(cols) * bits} exceeds the 62-bit Z-key "
+            f"budget; lower bits (e.g. bits={62 // len(cols)}) or cluster "
+            "fewer columns"
+        )
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]

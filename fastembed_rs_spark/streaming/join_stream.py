@@ -55,6 +55,12 @@ def view_click_attribution(
     watermark passes the end of their possible-match window. All column
     names are parameters so any schema can be attributed without renaming
     upstream.
+
+    Schema note: ``lag_s`` is DOUBLE (fractional seconds at microsecond
+    precision) as of round 4 — earlier versions emitted whole-second
+    BIGINT. Sinks written by the old version need a one-time cast/rewrite
+    before appending, and a checkpointed query should not be upgraded
+    mid-stream across this change.
     """
     v = views.withWatermark(ts_col, watermark).select(
         F.col(user_col).alias("v_user"),

@@ -255,10 +255,11 @@ def kmv_quantile_store_stream(
 
     Replay safety: foreachBatch is at-least-once — a crash between the
     store overwrite and the offset commit replays the batch into a store
-    that already absorbed it. The min-union is made idempotent by
-    deduplicating (hash, value) pairs before the cut: hashes derive from
-    the (unique) key column, so within one logical dataset every row's
-    pair is distinct and the dedup only ever removes replay copies.
+    that already absorbed it. The store carries the KEY alongside each
+    sampled row and the min-union deduplicates on it, so a replayed row
+    (same key → identical hash and value) collapses exactly, while
+    genuinely distinct events always survive — even under token_hash
+    collisions, where a (hash, value)-pair dedup could drop a real row.
     Returns the started StreamingQuery; caller owns stop/await."""
     from fastembed_rs_spark.functions.text import token_hash
     from fastembed_rs_spark.sources.io import fs_exists
@@ -266,6 +267,7 @@ def kmv_quantile_store_stream(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         hashed = batch_df.select(
+            F.col(key_col).cast("string").alias("key"),
             F.col(value_col).alias("value"),
             token_hash(
                 F.concat(F.col(key_col).cast("string"), F.lit("#pctl"))
@@ -274,7 +276,7 @@ def kmv_quantile_store_stream(
         if fs_exists(spark, store_path):
             hashed = hashed.unionByName(spark.read.parquet(store_path))
         merged = (
-            hashed.dropDuplicates(["__h", "value"])  # replay idempotence
+            hashed.dropDuplicates(["key"])  # replay idempotence, exact
             .orderBy("__h", "value").limit(k).localCheckpoint()
         )
         merged.write.mode("overwrite").parquet(store_path)

@@ -60,8 +60,19 @@ def test_bgem3_code_is_kind_scoped():
     assert get_model_spec("SparseBGEM3").model_code == "BAAI/bge-m3"
     # legacy repo-local alias keeps resolving
     assert get_model_spec("BAAI/bge-m3-sparse").name == "SparseBGEM3"
-    # kind scoping doesn't break exact-name lookups
-    assert get_model_spec("BGEM3", kind="sparse").name == "BGEM3"
+    # kind scoping is STRICT like the reference's per-family from_str:
+    # resolving into a different family errors instead of silently
+    # returning a wrong-kind spec (Bgem3Model::from_str("BAAI/bge-m3")
+    # is "Unknown BGEM3 model" in the reference, never the dense entry)
+    with pytest.raises(KeyError, match="unknown sparse model"):
+        get_model_spec("BGEM3", kind="sparse")
+    with pytest.raises(KeyError, match="unknown bgem3 model"):
+        get_model_spec("BAAI/bge-m3", kind="bgem3")
+    with pytest.raises(KeyError, match="unknown rerank model"):
+        get_model_spec("SparseBGEM3", kind="rerank")
+    # exact names and kind-matching aliases still resolve
+    assert get_model_spec("SparseBGEM3", kind="sparse").name == "SparseBGEM3"
+    assert get_model_spec("gpahal/bge-m3-onnx-int8", kind="bgem3").name == "Bgem3Joint"
 
 
 def test_kind_inventories():

@@ -67,7 +67,7 @@ def main() -> int:
     # relative to it (only available when both artifacts carry `calib`)
     co = full_obj(old_path).get("calib")
     cn = full_obj(new_path).get("calib")
-    if co and cn and co.get("single_core_loop_s"):
+    if co and cn and co.get("single_core_loop_s") and cn.get("single_core_loop_s"):
         r = cn["single_core_loop_s"] / co["single_core_loop_s"]
         print(f"host calibration: new/old single-core = {r:.2f}x "
               f"({co.get('cpu','?')} -> {cn.get('cpu','?')})")
