@@ -118,6 +118,7 @@ HEADLINE = [
     "bigram_lift",
     "jaccard_prefix_neardup",
     "daily_activity_reconcile",
+    "cosine_topk_filtered",
     # full-catalog coverage: every queries() entry is benched
     "dot_pairs",
     "doc_fingerprint",

@@ -183,6 +183,50 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cosine_topk_filtered",
+    f"""
+WITH qv AS (SELECT vec_id AS query_id, embedding AS qe, label AS want
+            FROM embeddings WHERE vec_id < 8),
+cand AS (SELECT vec_id, embedding, label FROM embeddings WHERE label IS NOT NULL),
+scored AS (
+  SELECT qv.query_id, c.vec_id, c.label,
+         round({_dk_cos('qv.qe', 'c.embedding')}, 6) AS score
+  FROM qv JOIN cand c ON c.label = qv.want
+)
+SELECT query_id, vec_id, label, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+FROM scored
+QUALIFY rank <= 5
+""",
+    "filtered vector search (the vector-DB staple): top-5 by cosine among "
+    "ONLY the candidates whose metadata matches each query's predicate "
+    "(label equality here) — PRE-filtering as a broadcast equi-join on the "
+    "metadata key, so scoring touches the matching slice instead of "
+    "scoring everything and discarding (post-filter, which also "
+    "under-fills k). The label filter reaches the candidate scan",
+)
+def q_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("__want"),
+    )
+    cand = emb.filter(F.col("label").isNotNull())
+    scored = cand.join(
+        F.broadcast(queries), cand["label"] == F.col("__want")
+    ).select(
+        "query_id", "vec_id", "label",
+        F.round(cosine_similarity("query_vec", "embedding"), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+@q(
     "dot_pairs",
     f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -4507,6 +4551,7 @@ _DRIVER_PRIORITY: list[str] = [
     "bigram_lift",
     "jaccard_prefix_neardup",
     "daily_activity_reconcile",
+    "cosine_topk_filtered",
 ]
 
 
