@@ -2387,7 +2387,8 @@ def q_bloom_semijoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_items_array",
     """
 SELECT o_orderkey,
-       list_sort(list(CAST(l_quantity AS BIGINT))) AS quantities,
+       array_to_string(list_sort(list(CAST(l_quantity AS BIGINT))), ',')
+         AS quantities,
        CAST(COUNT(*) AS BIGINT) AS n_items,
        CAST(MAX(l_quantity) AS BIGINT) AS max_qty
 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
@@ -2396,7 +2397,10 @@ GROUP BY o_orderkey
 """,
     "array aggregation: per high-value order, the sorted quantity list "
     "(collect_list -> sort_array) — nested-type agg coverage; bounded "
-    "per-group size (<= 7 lineitems/order) so collect_list is scale-safe",
+    "per-group size (<= 7 lineitems/order) so collect_list is scale-safe. "
+    "The list is emitted as a canonical comma-joined string so the "
+    "driver's pandas value canonicalizer (which cannot factorize list "
+    "columns) can sort and hash it; same information, driver-hashable.",
 )
 def q_order_items_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
@@ -2405,8 +2409,11 @@ def q_order_items_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderkey")
         .agg(
-            F.sort_array(
-                F.collect_list(F.col("l_quantity").cast("long"))
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(F.col("l_quantity").cast("long"))
+                ).cast("array<string>"),
+                ",",
             ).alias("quantities"),
             F.count("*").cast("long").alias("n_items"),
             F.max("l_quantity").cast("long").alias("max_qty"),
@@ -3348,9 +3355,10 @@ c AS (
            - n_tokens AS start_tok
   FROM d WHERE n_tokens > 0
 )
-SELECT doc_id, shard, start_tok,
-       shard * 1000000 + start_tok // {_PACK_C} AS chunk_id,
-       (start_tok + n_tokens - 1) // {_PACK_C} - start_tok // {_PACK_C} + 1 AS n_chunks
+SELECT doc_id, shard, CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(shard * 1000000 + start_tok // {_PACK_C} AS BIGINT) AS chunk_id,
+       CAST((start_tok + n_tokens - 1) // {_PACK_C} - start_tok // {_PACK_C} + 1
+            AS BIGINT) AS n_chunks
 FROM c
 """,
     "pretraining sequence packing (concat-and-chunk): per shard, docs "
