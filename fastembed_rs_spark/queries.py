@@ -4564,13 +4564,20 @@ _DRIVER_PRIORITY: list[str] = [
 
 
 def _last_driver_round() -> dict[str, int]:
-    """name -> highest round number whose committed CORRECTNESS_r{N}.json
-    contains a row for it (any row counts — oracle or rows-only)."""
+    """name -> rotation key from committed CORRECTNESS_r{N}.json artifacts.
+
+    Normally the highest round number with a row for the query; but a query
+    whose LATEST row is red — a failed rows/schema/hash match or a harness
+    error other than the by-design ``no_oracle`` — keys as ``-1`` so it
+    sorts directly after never-checked queries and re-enters the driver's
+    ~50-row window the round after its fix lands (sequence_packing /
+    order_items_array in r4 would otherwise have waited a full rotation)."""
     import json
     import re as _re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last: dict[str, int] = {}
+    latest_row: dict[str, tuple[int, dict]] = {}
     try:
         entries = os.listdir(root)
     except OSError:
@@ -4585,8 +4592,18 @@ def _last_driver_round() -> dict[str, int]:
                 data = json.load(f)
         except (OSError, ValueError):
             continue
-        for name in data:
-            last[name] = max(last.get(name, -1), rnd)
+        for name, row in data.items():
+            last[name] = max(last.get(name, -2), rnd)
+            if name not in latest_row or rnd > latest_row[name][0]:
+                latest_row[name] = (rnd, row if isinstance(row, dict) else {})
+    for name, (_, row) in latest_row.items():
+        err = row.get("err")
+        red = (err is not None and err != "no_oracle") or any(
+            row.get(k) is False
+            for k in ("rows_match", "schema_match", "hash_match")
+        )
+        if red:
+            last[name] = -1
     return last
 
 
@@ -4603,5 +4620,5 @@ def all_queries() -> dict[str, QuerySpec]:
         prioritized = {n: QUERIES[n] for n in _DRIVER_PRIORITY if n in QUERIES}
         rest = {n: s for n, s in QUERIES.items() if n not in prioritized}
         return {**prioritized, **rest}
-    order = sorted(range(len(names)), key=lambda i: (last.get(names[i], -1), i))
+    order = sorted(range(len(names)), key=lambda i: (last.get(names[i], -2), i))
     return {names[i]: QUERIES[names[i]] for i in order}

@@ -19,14 +19,28 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _checked_rounds() -> dict[str, int]:
+    """Mirror of queries._last_driver_round: last round per query, with a
+    query whose LATEST row is red (failed match or non-no_oracle error)
+    keyed as -1 so it re-enters the driver window right after its fix."""
     import re
 
     last: dict[str, int] = {}
+    latest: dict[str, tuple[int, dict]] = {}
     for fn in os.listdir(REPO):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fn)
         if m:
-            for name in json.load(open(os.path.join(REPO, fn))):
-                last[name] = max(last.get(name, -1), int(m.group(1)))
+            rnd = int(m.group(1))
+            for name, row in json.load(open(os.path.join(REPO, fn))).items():
+                last[name] = max(last.get(name, -2), rnd)
+                if name not in latest or rnd > latest[name][0]:
+                    latest[name] = (rnd, row if isinstance(row, dict) else {})
+    for name, (_, row) in latest.items():
+        err = row.get("err")
+        if (err is not None and err != "no_oracle") or any(
+            row.get(k) is False
+            for k in ("rows_match", "schema_match", "hash_match")
+        ):
+            last[name] = -1
     return last
 
 
@@ -37,13 +51,14 @@ def test_rotation_orders_least_recently_checked_first():
     names = list(all_queries().keys())
     if not last:  # fresh clone: fallback covered by the test below
         return
-    seen_rounds = [last.get(n, -1) for n in names]
-    # the rotation law: last-checked rounds are non-decreasing down the dict
+    seen_rounds = [last.get(n, -2) for n in names]
+    # the rotation law: rotation keys are non-decreasing down the dict
+    # (-2 never-checked, -1 red-in-latest-row, else last-checked round)
     assert seen_rounds == sorted(seen_rounds)
     # and every never-checked query precedes every checked one
-    if -1 in seen_rounds:
-        first_checked = next(i for i, r in enumerate(seen_rounds) if r >= 0)
-        assert all(r == -1 for r in seen_rounds[:first_checked])
+    if -2 in seen_rounds:
+        first_checked = next(i for i, r in enumerate(seen_rounds) if r >= -1)
+        assert all(r == -2 for r in seen_rounds[:first_checked])
 
 
 def test_fallback_uses_static_priority(monkeypatch):
