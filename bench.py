@@ -168,6 +168,41 @@ def _calibrate() -> dict:
     }
 
 
+def _testdata_fingerprint(sf_dir: str) -> dict:
+    """Per-table row count + cheap content hash of the input parquet.
+
+    Round 4's one flagged "regression" (simhash 3.0x) turned out to be a
+    silent testdata regeneration between bench runs, diagnosed forensically
+    from file mtimes. Recording a fingerprint alongside ``calib`` makes a
+    data change detectable from the artifacts alone: row counts come from
+    the parquet footer (no scan), the content hash covers the first+last
+    64 KiB of each file (stable ids/values move under any regeneration
+    with a different seed, and footer stats live in the tail)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from fastembed_rs_spark.queries import TABLES
+
+    fp: dict[str, dict] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        try:
+            size = os.stat(path).st_size
+            rows = pq.ParquetFile(path).metadata.num_rows
+            h = hashlib.sha256()
+            with open(path, "rb") as f:
+                h.update(f.read(65536))
+                if size > 131072:
+                    f.seek(-65536, os.SEEK_END)
+                h.update(f.read(65536))
+            fp[name] = {"rows": rows, "bytes": size,
+                        "sha": h.hexdigest()[:12]}
+        except Exception as e:  # noqa: BLE001 — fingerprint is advisory
+            fp[name] = {"error": f"{type(e).__name__}: {e}"[:120]}
+    return fp
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -229,6 +264,7 @@ def main() -> int:
         "agg": "min",
         "sf": sf,
         "calib": calib,
+        "testdata": _testdata_fingerprint(sf_dir),
     }
     if errors:
         out["errors"] = errors
@@ -249,6 +285,8 @@ def main() -> int:
         print(f"# could not write {detail_file}: {e}", file=sys.stderr)
 
     line = dict(out, detail_file=detail_file)
+    # the fingerprint lives in the side file; keep the stdout line short
+    line.pop("testdata", None)
     LINE_BUDGET = 1600
     if len(json.dumps(line)) > LINE_BUDGET:
         slowest = sorted(timings.items(), key=lambda kv: -kv[1])

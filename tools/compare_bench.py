@@ -72,6 +72,20 @@ def main() -> int:
         print(f"host calibration: new/old single-core = {r:.2f}x "
               f"({co.get('cpu','?')} -> {cn.get('cpu','?')})")
 
+    # testdata fingerprint: a regeneration between runs (the cause of r4's
+    # phantom simhash 3x "regression") makes per-query ratios meaningless
+    to = full_obj(old_path).get("testdata")
+    tn = full_obj(new_path).get("testdata")
+    if to and tn:
+        changed = [
+            t for t in sorted(set(to) & set(tn))
+            if (to[t].get("rows"), to[t].get("sha"))
+            != (tn[t].get("rows"), tn[t].get("sha"))
+        ]
+        if changed:
+            print(f"WARNING: testdata changed between runs ({', '.join(changed)}) "
+                  "— per-query ratios are NOT comparable")
+
     shared = sorted(set(old) & set(new))
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
