@@ -82,6 +82,23 @@ class InitOptions:
         return cls(model_name=model_name)
 
 
+def _export_env(key: str, value: str) -> None:
+    """Export a runtime knob, warning when it retargets an existing
+    DIFFERENT setting — constructing a second handle with other options
+    changes every earlier handle's future sessions (process-global env)."""
+    prev = os.environ.get(key)
+    if prev is not None and prev != value:
+        import warnings
+
+        warnings.warn(
+            f"{key} is already set to {prev!r}; overwriting with {value!r} "
+            "retargets ALL handles' future model sessions in this process",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    os.environ[key] = value
+
+
 class _Handle:
     """Shared handle mechanics: resolve the spec (kind-scoped, so
     ``SparseTextEmbedding("BAAI/bge-m3")`` finds the sparse entry like the
@@ -106,13 +123,26 @@ class _Handle:
             )
             spec = register(derived)
         self.spec: ModelSpec = spec
+        # These knobs are process-global by design (the runtime reads env
+        # vars, mirroring the reference's process-wide ORT environment) —
+        # but a second handle with DIFFERENT options silently retargeting
+        # every earlier handle's future sessions deserves a warning, and an
+        # explicit invalid value deserves an error, not a truthiness skip.
+        if options.intra_threads is not None and options.intra_threads < 1:
+            raise ValueError(
+                f"intra_threads must be >= 1, got {options.intra_threads}"
+            )
         if options.cache_dir:
-            os.environ["FASTEMBED_CACHE_DIR"] = options.cache_dir
+            _export_env("FASTEMBED_CACHE_DIR", options.cache_dir)
         if options.intra_threads:
-            os.environ["FASTEMBED_INTRA_THREADS"] = str(options.intra_threads)
+            _export_env("FASTEMBED_INTRA_THREADS", str(options.intra_threads))
         if options.execution_providers:
-            os.environ["FASTEMBED_EXECUTION_PROVIDERS"] = ",".join(
-                options.execution_providers
+            # an EMPTY list is the reference default ("use the default EP",
+            # src/init.rs ExecutionProviderDispatch vec default) — leave the
+            # environment untouched for it
+            _export_env(
+                "FASTEMBED_EXECUTION_PROVIDERS",
+                ",".join(options.execution_providers),
             )
 
     # reference: try_new(options) -> Result<Self> (impl.rs:36)

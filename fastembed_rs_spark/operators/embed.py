@@ -199,7 +199,7 @@ def embed_text(
     padded inference batch holds similar-length docs (batch-longest padding
     wastes compute proportional to in-batch length variance — SURVEY §4);
     embeddings are identical either way (masked pooling)."""
-    spec = get_model_spec(model)
+    spec = get_model_spec(model, kind="dense")
     if pack_by_length:
         from fastembed_rs_spark.operators.scale import repartition_by_length
 
@@ -293,8 +293,12 @@ def embed_bgem3(
     ``struct<dense array<float>, sparse struct<indices,values>, colbert array<array<float>>>``
     (src/bgem3_embedding/impl.rs:149-303): dense per row; sparse max-aggregated
     per token id skipping special ids; colbert keeps mask==1 token vectors
-    offset by one (CLS dropped)."""
-    spec = get_model_spec(model)
+    offset by one (CLS dropped).
+
+    Resolution is family-scoped (kind="bgem3") like the reference's
+    Bgem3Model::from_str: a wrong-family name fails fast on the driver
+    instead of surfacing as an executor-side KeyError inside the UDF."""
+    spec = get_model_spec(model, kind="bgem3")
     out_schema = _with_schema(
         df,
         f"{out_col} struct<dense: array<float>, "
@@ -390,7 +394,7 @@ def embed_image(
     reference's config-driven Compose pipeline (CLIP / ConvNext / Bit
     dialects, src/image_embedding/utils.rs:200-377) via
     operators.preprocessing; default is the fixed stub pipeline."""
-    spec = get_model_spec(model)
+    spec = get_model_spec(model, kind="image")
     out_schema = _with_schema(df, f"{out_col} array<float>")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -452,7 +456,7 @@ def embed_qwen_vl(
     token count varies per image); the mapInPandas batch amortizes session
     reuse, not tower batching — matching the reference, whose VL forward
     is also per-image."""
-    spec = get_model_spec(model)
+    spec = get_model_spec(model, kind="vl")
     kept = [c for c in df.columns if keep_content or c != content_col]
     out_schema = StructType(
         [f for f in df.schema.fields if f.name in kept]

@@ -17,6 +17,8 @@ table-format readers + the ``binaryFile`` source, all with pushdown:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -159,6 +161,25 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int = 8):
     return z
 
 
+def _require_distinct_paths(src_path: str, dst_path: str) -> None:
+    """In-place rewrite is unsupported: dst is written with
+    mode("overwrite") while src is still being read lazily, so dst == src
+    would delete the source mid-scan and destroy the dataset. Rewrite to a
+    fresh directory and swap (rename) afterwards."""
+    def norm(p: str) -> str:
+        for scheme in ("file://",):
+            if p.startswith(scheme):
+                p = p[len(scheme):]
+        return os.path.normpath(os.path.abspath(p))
+
+    if norm(src_path) == norm(dst_path):
+        raise ValueError(
+            f"src_path and dst_path resolve to the same location "
+            f"({src_path!r}): in-place rewrite would overwrite the source "
+            "while it is being read. Write to a new directory, then rename."
+        )
+
+
 def zorder_parquet(
     spark: SparkSession,
     src_path: str,
@@ -176,6 +197,7 @@ def zorder_parquet(
     per file, so parquet statistics prune scans filtered on ANY of them.
     Sized from the real source byte size like ``compact_parquet``.
     Returns the output file count."""
+    _require_distinct_paths(src_path, dst_path)
     df = spark.read.parquet(src_path)
     if n_files is not None:
         n = n_files
@@ -218,6 +240,7 @@ def compact_parquet(
     so each output file covers a tight min/max range and parquet
     row-group statistics prune reads on it.
     """
+    _require_distinct_paths(src_path, dst_path)
     df = spark.read.parquet(src_path)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()

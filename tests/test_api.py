@@ -243,3 +243,24 @@ def test_user_defined_registration(spark):
     out = h.embed_list(spark, ["a doc", "another doc"])
     assert len(out[0]) == 32
     assert not np.allclose(out[0], out[1])
+
+
+def test_intra_threads_zero_rejected():
+    with pytest.raises(ValueError, match="intra_threads"):
+        TextEmbedding.try_new(
+            InitOptions(model_name="stub-dense-mean", intra_threads=0)
+        )
+
+
+def test_env_overwrite_warns(monkeypatch):
+    import warnings
+
+    monkeypatch.setenv("FASTEMBED_INTRA_THREADS", "2")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        TextEmbedding.try_new(
+            InitOptions(model_name="stub-dense-mean", intra_threads=4)
+        )
+    assert any("FASTEMBED_INTRA_THREADS" in str(w.message) for w in rec)
+    import os as _os
+    assert _os.environ["FASTEMBED_INTRA_THREADS"] == "4"

@@ -85,3 +85,29 @@ def test_kind_inventories():
 def test_unknown_model_error_lists_known():
     with pytest.raises(KeyError, match="unknown model"):
         get_model_spec("not-a-model")
+
+
+def test_embed_operators_fail_fast_on_wrong_family():
+    """ADVICE r4: embed_bgem3 / embed_image / embed_qwen_vl resolve
+    kind-scoped (like the reference's per-family from_str), so a
+    wrong-family name is a driver-side KeyError naming the family —
+    never an executor-side KeyError inside the UDF."""
+    import pytest
+
+    from fastembed_rs_spark.operators.embed import (
+        embed_bgem3, embed_image, embed_qwen_vl, embed_text,
+    )
+
+    class _NeverDF:  # resolution must fail before any DataFrame use
+        def __getattr__(self, name):
+            raise AssertionError("model resolution should fail first")
+
+    df = _NeverDF()
+    with pytest.raises(KeyError, match="bgem3"):
+        embed_bgem3(df, model="BAAI/bge-m3")  # global alias → dense entry
+    with pytest.raises(KeyError, match="image"):
+        embed_image(df, model="stub-dense-mean")
+    with pytest.raises(KeyError, match="vl"):
+        embed_qwen_vl(df, model="stub-image")
+    with pytest.raises(KeyError, match="dense"):
+        embed_text(df, model="stub-rerank")

@@ -337,3 +337,20 @@ def test_upsert_embeddings_rewrites_only_affected_buckets(spark, tmpdir):
         b = int(d.split("=")[1])
         if b not in touched:
             assert after[d] == files, f"untouched bucket {d} was rewritten"
+
+
+def test_rewrite_rejects_in_place(spark, tmpdir):
+    """ADVICE r4: dst == src would delete the source mid-scan (lazy read +
+    mode overwrite). Both rewrite ops refuse, including via path aliases."""
+    import pytest
+
+    from fastembed_rs_spark.sources.io import compact_parquet, zorder_parquet
+
+    src = str(tmpdir.join("ds"))
+    spark.range(100).selectExpr("id", "id * 2 AS v").write.parquet(src)
+    with pytest.raises(ValueError, match="same location"):
+        compact_parquet(spark, src, src)
+    with pytest.raises(ValueError, match="same location"):
+        zorder_parquet(spark, src, "file://" + src + "/", ["id", "v"])
+    # distinct dst still works
+    assert compact_parquet(spark, src, str(tmpdir.join("out"))) >= 1
