@@ -128,6 +128,8 @@ HEADLINE = [
     "local_supplier_volume",
     "embed_sparse_stub",
     "embed_bgem3_stub",
+    # round 5: pack_by_length variant measured against embed_text_stub
+    "embed_text_stub_packed",
     "embed_image_stub",
     "crossmodal_similarity",
     "rerank_model_stub",

@@ -1369,6 +1369,29 @@ def q_embed_text_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "embed_text_stub_packed",
+    None,
+    "embed_text_stub with pack_by_length=True (SURVEY §4's deliberate "
+    "physical optimization): range-repartition by text length so each "
+    "padded inference batch holds similar-length docs — benched against "
+    "the unpacked variant to measure the padding-waste win; embeddings "
+    "are bit-identical either way (tests/test_scale_patterns.py pins "
+    "packed-vs-plain equality on this same documents table)",
+)
+def q_embed_text_stub_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.vector import l2_norm
+    from fastembed_rs_spark.operators.embed import embed_text
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = embed_text(docs, "text", model="stub-dense-mean", pack_by_length=True)
+    return out.select(
+        "doc_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(l2_norm("embedding"), 4).alias("norm"),
+    )
+
+
+@q(
     "embed_sparse_stub",
     None,
     "mapInPandas SPLADE-style sparse embedding (stub): struct<indices,values> invariants",
@@ -4560,6 +4583,8 @@ _DRIVER_PRIORITY: list[str] = [
     "jaccard_prefix_neardup",
     "daily_activity_reconcile",
     "cosine_topk_filtered",
+    # round-5 additions
+    "embed_text_stub_packed",
 ]
 
 

@@ -30,7 +30,8 @@ SF_DIR = "/root/testdata/sf0.001"
 #: vacuously, which is fine: the gate exists to catch NEW Python nodes
 #: appearing in declarative pipelines.
 PYTHON_OK = {
-    "embed_text_stub", "embed_sparse_stub", "embed_bgem3_stub",
+    "embed_text_stub", "embed_text_stub_packed",
+    "embed_sparse_stub", "embed_bgem3_stub",
     "embed_image_stub", "embed_qwen_vl_stub", "rerank_model_stub",
     "crossmodal_similarity", "multimodal_probe",
     "doc_fingerprint", "minhash_lsh_neardup",

@@ -155,3 +155,27 @@ def test_salted_join_shuffles_on_key_and_salt(spark):
     parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert any("__salt" in p for p in parts)  # big side shuffled by (k, salt)
     assert any("__rep" in p for p in parts)  # replicated side likewise
+
+
+def test_pack_by_length_identical_on_testdata(spark):
+    """VERDICT r4 #6: the catalog's packed variant (embed_text_stub_packed)
+    must produce bit-identical embeddings to the unpacked path on the real
+    documents table — proven by hashing every full vector both ways."""
+    import hashlib
+
+    from fastembed_rs_spark.operators.embed import embed_text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def emb_hash(packed: bool) -> str:
+        rows = embed_text(
+            docs, "text", model="stub-dense-mean", pack_by_length=packed
+        ).select("doc_id", "embedding").collect()
+        h = hashlib.sha256()
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            h.update(repr((r["doc_id"], list(r["embedding"]))).encode())
+        return h.hexdigest()
+
+    assert emb_hash(False) == emb_hash(True)
