@@ -128,8 +128,12 @@ HEADLINE = [
     "local_supplier_volume",
     "embed_sparse_stub",
     "embed_bgem3_stub",
-    # round 5: pack_by_length variant measured against embed_text_stub
+    # round 5: pack_by_length variant measured against embed_text_stub;
+    # adaptive jaccard measured against the pinned prefix/inverted shapes
     "embed_text_stub_packed",
+    "jaccard_adaptive_neardup",
+    "repeated_spans",
+    "cluster_balanced_sample",
     "embed_image_stub",
     "crossmodal_similarity",
     "rerank_model_stub",

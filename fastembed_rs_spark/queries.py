@@ -1092,6 +1092,152 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
+@q(
+    "jaccard_adaptive_neardup",
+    _ngram_allpairs_oracle(0.5),
+    "ADAPTIVE Jaccard near-dup pairs, threshold 0.5: picks the inverted "
+    "index or the PPJoin prefix index from the gram-df histogram the plan "
+    "computes anyway (Sigma C(df,2) candidate pairs vs postings volume — "
+    "boilerplate pushes the ratio to ~d/2, near-unique grams keep it <1) — "
+    "VERDICT r4 #8's honest-cost docstring made executable. Same oracle as "
+    "jaccard_prefix_neardup / ngram_jaccard_neardup: both shapes are exact "
+    "at t>0 (operators/dedup.py::jaccard_pairs_adaptive; crossover pinned "
+    "at two df-skew profiles in tests)",
+)
+def q_jaccard_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.dedup import jaccard_pairs_adaptive
+
+    docs = t(spark, sf_dir, "documents")
+    return jaccard_pairs_adaptive(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+_MIX_CAP = 10  # per-cluster sample cap
+
+
+@q(
+    "cluster_balanced_sample",
+    f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+  WHERE vec_id % 50 = 0
+),
+assign AS (
+  SELECT e.vec_id, c.centroid_id,
+         round({_dk_cos('e.embedding', 'c.ce')}, 6) AS cscore
+  FROM embeddings e CROSS JOIN cent c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY cscore DESC, c.centroid_id ASC) = 1
+),
+sizes AS (
+  SELECT centroid_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM assign GROUP BY centroid_id
+),
+ranked AS (
+  SELECT vec_id, centroid_id,
+         CAST(row_number() OVER (
+           PARTITION BY centroid_id
+           ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 2147483647,
+                    vec_id) AS BIGINT) AS rank
+  FROM assign
+)
+SELECT r.vec_id, r.centroid_id, r.rank, s.cluster_size
+FROM ranked r JOIN sizes s USING (centroid_id)
+WHERE r.rank <= {_MIX_CAP}
+""",
+    f"cluster-balanced sampling for data mixing (DoReMi/cluster-resample "
+    f"shape): assign each embedding to its nearest coarse centroid "
+    f"(broadcast argmax — the IVF assign kernel), then keep a "
+    f"DETERMINISTIC per-cluster sample of at most {_MIX_CAP} rows ranked "
+    f"by a multiplicative id hash — equalizing cluster contributions "
+    f"regardless of raw cluster skew. The rank window is "
+    f"WindowGroupLimit-capped (only the top-{_MIX_CAP} heap per cluster "
+    f"materializes, never a full per-cluster sort at scale); cluster "
+    f"sizes join back via a broadcast of k rows.",
+)
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    assigned = assign_ivf_buckets_fast(emb, centroids).select(
+        "vec_id", "centroid_id"
+    )
+    sizes = assigned.groupBy("centroid_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    h = F.pmod(
+        F.col("vec_id").cast("long") * F.lit(2654435761), F.lit(2147483647)
+    )
+    w = Window.partitionBy("centroid_id").orderBy("__h", "vec_id")
+    return (
+        assigned.withColumn("__h", h)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _MIX_CAP)
+        .drop("__h")
+        .join(F.broadcast(sizes), "centroid_id")
+        .select("vec_id", "centroid_id", "rank", "cluster_size")
+    )
+
+
+_SPAN_N = 8
+
+
+@q(
+    "repeated_spans",
+    f"""
+WITH toks AS (SELECT doc_id, {duck_tokens('text')} AS tk FROM documents),
+w AS (
+  SELECT doc_id, array_to_string(tk[i:i + {_SPAN_N - 1}], ' ') AS g
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - {_SPAN_N} + 2)) AS i
+        FROM toks WHERE len(tk) >= {_SPAN_N})
+),
+dfq AS (SELECT g, count(DISTINCT doc_id) AS df FROM w GROUP BY g)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeated,
+       round(sum(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS repeated_frac
+FROM w JOIN dfq USING (g)
+GROUP BY w.doc_id
+""",
+    f"exact substring-level dedup signal (Lee et al. 'Deduplicating "
+    f"Training Data Makes Language Models Better'-style): per doc, the "
+    f"fraction of its {_SPAN_N}-token sliding windows that also occur in "
+    f"at least one OTHER document — the span-removal statistic a "
+    f"training-data pipeline thresholds to cut duplicated passages. "
+    f"Windows via codegen sequence/transform (operators/dedup.py::"
+    f"word_ngrams), doc frequency via distinct+groupBy on the window "
+    f"string, then a 1:1 lookup join back (no fan-out: dfq is unique per "
+    f"window) — two shuffles on the window key, linear in corpus tokens.",
+)
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.dedup import word_ngrams
+
+    docs = t(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", F.explode(word_ngrams("text", _SPAN_N)).alias("g")
+    )
+    dfq = (
+        g.select("doc_id", "g").distinct()
+        .groupBy("g").agg(F.count("*").alias("df"))
+    )
+    return (
+        g.join(dfq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long").alias("n_repeated"),
+        )
+        .withColumn(
+            "repeated_frac",
+            F.round(F.col("n_repeated") / F.col("n_windows"), 6),
+        )
+    )
+
+
 _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 @q(
@@ -4585,6 +4731,9 @@ _DRIVER_PRIORITY: list[str] = [
     "cosine_topk_filtered",
     # round-5 additions
     "embed_text_stub_packed",
+    "jaccard_adaptive_neardup",
+    "repeated_spans",
+    "cluster_balanced_sample",
 ]
 
 

@@ -551,3 +551,63 @@ def test_jaccard_prefix_rejects_zero_threshold(spark):
     docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="threshold > 0"):
         jaccard_prefix_pairs(docs, "doc_id", "text", threshold=0.0)
+
+
+def test_jaccard_adaptive_crossover(spark):
+    """VERDICT r4 #8: the adaptive tier picks the physical shape from the
+    gram-df histogram — inverted index on a low-skew (near-unique-gram)
+    profile, prefix index on a boilerplate-heavy profile — and both choices
+    return exactly the plain inverted-index ground truth."""
+    from fastembed_rs_spark.operators.dedup import (
+        jaccard_pairs_adaptive,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(23)
+
+    # profile A — near-unique grams: each doc draws from its own id-salted
+    # vocabulary, so df(gram) ~ 1-2 and Σ C(df,2) stays well under budget
+    rows_a = []
+    for i in range(30):
+        words = [f"u{i}_{rng.randrange(50)}" for _ in range(12)]
+        rows_a.append((2 * i, " ".join(words)))
+        mut = list(words)
+        mut[rng.randrange(len(mut))] = f"u{i}_x"
+        rows_a.append((2 * i + 1, " ".join(mut)))
+    docs_a = spark.createDataFrame(rows_a, "doc_id long, text string")
+
+    # profile B — boilerplate: every doc shares a 20-word header, so those
+    # grams have df = n_docs and the inverted index would emit ~n² pairs
+    header = " ".join(f"h{j}" for j in range(20))
+    rows_b = [
+        (i, header + " " + " ".join(f"t{i}_{j}" for j in range(3)))
+        for i in range(40)
+    ]
+    docs_b = spark.createDataFrame(rows_b, "doc_id long, text string")
+
+    for docs, expect_shape in ((docs_a, "inverted"), (docs_b, "prefix")):
+        dec: dict = {}
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_pairs_adaptive(
+                docs, "doc_id", "text", threshold=0.5, decision=dec
+            ).collect()
+        }
+        want = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.5
+            ).collect()
+        }
+        assert dec["shape"] == expect_shape, dec
+        assert got == want, expect_shape
+
+
+def test_jaccard_adaptive_rejects_zero_threshold(spark):
+    import pytest as _pytest
+
+    from fastembed_rs_spark.operators.dedup import jaccard_pairs_adaptive
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="threshold > 0"):
+        jaccard_pairs_adaptive(docs, "doc_id", "text", threshold=0.0)
