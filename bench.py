@@ -134,6 +134,8 @@ HEADLINE = [
     "jaccard_adaptive_neardup",
     "repeated_spans",
     "cluster_balanced_sample",
+    "embedding_outliers",
+    "jl_project_topk",
     "embed_image_stub",
     "crossmodal_similarity",
     "rerank_model_stub",

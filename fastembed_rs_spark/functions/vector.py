@@ -108,3 +108,34 @@ def cosine_similarity_fixed(a: Column | str, b: Column | str, dim: int) -> Colum
     return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(
         dot_fixed(a, b, dim) / (na * nb)
     )
+
+
+def jl_sign_project(v: Column | str, in_dim: int, out_dim: int) -> Column:
+    """Johnson–Lindenstrauss-style ±1 sign projection to ``out_dim`` dims:
+    ``out_j = Σ_i v_i · sign(i, j)`` with a DETERMINISTIC sign matrix
+    ``sign(i,j) = +1 iff ((37·i + 101·j + 7)² mod 1009) is even``.
+
+    The quadratic breaks the linear structure a plain ``(a·i + b·j) mod 2``
+    parity would have (that collapses to a checkerboard, projecting every
+    vector onto 2 directions); all intermediate integers stay < 2^53, so
+    DuckDB evaluates the identical expression bit-for-bit (oracle parity).
+    Production would draw Rademacher signs from a seeded RNG or a proper
+    hash; the projection here is the ENGINE shape — an embarrassingly
+    parallel per-row map (no shuffle), the standard pre-reduction in front
+    of brute-force / ANN search when the raw dimension is the scan cost.
+
+    Returns ``array<double>`` of length ``out_dim``."""
+    vd = _to_double(v)
+
+    def sign(i: Column, j: Column) -> Column:
+        h = 37 * i + 101 * j + F.lit(7)
+        return F.when((h * h) % 1009 % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)),
+        lambda j: F.aggregate(
+            F.sequence(F.lit(0), F.lit(in_dim - 1)),
+            F.lit(0.0),
+            lambda acc, i: acc + F.coalesce(F.get(vd, i), F.lit(0.0)) * sign(i, j),
+        ),
+    )

@@ -1180,6 +1180,147 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JL_OUT = 16
+
+
+def _dk_jl(a: str, out_dim: int, in_dim: int) -> str:
+    """DuckDB mirror of functions.vector.jl_sign_project (same quadratic
+    sign hash, same fold order — all intermediates exact < 2^53)."""
+    sign = ("CASE WHEN ((37*i + 101*j + 7)*(37*i + 101*j + 7)) % 1009 % 2 = 0 "
+            "THEN 1.0 ELSE -1.0 END")
+    return (
+        f"list_transform(generate_series(0, {out_dim - 1}), j -> "
+        f"coalesce(list_sum(list_transform(generate_series(0, {in_dim - 1}), "
+        f"i -> CAST({a}[i+1] AS DOUBLE) * {sign})), 0.0))"
+    )
+
+
+@q(
+    "jl_project_topk",
+    f"""
+WITH proj AS (
+  SELECT vec_id, {_dk_jl('embedding', _JL_OUT, EMB_DIM)} AS p FROM embeddings
+),
+qv AS (SELECT vec_id AS query_id, p AS qp FROM proj WHERE vec_id < 5),
+scored AS (
+  SELECT qv.query_id, proj.vec_id,
+         round({_dk_cos('qv.qp', 'proj.p')}, 6) AS score
+  FROM qv CROSS JOIN proj
+)
+SELECT query_id, vec_id, score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, vec_id ASC) AS rank
+FROM scored
+QUALIFY rank <= 10
+""",
+    f"dimensionality-reduced search: Johnson-Lindenstrauss ±1 sign "
+    f"projection {EMB_DIM}->{_JL_OUT} dims (deterministic quadratic sign "
+    f"hash — functions/vector.py::jl_sign_project), then brute-force "
+    f"cosine top-10 in the PROJECTED space. The standard pre-reduction "
+    f"when raw dimension is the scan cost: the projection is a "
+    f"shuffle-free per-row map, and every downstream scan/shuffle moves "
+    f"{_JL_OUT}/{EMB_DIM} of the bytes.",
+)
+def q_jl_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.vector import jl_sign_project
+    from fastembed_rs_spark.operators.topk import cosine_top_k
+
+    emb = t(spark, sf_dir, "embeddings")
+    proj = emb.select(
+        "vec_id", jl_sign_project("embedding", EMB_DIM, _JL_OUT).alias("p")
+    )
+    queries = proj.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("p").alias("query_vec")
+    )
+    return cosine_top_k(
+        queries, proj, k=10, vec_col="p", round_to=6
+    ).select("query_id", "vec_id", "score", "rank")
+
+
+@q(
+    "embedding_outliers",
+    f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+  WHERE vec_id % 50 = 0
+),
+assign AS (
+  SELECT e.vec_id, c.centroid_id,
+         round({_dk_cos('e.embedding', 'c.ce')}, 6) AS cscore
+  FROM embeddings e CROSS JOIN cent c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY cscore DESC, c.centroid_id ASC) = 1
+),
+stats AS (
+  SELECT centroid_id, count(*) AS n, sum(cscore) AS s,
+         sum(cscore * cscore) AS ss
+  FROM assign GROUP BY centroid_id
+),
+scored AS (
+  SELECT a.vec_id, a.centroid_id, a.cscore,
+         CASE WHEN st.n >= 2 AND (st.ss - st.s * st.s / st.n) > 0
+              THEN round((a.cscore - st.s / st.n)
+                         / sqrt((st.ss - st.s * st.s / st.n) / (st.n - 1)), 6)
+         END AS z
+  FROM assign a JOIN stats st USING (centroid_id)
+)
+SELECT vec_id, centroid_id, cscore, z,
+       coalesce(z < -2.0, false) AS is_outlier
+FROM scored
+""",
+    "embedding-space outlier filter (curation: drop garbage/noise vectors "
+    "before training): assign each vector to its nearest coarse centroid, "
+    "then z-score its cosine-to-centroid within the cluster — z < -2 flags "
+    "vectors unusually far from their own cluster. Mean/std via the "
+    "explicit sum-of-squares identity (same expression both engines, like "
+    "embedding_stats); broadcast argmax assign + one keyed agg + a "
+    "k-row broadcast join back — no per-row window, no all-pairs.",
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.vector import cosine_similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    # scored feeds two plan branches (per-cluster stats and the output
+    # join) — checkpoint so the assign kernel runs once
+    scored = (
+        assign_ivf_buckets_fast(emb, centroids)
+        .join(F.broadcast(centroids), "centroid_id")
+        .select(
+            "vec_id", "centroid_id",
+            F.round(
+                cosine_similarity("embedding", "centroid_vec"), 6
+            ).alias("cscore"),
+        )
+        .localCheckpoint()
+    )
+    stats = scored.groupBy("centroid_id").agg(
+        F.count("*").alias("n"),
+        F.sum("cscore").alias("s"),
+        F.sum(F.col("cscore") * F.col("cscore")).alias("ss"),
+    )
+    var = F.col("ss") - F.col("s") * F.col("s") / F.col("n")
+    z = F.when(
+        (F.col("n") >= 2) & (var > 0),
+        F.round(
+            (F.col("cscore") - F.col("s") / F.col("n"))
+            / F.sqrt(var / (F.col("n") - 1)),
+            6,
+        ),
+    )
+    return (
+        scored.join(F.broadcast(stats), "centroid_id")
+        .withColumn("z", z)
+        .withColumn(
+            "is_outlier", F.coalesce(F.col("z") < -2.0, F.lit(False))
+        )
+        .select("vec_id", "centroid_id", "cscore", "z", "is_outlier")
+    )
+
+
 _SPAN_N = 8
 
 
@@ -4734,6 +4875,8 @@ _DRIVER_PRIORITY: list[str] = [
     "jaccard_adaptive_neardup",
     "repeated_spans",
     "cluster_balanced_sample",
+    "embedding_outliers",
+    "jl_project_topk",
 ]
 
 
