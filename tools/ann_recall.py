@@ -129,6 +129,47 @@ def main() -> int:
         approx = cosine_top_k(tq, trunc, k=K, id_col="vec_id", round_to=6, dim=d).collect()
         rows.append((f"MRL prefix d={d}", recall(approx, exact), time.time() - t0))
 
+    # JL sign projection: search in the projected space, optionally with an
+    # exact rescore of an oversampled shortlist (the production pattern)
+    from pyspark.sql import Window
+
+    from fastembed_rs_spark.functions.vector import (
+        cosine_similarity, jl_sign_project,
+    )
+
+    for d in (16, 32):
+        proj = emb.select(
+            "vec_id", jl_sign_project("embedding", 64, d).alias("embedding")
+        ).localCheckpoint()
+        pqs = qs.select(
+            "query_id", jl_sign_project("query_vec", 64, d).alias("query_vec")
+        ).localCheckpoint()
+        t0 = time.time()
+        approx = cosine_top_k(pqs, proj, k=K, id_col="vec_id", round_to=6).collect()
+        rows.append((f"JL sign projection d={d}",
+                     recall(approx, exact), time.time() - t0))
+        t0 = time.time()
+        short = cosine_top_k(pqs, proj, k=K * 4, id_col="vec_id",
+                             round_to=6).select("query_id", "vec_id")
+        resc = (
+            short.join(emb, "vec_id")
+            .join(F.broadcast(qs), "query_id")
+            .select(
+                "query_id", "vec_id",
+                F.round(
+                    cosine_similarity("embedding", "query_vec"), 6
+                ).alias("score"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("vec_id"))
+        approx = (
+            resc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= K).collect()
+        )
+        rows.append((f"JL d={d} + exact rescore x4",
+                     recall(approx, exact), time.time() - t0))
+
     lines = [
         "# ANN recall@10 vs brute force",
         "",
@@ -154,7 +195,11 @@ def main() -> int:
         "the oversample factor while the f32 reads stay proportional to",
         "k x factor, not corpus size. Scalar int8 and MRL-prefix trade far",
         "less accuracy (8-bit codes / 2-4x fewer dims keep most of the",
-        "geometry). Absolute numbers here are",
+        "geometry). JL sign projection matches MRL-prefix at equal d on",
+        "this corpus (isotropic data makes coordinate-prefix an equally",
+        "good projection); its exact-rescore variant recovers recall at",
+        "k x 4 full-vector reads — and unlike MRL it needs no",
+        "Matryoshka-trained model. Absolute numbers here are",
         "a WORST CASE: the synthetic embeddings are near-uniform random,",
         "so neighbors are barely closer than non-neighbors and bucketing",
         "has no cluster structure to exploit — real embedding corpora sit",
