@@ -7,6 +7,9 @@ from fastembed_rs_spark.streaming.topk_stream import topk_stream  # noqa: F401
 from fastembed_rs_spark.streaming.pipelines import (  # noqa: F401
     dedup_to_store_stream,
     dedup_stream,
+    drift_against_reference,
+    drift_finalize,
+    embedding_drift_registers,
     embed_stream,
     embed_to_parquet_stream,
     kmv_quantile_store_stream,

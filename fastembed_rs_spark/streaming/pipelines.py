@@ -287,3 +287,84 @@ def kmv_quantile_store_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def embedding_drift_registers(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming embedding drift monitor: per tumbling window and per
+    dimension, the MERGEABLE moment registers (n, Σx, Σx², min, max) of
+    the embedding values — the streaming counterpart of the batch
+    ``embedding_stats`` catalog query.
+
+    Sum/count/min/max are exactly what a streaming aggregation maintains
+    incrementally, so state is bounded by dims × open windows regardless
+    of vector volume, evicted at the watermark. Finalize with
+    ``drift_finalize`` (same sum-of-squares identity as the batch query, so
+    the numbers are identical over the same rows — pinned by test); compare
+    windows against a published baseline with ``drift_against_reference``.
+    """
+    x = vectors.select(
+        F.col(ts_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    )
+    return (
+        x.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("dim"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("ss"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        )
+    )
+
+
+def drift_finalize(regs: DataFrame) -> DataFrame:
+    """(w, dim, n, s, ss, mn, mx) registers → per-window per-dim stats
+    (mean/std/min/max) via the explicit sum-of-squares identity — the
+    same expression as the batch ``embedding_stats`` query, so streamed
+    windows and a batch run over the same rows agree exactly."""
+    return regs.select(
+        "w",
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        F.round(F.col("s") / F.col("n"), 6).alias("mean"),
+        F.round(
+            F.sqrt(
+                (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+            6,
+        ).alias("std"),
+        F.round("mn", 6).alias("min_x"),
+        F.round("mx", 6).alias("max_x"),
+    )
+
+
+def drift_against_reference(
+    current: DataFrame,
+    reference: DataFrame,
+    tau: float = 3.0,
+) -> DataFrame:
+    """Flag drifted dimensions: join finalized window stats against a
+    published per-dim baseline (dim, ref_mean, ref_std) and flag where
+    the window mean moved more than ``tau`` reference-stds. The baseline
+    is tiny (dims rows) — broadcast; zero-variance reference dims never
+    flag (guard, not NaN)."""
+    z = F.when(
+        F.col("ref_std") > 0,
+        F.abs(F.col("mean") - F.col("ref_mean")) / F.col("ref_std"),
+    )
+    return (
+        current.join(F.broadcast(reference), "dim")
+        .withColumn("drift_z", F.round(z, 6))
+        .withColumn(
+            "is_drifted", F.coalesce(F.col("drift_z") > tau, F.lit(False))
+        )
+    )

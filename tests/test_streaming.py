@@ -481,3 +481,84 @@ def test_kmv_quantile_store_matches_batch(spark, stream_dir):
     q3.awaitTermination(120); q3.stop()
     got3 = sorted((r["__h"], r["value"]) for r in spark.read.parquet(store).collect())
     assert got3 == got2
+
+
+def test_embedding_drift_stream_matches_batch(spark, stream_dir):
+    """Streamed per-window drift registers, finalized, == the batch
+    embedding_stats expression over the same rows; the reference
+    comparison flags exactly the deliberately shifted dims."""
+    import random
+
+    from fastembed_rs_spark.streaming.pipelines import (
+        drift_against_reference,
+        drift_finalize,
+        embedding_drift_registers,
+    )
+
+    rng = random.Random(97)
+    base = 1704067200  # 2024-01-01 00:00 UTC
+    dim = 8
+    rows = []
+    for i in range(600):
+        hour = i % 3
+        # dims 0/1 drift upward in hour 2; others stay ~N(0,1)-ish uniform
+        vec = [
+            rng.uniform(-1, 1) + (5.0 if hour == 2 and d < 2 else 0.0)
+            for d in range(dim)
+        ]
+        rows.append((i, base + hour * 3600 + rng.randrange(3600), vec))
+    df = spark.createDataFrame(
+        rows, "vec_id long, ts_s long, embedding array<double>"
+    ).select(
+        "vec_id",
+        F.to_timestamp(F.col("ts_s").cast("timestamp")).alias("ts"),
+        "embedding",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(stream_dir + "/drift")
+
+    src = spark.readStream.schema(df.schema).parquet(stream_dir + "/drift")
+    regs = embedding_drift_registers(src, window="1 hour")
+    q = (
+        regs.writeStream.format("memory").queryName("drift_regs")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    streamed = {
+        (r.w, r.dim): (r.n, r.mean, r.std, r.min_x, r.max_x)
+        for r in drift_finalize(spark.table("drift_regs")).collect()
+    }
+
+    # batch over the same rows, same expression, window derived from ts
+    x = df.select(
+        F.window("ts", "1 hour").alias("w"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    agg = x.groupBy("w", "dim").agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+        F.min("x").alias("mn"), F.max("x").alias("mx"),
+    )
+    batch = {
+        (r.w, r.dim): (r.n, r.mean, r.std, r.min_x, r.max_x)
+        for r in drift_finalize(agg).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == 3 * dim  # 3 windows x dims
+
+    # reference = hour-0 stats; hour-2 must flag exactly dims 0 and 1
+    fin = drift_finalize(agg)
+    h0 = fin.filter(F.col("w.start") == F.to_timestamp(F.lit(base).cast("timestamp")))
+    ref = h0.select(
+        "dim", F.col("mean").alias("ref_mean"), F.col("std").alias("ref_std")
+    )
+    h2_start = base + 2 * 3600
+    h2 = fin.filter(
+        F.col("w.start") == F.to_timestamp(F.lit(h2_start).cast("timestamp"))
+    )
+    flagged = {
+        r.dim
+        for r in drift_against_reference(h2, ref, tau=3.0)
+        .filter("is_drifted").collect()
+    }
+    assert flagged == {0, 1}
