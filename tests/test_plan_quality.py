@@ -226,3 +226,35 @@ def test_vocab_coverage_take_ordered_then_tiny_window(spark, catalog):
     assert "Window" not in below
     # one token groupBy, not two (the total is a per-doc size sum)
     assert p.count("partial_count(1)") == 1
+
+
+def test_cluster_balanced_sample_rank_is_group_limited(spark, catalog):
+    """The per-cluster rank window must plan with WindowGroupLimit (only a
+    top-N heap per cluster materializes, never a full per-cluster sort)
+    and the cluster-size join back must broadcast (k rows)."""
+    p = plan_of(spark, catalog, "cluster_balanced_sample")
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_jl_projection_is_shuffle_free_map(spark, catalog):
+    """The JL projection itself is a per-row map: the only exchanges in
+    the plan belong to the top-k ranking (broadcast of the 5 projected
+    queries + the rank window shuffle), never a repartition of the corpus
+    before projection. No Python nodes anywhere — the projection is a
+    codegen expression."""
+    p = plan_of(spark, catalog, "jl_project_topk")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastExchange" in p  # queries side
+    assert "WindowGroupLimit" in p  # rank <= 10 capped
+
+
+def test_repeated_spans_df_join_has_no_fanout_shape(spark, catalog):
+    """repeated_spans joins windows to their df counts 1:1 on the window
+    string — the plan must be an equi-join (hash or sort-merge on __g/g),
+    never a nested-loop/cartesian, and aggregation must be partial first."""
+    p = plan_of(spark, catalog, "repeated_spans")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p
