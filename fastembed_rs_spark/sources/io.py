@@ -301,3 +301,59 @@ def upsert_embeddings(
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         else:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_per_shard: int = 1 << 20,
+    pack_shards: int = 8,
+) -> list[int]:
+    """Pack documents into training shards of ~``tokens_per_shard`` tokens
+    and write hive-partitioned by ``shard_id`` — the export sink at the end
+    of a curation pipeline (each shard is one trainer input file group).
+
+    Packing follows the ``sequence_packing`` catalog query: docs hash into
+    ``pack_shards`` independent streams (``id % pack_shards``), each stream
+    concatenates in id order via a per-stream window cumsum, and a doc's
+    shard is the ``tokens_per_shard`` bucket its FIRST token lands in, so
+    no shard exceeds ``tokens_per_shard`` by more than one document. The
+    cumsum window partitions by the pack stream — no global sort exists at
+    scale, and stream count scales the max window partition down
+    independently of corpus size. Docs with zero tokens are dropped.
+
+    Returns the sorted shard ids written (from the partition directory
+    listing, not a second scan)."""
+    from pyspark.sql import Window
+
+    from fastembed_rs_spark.functions.text import tokens
+
+    d = (
+        docs.withColumn("__nt", F.size(tokens(text_col)).cast("long"))
+        .filter(F.col("__nt") > 0)
+        .withColumn("__pack", F.pmod(F.col(id_col), F.lit(pack_shards)))
+    )
+    w = Window.partitionBy("__pack").orderBy(id_col)
+    start = F.sum("__nt").over(w) - F.col("__nt")
+    shard = (
+        F.col("__pack") * 1000000 + F.floor(start / F.lit(tokens_per_shard))
+    ).cast("long")
+    (
+        d.withColumn("shard_id", shard)
+        .drop("__pack", "__nt")
+        .write.partitionBy("shard_id")
+        .mode("overwrite")
+        .parquet(out_path)
+    )
+    jvm = docs.sparkSession._jvm
+    conf = docs.sparkSession._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = p.getFileSystem(conf)
+    ids = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("shard_id="):
+            ids.append(int(name.split("=", 1)[1]))
+    return sorted(ids)

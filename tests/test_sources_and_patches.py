@@ -354,3 +354,39 @@ def test_rewrite_rejects_in_place(spark, tmpdir):
         zorder_parquet(spark, src, "file://" + src + "/", ["id", "v"])
     # distinct dst still works
     assert compact_parquet(spark, src, str(tmpdir.join("out"))) >= 1
+
+
+def test_write_training_shards_packs_and_prunes(spark, tmpdir):
+    """Shards respect the token budget (+ at most one boundary-spanning
+    doc), cover every non-empty doc exactly once, and reading one shard
+    prunes partitions at the scan."""
+    from fastembed_rs_spark.functions.text import tokens as tok_fn
+    from fastembed_rs_spark.sources.io import write_training_shards
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (5 + (i * 13) % 40)) for i in range(200)]
+        + [(999, "")],  # zero-token doc must be dropped
+        "doc_id long, text string",
+    )
+    out = str(tmpdir.join("shards"))
+    ids = write_training_shards(
+        docs, out, tokens_per_shard=100, pack_shards=4
+    )
+    assert ids == sorted(ids) and len(ids) >= 4
+
+    back = spark.read.parquet(out)
+    assert back.count() == 200  # empty doc dropped, everything else once
+    assert back.select("doc_id").distinct().count() == 200
+    per = (
+        back.withColumn("nt", F.size(tok_fn("text")))
+        .groupBy("shard_id").agg(F.sum("nt").alias("tot"), F.max("nt").alias("mx"))
+        .collect()
+    )
+    for r in per:
+        assert r.tot <= 100 + r.mx  # budget + one spanning doc
+
+    one = back.filter(F.col("shard_id") == ids[0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard_id" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
