@@ -1351,7 +1351,10 @@ GROUP BY w.doc_id
     f"Windows via codegen sequence/transform (operators/dedup.py::"
     f"word_ngrams), doc frequency via distinct+groupBy on the window "
     f"string, then a 1:1 lookup join back (no fan-out: dfq is unique per "
-    f"window) — two shuffles on the window key, linear in corpus tokens.",
+    f"window) — two shuffles on the window key, linear in corpus tokens. "
+    f"This is the EXACT variant (string keys); at 100 TB swap the key for "
+    f"the rolling-hash fingerprint (chunk_exact_dedup's shape) so only "
+    f"8-byte keys shuffle, at the cost of hash-collision overcounts.",
 )
 def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastembed_rs_spark.operators.dedup import word_ngrams
