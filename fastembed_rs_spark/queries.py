@@ -1348,31 +1348,28 @@ GROUP BY w.doc_id
     f"fraction of its {_SPAN_N}-token sliding windows that also occur in "
     f"at least one OTHER document — the span-removal statistic a "
     f"training-data pipeline thresholds to cut duplicated passages. "
-    f"Windows via codegen sequence/transform (operators/dedup.py::"
-    f"word_ngrams), doc frequency via distinct+groupBy on the window "
-    f"string, then a 1:1 lookup join back (no fan-out: dfq is unique per "
-    f"window) — two shuffles on the window key, linear in corpus tokens. "
-    f"This is the EXACT variant (string keys); at 100 TB swap the key for "
-    f"the rolling-hash fingerprint (chunk_exact_dedup's shape) so only "
-    f"8-byte keys shuffle, at the cost of hash-collision overcounts.",
+    f"Windows + per-doc occurrence counts come from ONE NumPy kernel pass "
+    f"(fast_text.word_window_counts_fast — the expression-tree windowing "
+    f"re-evaluates split() per element once Catalyst inlines it: 53 s vs "
+    f"~2 s at sf0.1); doc frequency is a groupBy over the per-doc-distinct "
+    f"rows, then a 1:1 lookup join back (no fan-out). This is the EXACT "
+    f"variant (string keys); at 100 TB swap the key for the rolling-hash "
+    f"fingerprint (chunk_exact_dedup's shape) so only 8-byte keys shuffle, "
+    f"at the cost of hash-collision overcounts.",
 )
 def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastembed_rs_spark.operators.dedup import word_ngrams
+    from fastembed_rs_spark.operators.fast_text import word_window_counts_fast
 
     docs = t(spark, sf_dir, "documents")
-    g = docs.select(
-        "doc_id", F.explode(word_ngrams("text", _SPAN_N)).alias("g")
-    )
-    dfq = (
-        g.select("doc_id", "g").distinct()
-        .groupBy("g").agg(F.count("*").alias("df"))
-    )
+    g = word_window_counts_fast(docs, "doc_id", "text", _SPAN_N)
+    # rows are distinct per (doc, window) by construction → df = row count
+    dfq = g.groupBy("__g").agg(F.count("*").alias("df"))
     return (
-        g.join(dfq, "g")
+        g.join(dfq, "__g")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_windows"),
-            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            F.max("__nw").cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("df") >= 2, F.col("__cnt")).otherwise(0))
             .cast("long").alias("n_repeated"),
         )
         .withColumn(

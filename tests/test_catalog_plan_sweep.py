@@ -35,7 +35,7 @@ PYTHON_OK = {
     "embed_image_stub", "embed_qwen_vl_stub", "rerank_model_stub",
     "crossmodal_similarity", "multimodal_probe",
     "doc_fingerprint", "minhash_lsh_neardup",
-    "ngram_jaccard_neardup",
+    "ngram_jaccard_neardup", "repeated_spans",
     "incremental_embed",
     "embedding_neardup", "mmr_diversify",
     "rag_passage_topk", "ann_ivf_topk", "ann_ivf_trained", "ann_lsh_topk",
