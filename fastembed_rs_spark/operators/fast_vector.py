@@ -94,3 +94,50 @@ def pairwise_cosine_fast(
             )
 
     return src.mapInPandas(gen, schema=schema)
+
+
+def jl_project_fast(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int,
+    out_col: str = "p",
+) -> DataFrame:
+    """NumPy fast path of ``functions.vector.jl_sign_project`` — identical
+    output (id, out_col array<double>) bit-for-bit: the accumulation runs
+    as an explicit left fold over input dims (ascending i), the same order
+    as the Catalyst ``F.aggregate`` fold and DuckDB's ``list_sum`` — a
+    plain matmul would use blocked/pairwise summation and drift in the
+    last ulp. The ±1 sign matrix is the same quadratic hash
+    ``(37i + 101j + 7)² mod 1009 mod 2``. Replaces n·out_dim·in_dim
+    interpreted lambda steps (higher-order functions are CodegenFallback)
+    with in_dim vectorized row ops per batch."""
+    import numpy as np
+
+    from fastembed_rs_spark.operators.scale import spread_if_narrow
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, {out_col} array<double>"
+    i_idx = np.arange(in_dim, dtype=np.int64)[:, None]
+    j_idx = np.arange(out_dim, dtype=np.int64)[None, :]
+    h = 37 * i_idx + 101 * j_idx + 7
+    S = np.where((h * h) % 1009 % 2 == 0, 1.0, -1.0)  # (in_dim, out_dim)
+    src = spread_if_narrow(df.select(id_col, vec_col))
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n, dim = V.shape
+            acc = np.zeros((n, out_dim), dtype=np.float64)
+            for i in range(min(dim, in_dim)):  # exact left fold over dims
+                acc = acc + V[:, i : i + 1] * S[i : i + 1, :]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), out_col: list(acc)}
+            )
+
+    return src.mapInPandas(gen, schema=schema)

@@ -1222,13 +1222,16 @@ QUALIFY rank <= 10
     f"{_JL_OUT}/{EMB_DIM} of the bytes.",
 )
 def q_jl_project_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastembed_rs_spark.functions.vector import jl_sign_project
+    from fastembed_rs_spark.operators.fast_vector import jl_project_fast
     from fastembed_rs_spark.operators.topk import cosine_top_k
 
     emb = t(spark, sf_dir, "embeddings")
-    proj = emb.select(
-        "vec_id", jl_sign_project("embedding", EMB_DIM, _JL_OUT).alias("p")
-    )
+    # NumPy kernel, bit-identical to the jl_sign_project expression path
+    # (exact left fold — pinned by test); checkpointed because both the
+    # query side and the corpus side consume it
+    proj = jl_project_fast(
+        emb, "vec_id", "embedding", EMB_DIM, _JL_OUT
+    ).localCheckpoint()
     queries = proj.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("p").alias("query_vec")
     )

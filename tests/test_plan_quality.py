@@ -239,11 +239,11 @@ def test_cluster_balanced_sample_rank_is_group_limited(spark, catalog):
 
 
 def test_jl_projection_is_shuffle_free_map(spark, catalog):
-    """The JL projection itself is a per-row map: the only exchanges in
-    the plan belong to the top-k ranking (broadcast of the 5 projected
-    queries + the rank window shuffle), never a repartition of the corpus
-    before projection. No Python nodes anywhere — the projection is a
-    codegen expression."""
+    """The JL projection is a per-row map (NumPy kernel, bit-identical to
+    the expression path — pinned in test_vector_functions) that runs once
+    inside a localCheckpoint; the FINAL plan is the top-k over the
+    checkpointed projection: broadcast of the 5 projected queries + the
+    WindowGroupLimit-capped rank window, no Python nodes."""
     p = plan_of(spark, catalog, "jl_project_topk")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "BroadcastExchange" in p  # queries side

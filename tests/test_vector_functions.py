@@ -108,3 +108,23 @@ def test_nan_score_ranks_first_like_total_cmp(spark):
     assert got[0]["vec_id"] == 1 and math.isnan(got[0]["score"])
     assert got[1]["vec_id"] == 0 and got[1]["score"] == 1.0
     assert got[2]["vec_id"] == 2
+
+
+def test_jl_kernel_bit_identical_to_expression(spark):
+    """jl_project_fast (NumPy left fold) must equal jl_sign_project
+    (Catalyst aggregate fold) bit-for-bit — same summation order."""
+    from fastembed_rs_spark.functions.vector import jl_sign_project
+    from fastembed_rs_spark.operators.fast_vector import jl_project_fast
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    expr = {
+        r.vec_id: list(r.p)
+        for r in emb.select(
+            "vec_id", jl_sign_project("embedding", 64, 16).alias("p")
+        ).collect()
+    }
+    kern = {
+        r.vec_id: list(r.p)
+        for r in jl_project_fast(emb, "vec_id", "embedding", 64, 16).collect()
+    }
+    assert kern == expr  # exact equality, not approx
