@@ -136,6 +136,11 @@ HEADLINE = [
     "cluster_balanced_sample",
     "embedding_outliers",
     "jl_project_topk",
+    "nation_trade_volume",
+    "promo_market_share",
+    "returned_items_top_customers",
+    "top_supplier_revenue",
+    "brand_bracket_revenue",
     "embed_image_stub",
     "crossmodal_similarity",
     "rerank_model_stub",

@@ -4579,6 +4579,281 @@ def q_value_percentiles_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "nation_trade_volume",
+    """
+WITH flows AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+              AS BIGINT) AS vol_e4
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name <> n2.n_name
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT supp_nation, cust_nation, l_year,
+       ((sum(vol_e4) + 50) // 100) / 100.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM flows GROUP BY supp_nation, cust_nation, l_year
+""",
+    "TPC-H Q7-shaped international trade volume: revenue flow between "
+    "every (supplier nation -> customer nation) pair per ship year, "
+    "cross-border only. Fact table joins four broadcastable dims "
+    "(supplier/customer/nation x2) — one shuffle total (the final "
+    "group-by); the shipdate range is pushed to the scan. Per-item "
+    "revenue is an exact 4-decimal value, so it sums as INTEGER "
+    "ten-thousandths and rounds to cents via integer half-up division — "
+    "fully order-independent across engines. A double sum+round(2) flips "
+    "last cents at half-cent boundaries (454 groups make a hit "
+    "near-certain at sf0.01), and even an exact integer sum divided to a "
+    "double breaks on Spark's shortest-decimal-string rounding vs "
+    "DuckDB's binary rounding at .xx5.",
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    sup = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 10000
+                ).cast("long")
+            ).alias("__vol_e4"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+        .select(
+            "supp_nation", "cust_nation", "l_year",
+            (F.expr("(__vol_e4 + 50) div 100") / 100.0).alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+@q(
+    "promo_market_share",
+    """
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+)
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM base GROUP BY o_year
+""",
+    "TPC-H Q8-shaped market share: NATION_3 suppliers' slice of PROMO-part "
+    "volume sold to AMERICA-region customers, per order year. Six "
+    "broadcastable dims around the fact scan, conditional-aggregate ratio "
+    "(promo_revenue_share's verified rounding pattern) — one shuffle.",
+)
+def q_promo_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    sup = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0)
+                )
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@q(
+    "returned_items_top_customers",
+    """
+WITH rev AS (
+  SELECT c_custkey, c_name, n_name,
+         round(c_acctbal, 2) AS acctbal,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  GROUP BY c_custkey, c_name, n_name, acctbal
+)
+SELECT c_custkey, c_name, n_name, acctbal, revenue,
+       row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS rank
+FROM rev
+QUALIFY rank <= 20
+""",
+    "TPC-H Q10-shaped returned-item reporting: top-20 customers by revenue "
+    "lost to returns in a 6-month window (adapted to available columns). "
+    "Revenue is rounded BEFORE ranking so cross-engine ordering is "
+    "deterministic; the global top-20 runs as TakeOrderedAndProject over "
+    "the aggregated (bounded) customer set, rank window on 20 survivors.",
+)
+def q_returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "c_custkey", "c_name", "n_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    top = rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "c_custkey", "c_name", "n_name", "acctbal", "revenue", "rank"
+    )
+
+
+@q(
+    "top_supplier_revenue",
+    """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+""",
+    "TPC-H Q15-shaped top supplier: quarterly revenue view + scalar-max "
+    "subquery equality (exact on the 2-decimal rounded revenue). The "
+    "scalar max broadcasts as a one-row crossJoin; the supplier dim "
+    "broadcasts; only the fact aggregation shuffles.",
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    sup = t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@q(
+    "brand_bracket_revenue",
+    """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+""",
+    "TPC-H Q19-shaped disjunctive-predicate revenue (adapted to available "
+    "columns): three brand/size/quantity brackets OR-ed across a fact x "
+    "broadcast-dim join — the disjunction can only be evaluated post-join, "
+    "but each side's half of the predicates (quantity brackets on "
+    "lineitem, brand/size on part) still prunes its own scan.",
+)
+def q_brand_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q, s, b = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    pred = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#2") & s.between(10, 30) & q.between(10, 35))
+        | ((b == "Brand#3") & s.between(20, 50) & q.between(20, 50))
+    )
+    return j.filter(pred).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
+@q(
     "daily_activity_reconcile",
     """
 WITH ev AS (
@@ -4880,6 +5155,11 @@ _DRIVER_PRIORITY: list[str] = [
     "cluster_balanced_sample",
     "embedding_outliers",
     "jl_project_topk",
+    "nation_trade_volume",
+    "promo_market_share",
+    "returned_items_top_customers",
+    "top_supplier_revenue",
+    "brand_bracket_revenue",
 ]
 
 
