@@ -346,14 +346,14 @@ def test_rewrite_rejects_in_place(spark, tmpdir):
 
     from fastembed_rs_spark.sources.io import compact_parquet, zorder_parquet
 
-    src = str(tmpdir.join("ds"))
+    src = os.path.join(tmpdir, "ds")
     spark.range(100).selectExpr("id", "id * 2 AS v").write.parquet(src)
     with pytest.raises(ValueError, match="same location"):
         compact_parquet(spark, src, src)
     with pytest.raises(ValueError, match="same location"):
         zorder_parquet(spark, src, "file://" + src + "/", ["id", "v"])
     # distinct dst still works
-    assert compact_parquet(spark, src, str(tmpdir.join("out"))) >= 1
+    assert compact_parquet(spark, src, os.path.join(tmpdir, "out")) >= 1
 
 
 def test_write_training_shards_packs_and_prunes(spark, tmpdir):
@@ -368,7 +368,7 @@ def test_write_training_shards_packs_and_prunes(spark, tmpdir):
         + [(999, "")],  # zero-token doc must be dropped
         "doc_id long, text string",
     )
-    out = str(tmpdir.join("shards"))
+    out = os.path.join(tmpdir, "shards")
     ids = write_training_shards(
         docs, out, tokens_per_shard=100, pack_shards=4
     )
