@@ -131,10 +131,36 @@ def jl_project_fast(
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            n, dim = V.shape
-            acc = np.zeros((n, out_dim), dtype=np.float64)
-            for i in range(min(dim, in_dim)):  # exact left fold over dims
+            rows = pdf[vec_col].to_numpy()
+            try:
+                V = np.stack(rows).astype(np.float64)
+                if V.ndim != 2:
+                    raise ValueError("ragged")
+                V = V[:, :in_dim]
+                if V.shape[1] < in_dim:
+                    V = np.pad(V, ((0, 0), (0, in_dim - V.shape[1])))
+            except (ValueError, TypeError):
+                # Match the expression path's tolerance for malformed rows
+                # (jl_sign_project reads F.get + coalesce(0.0)): treat
+                # null vectors / null elements as 0.0, pad short rows,
+                # truncate long ones — same output as the Catalyst fold.
+                V = np.zeros((len(rows), in_dim), dtype=np.float64)
+                for r, v in enumerate(rows):
+                    if v is None:
+                        continue
+                    a = np.asarray(
+                        [0.0 if x is None else x for x in v[:in_dim]],
+                        dtype=np.float64,
+                    )
+                    V[r, : len(a)] = a
+            # Arrow->pandas erases the null/NaN distinction in float
+            # arrays (nulls arrive as NaN), so NaN is coerced to 0.0 to
+            # match the expression path's coalesce(null, 0.0). The one
+            # intentional divergence: a TRUE NaN element propagates NaN
+            # through jl_sign_project but becomes 0.0 here.
+            V = np.nan_to_num(V, nan=0.0, posinf=np.inf, neginf=-np.inf)
+            acc = np.zeros((len(rows), out_dim), dtype=np.float64)
+            for i in range(in_dim):  # exact left fold over dims
                 acc = acc + V[:, i : i + 1] * S[i : i + 1, :]
             yield pd.DataFrame(
                 {id_col: pdf[id_col].to_numpy(), out_col: list(acc)}

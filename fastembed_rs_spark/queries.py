@@ -4726,7 +4726,8 @@ def q_promo_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH rev AS (
   SELECT c_custkey, c_name, n_name,
          round(c_acctbal, 2) AS acctbal,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                    AS BIGINT)) + 50) // 100) / 100.0 AS revenue
   FROM lineitem
   JOIN orders ON o_orderkey = l_orderkey
   JOIN customer ON c_custkey = o_custkey
@@ -4743,9 +4744,12 @@ QUALIFY rank <= 20
 """,
     "TPC-H Q10-shaped returned-item reporting: top-20 customers by revenue "
     "lost to returns in a 6-month window (adapted to available columns). "
-    "Revenue is rounded BEFORE ranking so cross-engine ordering is "
-    "deterministic; the global top-20 runs as TakeOrderedAndProject over "
-    "the aggregated (bounded) customer set, rank window on 20 survivors.",
+    "Revenue sums as INTEGER ten-thousandths and rounds to cents via "
+    "integer half-up division (the nation_trade_volume pattern), so the "
+    "ranking key is bit-identical across engines — a double sum+round(2) "
+    "flips last cents at .xx5 boundaries and reorders the top-20. The "
+    "global top-20 runs as TakeOrderedAndProject over the aggregated "
+    "(bounded) customer set, rank window on 20 survivors.",
 )
 def q_returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -4764,9 +4768,15 @@ def q_returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFram
             F.round("c_acctbal", 2).alias("acctbal"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 10000
+                ).cast("long")
+            ).alias("__rev_e4")
+        )
+        .withColumn(
+            "revenue", F.expr("(__rev_e4 + 50) div 100") / 100.0
         )
     )
     top = rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
@@ -4781,7 +4791,8 @@ def q_returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFram
     """
 WITH rev AS (
   SELECT l_suppkey,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                    AS BIGINT)) + 50) // 100) / 100.0 AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -4792,9 +4803,12 @@ FROM supplier JOIN rev ON s_suppkey = l_suppkey
 WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
 """,
     "TPC-H Q15-shaped top supplier: quarterly revenue view + scalar-max "
-    "subquery equality (exact on the 2-decimal rounded revenue). The "
-    "scalar max broadcasts as a one-row crossJoin; the supplier dim "
-    "broadcasts; only the fact aggregation shuffles.",
+    "subquery equality. Revenue sums as INTEGER ten-thousandths and "
+    "rounds to cents via integer half-up division (nation_trade_volume "
+    "pattern), so the equality-with-max filter compares bit-identical "
+    "doubles across engines. The scalar max broadcasts as a one-row "
+    "crossJoin; the supplier dim broadcasts; only the fact aggregation "
+    "shuffles.",
 )
 def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(
@@ -4802,10 +4816,20 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     sup = t(spark, sf_dir, "supplier")
-    rev = li.groupBy("l_suppkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("total_revenue")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 10000
+                ).cast("long")
+            ).alias("__rev_e4")
+        )
+        .select(
+            "l_suppkey",
+            (F.expr("(__rev_e4 + 50) div 100") / 100.0).alias("total_revenue"),
+        )
     )
     mx = rev.agg(F.max("total_revenue").alias("__mx"))
     return (

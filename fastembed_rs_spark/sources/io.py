@@ -167,10 +167,14 @@ def _require_distinct_paths(src_path: str, dst_path: str) -> None:
     would delete the source mid-scan and destroy the dataset. Rewrite to a
     fresh directory and swap (rename) afterwards."""
     def norm(p: str) -> str:
-        for scheme in ("file://",):
+        # Strip both URI spellings Hadoop accepts ("file:///x" and
+        # "file:/x"), then resolve symlinks so an aliased source dir
+        # can't slip past the guard.
+        for scheme in ("file://", "file:"):
             if p.startswith(scheme):
                 p = p[len(scheme):]
-        return os.path.normpath(os.path.abspath(p))
+                break
+        return os.path.realpath(os.path.abspath(p))
 
     if norm(src_path) == norm(dst_path):
         raise ValueError(
@@ -310,6 +314,7 @@ def write_training_shards(
     id_col: str = "doc_id",
     tokens_per_shard: int = 1 << 20,
     pack_shards: int = 8,
+    buckets_per_stream: int = 1 << 40,
 ) -> list[int]:
     """Pack documents into training shards of ~``tokens_per_shard`` tokens
     and write hive-partitioned by ``shard_id`` — the export sink at the end
@@ -324,6 +329,12 @@ def write_training_shards(
     scale, and stream count scales the max window partition down
     independently of corpus size. Docs with zero tokens are dropped.
 
+    Shard ids are ``stream * buckets_per_stream + bucket``; the default
+    bound (2^40 buckets ~ 2^60 tokens/stream at the default
+    ``tokens_per_shard``) cannot be exceeded by real data, and a stream
+    that somehow does exceed it raises at write time rather than silently
+    colliding with the next stream's id range.
+
     Returns the sorted shard ids written (from the partition directory
     listing, not a second scan)."""
     from pyspark.sql import Window
@@ -335,11 +346,31 @@ def write_training_shards(
         .filter(F.col("__nt") > 0)
         .withColumn("__pack", F.pmod(F.col(id_col), F.lit(pack_shards)))
     )
+    if pack_shards * buckets_per_stream >= 1 << 62:
+        raise ValueError(
+            "pack_shards * buckets_per_stream must fit in a signed 64-bit "
+            f"shard_id; got {pack_shards} * {buckets_per_stream}"
+        )
     w = Window.partitionBy("__pack").orderBy(id_col)
     start = F.sum("__nt").over(w) - F.col("__nt")
+    bucket = F.floor(start / F.lit(tokens_per_shard)).cast("long")
+    lim = F.lit(int(buckets_per_stream)).cast("long")
     shard = (
-        F.col("__pack") * 1000000 + F.floor(start / F.lit(tokens_per_shard))
-    ).cast("long")
+        F.when(
+            bucket >= lim,
+            F.raise_error(
+                F.format_string(
+                    "write_training_shards: pack-stream bucket %s >= "
+                    "buckets_per_stream %s — shard ids would collide across "
+                    "streams; raise buckets_per_stream or tokens_per_shard",
+                    bucket.cast("string"),
+                    lim.cast("string"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("__pack").cast("long") * lim + bucket)
+        .cast("long")
+    )
     (
         d.withColumn("shard_id", shard)
         .drop("__pack", "__nt")

@@ -352,6 +352,14 @@ def test_rewrite_rejects_in_place(spark, tmpdir):
         compact_parquet(spark, src, src)
     with pytest.raises(ValueError, match="same location"):
         zorder_parquet(spark, src, "file://" + src + "/", ["id", "v"])
+    # ADVICE r5: the Hadoop single-slash URI spelling and a symlink alias
+    # of the source dir must not bypass the guard.
+    with pytest.raises(ValueError, match="same location"):
+        compact_parquet(spark, src, "file:" + src)
+    alias = os.path.join(tmpdir, "ds_link")
+    os.symlink(src, alias)
+    with pytest.raises(ValueError, match="same location"):
+        compact_parquet(spark, src, alias)
     # distinct dst still works
     assert compact_parquet(spark, src, os.path.join(tmpdir, "out")) >= 1
 
@@ -390,3 +398,33 @@ def test_write_training_shards_packs_and_prunes(spark, tmpdir):
     assert "PartitionFilters" in plan and "shard_id" in plan.split(
         "PartitionFilters", 1
     )[1][:200]
+
+
+def test_write_training_shards_id_overflow_raises(spark, tmpdir):
+    """ADVICE r5: shard ids are stream * buckets_per_stream + bucket; a
+    stream exceeding its bucket bound must fail loudly at write time, not
+    silently collide into the next stream's id range."""
+    import pytest
+
+    from fastembed_rs_spark.sources.io import write_training_shards
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 50) for i in range(40)], "doc_id long, text string"
+    )
+    # 40 docs x ~50 tokens over 4 streams at 10 tokens/shard -> bucket > 2
+    with pytest.raises(Exception, match="buckets_per_stream"):
+        write_training_shards(
+            docs,
+            os.path.join(tmpdir, "bad"),
+            tokens_per_shard=10,
+            pack_shards=4,
+            buckets_per_stream=2,
+        )
+    # id-space precondition is validated up front
+    with pytest.raises(ValueError, match="64-bit"):
+        write_training_shards(
+            docs,
+            os.path.join(tmpdir, "bad2"),
+            pack_shards=1 << 30,
+            buckets_per_stream=1 << 40,
+        )

@@ -128,3 +128,31 @@ def test_jl_kernel_bit_identical_to_expression(spark):
         for r in jl_project_fast(emb, "vec_id", "embedding", 64, 16).collect()
     }
     assert kern == expr  # exact equality, not approx
+
+
+def test_jl_kernel_matches_expression_on_malformed_rows(spark):
+    """ADVICE r5: the NumPy kernel must tolerate the same malformed rows
+    the expression path tolerates (F.get + coalesce(0.0)) — short vectors,
+    null elements, null vectors, over-long vectors — with equal output."""
+    from fastembed_rs_spark.functions.vector import jl_sign_project
+    from fastembed_rs_spark.operators.fast_vector import jl_project_fast
+
+    rows = [
+        (0, [float(i) for i in range(8)]),          # exact length
+        (1, [1.0, 2.0, 3.0]),                        # short -> zero-padded
+        (2, [1.0, None, 3.0, None, 5.0]),            # null elements -> 0.0
+        (3, None),                                   # null vector -> zeros
+        (4, [float(i) for i in range(12)]),          # long -> truncated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    expr = {
+        r.vec_id: list(r.p)
+        for r in df.select(
+            "vec_id", jl_sign_project("embedding", 8, 4).alias("p")
+        ).collect()
+    }
+    kern = {
+        r.vec_id: list(r.p)
+        for r in jl_project_fast(df, "vec_id", "embedding", 8, 4).collect()
+    }
+    assert kern == expr
