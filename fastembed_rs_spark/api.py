@@ -23,7 +23,6 @@ keeps (tokenizer, ort session) per handle (src/text_embedding/init.rs:141-148).
 from __future__ import annotations
 
 import dataclasses
-import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,6 +33,7 @@ from fastembed_rs_spark.models.registry import (
     list_models,
     register,
 )
+from fastembed_rs_spark.models.runtime import SessionOptions
 from fastembed_rs_spark.session import DEFAULT_BATCH_SIZE
 
 
@@ -41,16 +41,18 @@ from fastembed_rs_spark.session import DEFAULT_BATCH_SIZE
 class InitOptions:
     """Mirror of ``InitOptions<M>`` / ``InitOptionsWithLength<M>``
     (src/init.rs:9-34): model_name, execution_providers, cache_dir,
-    max_length, intra_threads. ``show_download_progress`` is accepted for
-    signature parity and ignored (artifact staging is explicit here —
-    tools/stage_model.py).
+    max_length, intra_threads. ``show_download_progress`` is forwarded to
+    artifact resolution (models.artifacts mirrors the reference's
+    ``pull_from_hf``; missing artifacts download from ``HF_ENDPOINT`` at
+    first session build, or stage ahead with tools/stage_model.py).
 
-    Environment-backed knobs (cache_dir, intra_threads, execution
-    providers) are exported as the env vars the runtime reads
-    (FASTEMBED_CACHE_DIR / FASTEMBED_INTRA_THREADS /
-    FASTEMBED_EXECUTION_PROVIDERS). NOTE: executors capture the
-    environment at launch — construct handles BEFORE creating the
-    SparkSession, or set ``spark.executorEnv.*`` on a cluster.
+    The knobs are PER-HANDLE: they travel to executors inside the UDF
+    closure as a ``SessionOptions`` (models.runtime), and sessions are
+    cached per (model, options) — two handles with different cache dirs /
+    thread counts / EPs never share or retarget each other's sessions
+    (unlike r5's process-global env export). The ``FASTEMBED_*`` /
+    ``HF_HOME`` env vars remain the default for unset fields, resolved on
+    the worker at session-build time.
     """
 
     model_name: str = "BGESmallENV15"
@@ -82,23 +84,6 @@ class InitOptions:
         return cls(model_name=model_name)
 
 
-def _export_env(key: str, value: str) -> None:
-    """Export a runtime knob, warning when it retargets an existing
-    DIFFERENT setting — constructing a second handle with other options
-    changes every earlier handle's future sessions (process-global env)."""
-    prev = os.environ.get(key)
-    if prev is not None and prev != value:
-        import warnings
-
-        warnings.warn(
-            f"{key} is already set to {prev!r}; overwriting with {value!r} "
-            "retargets ALL handles' future model sessions in this process",
-            RuntimeWarning,
-            stacklevel=3,
-        )
-    os.environ[key] = value
-
-
 class _Handle:
     """Shared handle mechanics: resolve the spec (kind-scoped, so
     ``SparseTextEmbedding("BAAI/bge-m3")`` finds the sparse entry like the
@@ -123,27 +108,20 @@ class _Handle:
             )
             spec = register(derived)
         self.spec: ModelSpec = spec
-        # These knobs are process-global by design (the runtime reads env
-        # vars, mirroring the reference's process-wide ORT environment) —
-        # but a second handle with DIFFERENT options silently retargeting
-        # every earlier handle's future sessions deserves a warning, and an
-        # explicit invalid value deserves an error, not a truthiness skip.
         if options.intra_threads is not None and options.intra_threads < 1:
             raise ValueError(
                 f"intra_threads must be >= 1, got {options.intra_threads}"
             )
-        if options.cache_dir:
-            _export_env("FASTEMBED_CACHE_DIR", options.cache_dir)
-        if options.intra_threads:
-            _export_env("FASTEMBED_INTRA_THREADS", str(options.intra_threads))
-        if options.execution_providers:
-            # an EMPTY list is the reference default ("use the default EP",
-            # src/init.rs ExecutionProviderDispatch vec default) — leave the
-            # environment untouched for it
-            _export_env(
-                "FASTEMBED_EXECUTION_PROVIDERS",
-                ",".join(options.execution_providers),
-            )
+        # Per-handle session options: ride the UDF closure to executors;
+        # unset fields resolve from FASTEMBED_*/HF_HOME env on the worker.
+        # An EMPTY execution_providers list is the reference default ("use
+        # the default EP", src/init.rs) — the runtime falls back to env
+        # then CPUExecutionProvider.
+        self.session_options = SessionOptions(
+            cache_dir=options.cache_dir,
+            intra_threads=options.intra_threads,
+            execution_providers=tuple(options.execution_providers),
+        )
 
     # reference: try_new(options) -> Result<Self> (impl.rs:36)
     @classmethod
@@ -173,6 +151,55 @@ class _Handle:
         """Mirror of ``get_model_info`` (src/text_embedding/impl.rs:291)."""
         return get_model_spec(model_name, kind=cls.KIND)
 
+    @classmethod
+    def try_new_from_user_defined(
+        cls,
+        name: str,
+        dim: int,
+        pooling: str = "mean",
+        output_key: str | int | None = None,
+        max_length: int = 512,
+        model_file: str = "model.onnx",
+        quantization: str = "none",
+        model_bytes: bytes | None = None,
+        tokenizer_bytes: bytes | None = None,
+        **spec_kwargs,
+    ):
+        """BYO model for every handle family (``try_new_from_user_defined``
+        — src/text_embedding/init.rs:92-139, sparse init.rs:24,
+        bgem3 init.rs:31, image init.rs:60, reranking init.rs:116):
+        register a spec of this family's kind for a user-supplied export
+        and return a handle on it.
+
+        Artifact source options, mirroring ``OnnxSource``
+        (src/reranking/init.rs:91-108):
+
+        * File (default): artifacts staged under the cache dir as
+          ``<name with / as -->/{model_file, tokenizer.json}`` (e.g. an
+          optimum-cli export via tools/stage_model.py).
+        * Memory: pass ``model_bytes`` / ``tokenizer_bytes`` (raw bytes or
+          a ``spark.sparkContext.broadcast`` of them — the Spark-native
+          ship: one copy per executor, not per task). Whatever bytes don't
+          supply still resolves from the cache dir.
+
+        ``output_key`` accepts an int for positional selection
+        (OutputKey::ByOrder, src/output/output_precedence.rs:11-16).
+        Extra ``spec_kwargs`` forward to ``ModelSpec`` (e.g.
+        ``sparse_method="bgem3"``, ``vocab_size=...``)."""
+        spec = register(ModelSpec(
+            name=name, dim=dim, pooling=pooling, output_key=output_key,
+            max_length=max_length, model_code=name, model_file=model_file,
+            quantization=quantization, kind=cls.KIND, **spec_kwargs,
+        ))
+        handle = cls(InitOptions(model_name=spec.name))
+        if model_bytes is not None or tokenizer_bytes is not None:
+            handle.session_options = dataclasses.replace(
+                handle.session_options,
+                model_bytes=model_bytes,
+                tokenizer_bytes=tokenizer_bytes,
+            )
+        return handle
+
 
 class TextEmbedding(_Handle):
     """Dense text embedding handle (src/text_embedding/impl.rs:36-449)."""
@@ -196,6 +223,7 @@ class TextEmbedding(_Handle):
             df, text_col, model=self.spec.name, out_col=out_col,
             batch_size=batch_size or DEFAULT_BATCH_SIZE,
             pack_by_length=pack_by_length,
+            session_options=self.session_options,
         )
 
     def embed_stream(
@@ -213,6 +241,7 @@ class TextEmbedding(_Handle):
         return embed_text(
             stream_df, text_col, model=self.spec.name, out_col=out_col,
             batch_size=batch_size or DEFAULT_BATCH_SIZE,
+            session_options=self.session_options,
         )
 
     def embed_list(
@@ -239,30 +268,6 @@ class TextEmbedding(_Handle):
         """Mirror of ``get_default_pooling_method`` (src/text_embedding/impl.rs:158)."""
         return get_model_spec(model_name, kind=cls.KIND).pooling
 
-    @classmethod
-    def try_new_from_user_defined(
-        cls,
-        name: str,
-        dim: int,
-        pooling: str = "mean",
-        output_key: str | None = None,
-        max_length: int = 512,
-        model_file: str = "model.onnx",
-        quantization: str = "none",
-    ) -> "TextEmbedding":
-        """BYO model (``try_new_from_user_defined``,
-        src/text_embedding/impl.rs:85 / init.rs:92-139): register a spec for
-        a user-supplied export (e.g. optimum-cli output staged under the
-        cache dir as ``<name with / as -->/model.onnx`` + tokenizer.json)
-        and return a handle on it."""
-        spec = register(ModelSpec(
-            name=name, dim=dim, pooling=pooling, output_key=output_key,
-            max_length=max_length, model_code=name, model_file=model_file,
-            quantization=quantization, kind="dense",
-        ))
-        return cls(InitOptions(model_name=spec.name))
-
-
 class SparseTextEmbedding(_Handle):
     """Sparse (SPLADE / BGE-M3) handle (src/sparse_text_embedding/)."""
 
@@ -282,6 +287,7 @@ class SparseTextEmbedding(_Handle):
         return embed_sparse(
             df, text_col, model=self.spec.name, out_col=out_col,
             batch_size=batch_size or DEFAULT_BATCH_SIZE,
+            session_options=self.session_options,
         )
 
     def embed_list(
@@ -316,6 +322,7 @@ class Bgem3Embedding(_Handle):
         return embed_bgem3(
             df, text_col, model=self.spec.name, out_col=out_col,
             batch_size=batch_size or DEFAULT_BATCH_SIZE,
+            session_options=self.session_options,
         )
 
     def embed_list(
@@ -355,6 +362,7 @@ class ImageEmbedding(_Handle):
         return embed_image(
             df, content_col, model=self.spec.name, out_col=out_col,
             batch_size=batch_size, preprocessor_config=preprocessor_config,
+            session_options=self.session_options,
         )
 
 
@@ -388,6 +396,7 @@ class TextRerank(_Handle):
         scored = rerank_score(
             pairs, query_col, doc_col, model=self.spec.name, out_col="__raw",
             batch_size=batch_size or DEFAULT_BATCH_SIZE,
+            session_options=self.session_options,
         )
         return rank(
             scored, F.col("__raw").cast("double"), k=k, query_id=query_id,

@@ -41,7 +41,10 @@ class ModelSpec:
     name: str
     dim: int
     pooling: str = POOL_MEAN
-    output_key: str | None = None  # None → precedence order (src/text_embedding/output.rs:13-20)
+    #: None → precedence order (src/text_embedding/output.rs:13-20);
+    #: str → by-name; int → positional OutputKey::ByOrder
+    #: (src/output/output_precedence.rs:11-16)
+    output_key: str | int | None = None
     quantization: str = QUANT_NONE
     max_length: int = 512
     model_code: str = ""

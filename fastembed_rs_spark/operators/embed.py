@@ -38,6 +38,7 @@ from fastembed_rs_spark.models.registry import (
     QUANT_DYNAMIC,
     get_model_spec,
 )
+from fastembed_rs_spark.models.runtime import SessionOptions
 from fastembed_rs_spark.session import DEFAULT_BATCH_SIZE
 
 NORM_EPS = 1e-12  # reference normalize() epsilon (src/common.rs:163)
@@ -53,9 +54,24 @@ class DynamicQuantizationError(ValueError):
     must be coalesced to a single partition and embedded as one batch."""
 
 
-def select_output(outputs: dict[str, np.ndarray], output_key: str | None) -> np.ndarray:
-    """Pick the output tensor: explicit key, else single output, else
-    precedence order (src/output/embedding_output.rs:22-50)."""
+def select_output(
+    outputs: dict[str, np.ndarray], output_key: str | int | None
+) -> np.ndarray:
+    """Pick the output tensor: positional index (OutputKey::ByOrder,
+    src/output/output_precedence.rs:11-16 — the BGE-M3 joint path selects
+    outputs[0..2] positionally, src/bgem3_embedding/impl.rs:215-218),
+    explicit name (ByName), else single output (OnlyOne), else precedence
+    order (src/output/embedding_output.rs:22-50). Positional indexing is
+    sound because ``_run`` builds the dict in ``session.get_outputs()``
+    order and Python dicts preserve insertion order."""
+    if isinstance(output_key, int):
+        vals = list(outputs.values())
+        if not -len(vals) <= output_key < len(vals):
+            raise IndexError(
+                f"output_key={output_key} out of range for {len(vals)} "
+                f"session outputs {list(outputs)}"
+            )
+        return vals[output_key]
     if output_key is not None:
         return outputs[output_key]
     if len(outputs) == 1:
@@ -169,6 +185,22 @@ def _chunks(pdf: pd.DataFrame, n: int) -> Iterator[pd.DataFrame]:
         yield pdf.iloc[start : start + n]
 
 
+def _append_cols(chunk: pd.DataFrame, cols: dict) -> pd.DataFrame:
+    """Append result columns WITHOUT copying the input Arrow chunk's data:
+    a shallow copy shares the existing blocks, and inserting a NEW column
+    never writes into them, so peak memory in the embed hot path is the
+    new column only (a deep ``chunk.copy()`` doubled every batch). An
+    out_col that already exists in the input falls back to a deep copy —
+    assigning through a shallow copy would mutate the parent frame."""
+    if any(c in chunk.columns for c in cols):
+        res = chunk.copy()
+    else:
+        res = chunk.copy(deep=False)
+    for k, v in cols.items():
+        res[k] = v
+    return res
+
+
 def _with_schema(df: DataFrame, extra_ddl: str) -> StructType:
     return StructType(df.schema.fields + StructType.fromDDL(extra_ddl).fields)
 
@@ -192,13 +224,17 @@ def embed_text(
     out_col: str = "embedding",
     batch_size: int = DEFAULT_BATCH_SIZE,
     pack_by_length: bool = False,
+    session_options: SessionOptions | None = None,
 ) -> DataFrame:
     """Append ``out_col array<float>`` — dense, pooled, L2-normalized.
 
     ``pack_by_length=True`` range-repartitions by text length first so each
     padded inference batch holds similar-length docs (batch-longest padding
     wastes compute proportional to in-batch length variance — SURVEY §4);
-    embeddings are identical either way (masked pooling)."""
+    embeddings are identical either way (masked pooling).
+
+    ``session_options`` rides the UDF closure to the workers — per-handle
+    cache dir / threads / EPs / model bytes (see models.runtime)."""
     spec = get_model_spec(model, kind="dense")
     if pack_by_length:
         from fastembed_rs_spark.operators.scale import repartition_by_length
@@ -210,7 +246,7 @@ def embed_text(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from fastembed_rs_spark.models.runtime import get_session
 
-        tokenizer, session = get_session(spec)
+        tokenizer, session = get_session(spec, session_options)
         for pdf in batches:
             for chunk in _chunks(pdf, batch_size):
                 texts = chunk[text_col].fillna("").astype(str).tolist()
@@ -218,9 +254,7 @@ def embed_text(
                 outputs = _run(session, build_feeds(session, ids, mask))
                 hidden = select_output(outputs, spec.output_key)
                 emb = l2n(pool(hidden, mask, spec.pooling)).astype(np.float32)
-                res = chunk.copy()
-                res[out_col] = list(emb)
-                yield res
+                yield _append_cols(chunk, {out_col: list(emb)})
 
     return df.mapInPandas(fn, schema=out_schema)
 
@@ -231,6 +265,7 @@ def embed_sparse(
     model: str = "stub-sparse",
     out_col: str = "sparse_embedding",
     batch_size: int = DEFAULT_BATCH_SIZE,
+    session_options: SessionOptions | None = None,
 ) -> DataFrame:
     """Append ``out_col struct<indices array<int>, values array<float>>``.
 
@@ -251,7 +286,7 @@ def embed_sparse(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from fastembed_rs_spark.models.runtime import get_session, get_sparse_linear
 
-        tokenizer, session = get_session(spec)
+        tokenizer, session = get_session(spec, session_options)
         for pdf in batches:
             for chunk in _chunks(pdf, batch_size):
                 texts = chunk[text_col].fillna("").astype(str).tolist()
@@ -260,7 +295,7 @@ def embed_sparse(
                 rows = []
                 if spec.sparse_method == "bgem3":
                     hidden = select_output(outputs, spec.output_key)  # (B,T,H)
-                    w, b = get_sparse_linear(spec)
+                    w, b = get_sparse_linear(spec, session_options)
                     tok_w = np.maximum(hidden @ w + b, 0.0)  # (B,T)
                     for i in range(len(texts)):
                         on = mask[i] == 1
@@ -275,9 +310,7 @@ def embed_sparse(
                         idx = np.nonzero(r > 0.0)[0]
                         rows.append({"indices": idx.astype(np.int32).tolist(),
                                      "values": r[idx].astype(np.float32).tolist()})
-                res = chunk.copy()
-                res[out_col] = rows
-                yield res
+                yield _append_cols(chunk, {out_col: rows})
 
     return df.mapInPandas(fn, schema=out_schema)
 
@@ -288,6 +321,7 @@ def embed_bgem3(
     model: str = "stub-bgem3",
     out_col: str = "bgem3",
     batch_size: int = DEFAULT_BATCH_SIZE,
+    session_options: SessionOptions | None = None,
 ) -> DataFrame:
     """Append the joint triple
     ``struct<dense array<float>, sparse struct<indices,values>, colbert array<array<float>>>``
@@ -310,7 +344,7 @@ def embed_bgem3(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from fastembed_rs_spark.models.runtime import get_session
 
-        tokenizer, session = get_session(spec)
+        tokenizer, session = get_session(spec, session_options)
         for pdf in batches:
             for chunk in _chunks(pdf, batch_size):
                 texts = chunk[text_col].fillna("").astype(str).tolist()
@@ -331,9 +365,7 @@ def embed_bgem3(
                                    "values": vals.astype(np.float32).tolist()},
                         "colbert": colbert[i][keep[: colbert.shape[1]]].astype(np.float32).tolist(),
                     })
-                res = chunk.copy()
-                res[out_col] = rows
-                yield res
+                yield _append_cols(chunk, {out_col: rows})
 
     return df.mapInPandas(fn, schema=out_schema)
 
@@ -386,6 +418,7 @@ def embed_image(
     out_col: str = "embedding",
     batch_size: int = 64,
     preprocessor_config: dict | None = None,
+    session_options: SessionOptions | None = None,
 ) -> DataFrame:
     """Binary image column → ``out_col array<float>`` (L2-normalized).
     Use ``spark.read.format('binaryFile')`` as the source for image files.
@@ -400,7 +433,7 @@ def embed_image(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from fastembed_rs_spark.models.runtime import get_session
 
-        _tok, session = get_session(spec)
+        _tok, session = get_session(spec, session_options)
         if preprocessor_config is not None:
             from fastembed_rs_spark.operators.preprocessing import load_preprocessor
 
@@ -420,9 +453,7 @@ def embed_image(
                 elif emb.ndim != 2:
                     # reference rejects anything but (B,T,H)/(B,H) (impl.rs:260-266)
                     raise ValueError(f"unexpected image output tensor shape {emb.shape}")
-                res = chunk.copy()
-                res[out_col] = list(l2n(emb).astype(np.float32))
-                yield res
+                yield _append_cols(chunk, {out_col: list(l2n(emb).astype(np.float32))})
 
     return df.mapInPandas(fn, schema=out_schema)
 
@@ -438,6 +469,7 @@ def embed_qwen_vl(
     min_pixels: int = 0,
     max_pixels: int = 2**31,
     keep_content: bool = True,
+    session_options: SessionOptions | None = None,
 ) -> DataFrame:
     """Qwen3-VL image embedding: binary column → decode → smart-resize →
     merge-block patch tokens → vision tower → mean-pool → L2-normalize.
@@ -469,7 +501,7 @@ def embed_qwen_vl(
         from fastembed_rs_spark.models.runtime import get_session
         from fastembed_rs_spark.operators.preprocessing import qwen_vl_patches
 
-        _tok, session = get_session(spec)
+        _tok, session = get_session(spec, session_options)
         for pdf in batches:
             for chunk in _chunks(pdf, batch_size):
                 embs, grids = [], []
@@ -486,10 +518,10 @@ def embed_qwen_vl(
                     tokens = select_output(out, None)  # (n_merged, dim)
                     embs.append(l2n(tokens.mean(axis=0)).astype(np.float32))
                     grids.append({"t": int(gt), "h": int(gh), "w": int(gw)})
-                res = chunk[kept].copy()
-                res[out_col] = embs
-                res["grid"] = grids
-                yield res
+                # column selection already yields a fresh frame; shallow-
+                # copy semantics of _append_cols apply to the full-width case
+                base = chunk if len(kept) == len(chunk.columns) else chunk[kept]
+                yield _append_cols(base, {out_col: embs, "grid": grids})
 
     return df.mapInPandas(fn, schema=out_schema)
 
@@ -501,6 +533,7 @@ def rerank_score(
     model: str = "stub-rerank",
     out_col: str = "score",
     batch_size: int = DEFAULT_BATCH_SIZE,
+    session_options: SessionOptions | None = None,
 ) -> DataFrame:
     """Append cross-encoder relevance ``score float`` for (query, doc) pairs —
     logits[:,0] (src/reranking/impl.rs:167-180). Rank downstream with
@@ -511,7 +544,7 @@ def rerank_score(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from fastembed_rs_spark.models.runtime import get_session
 
-        tokenizer, session = get_session(spec)
+        tokenizer, session = get_session(spec, session_options)
         for pdf in batches:
             for chunk in _chunks(pdf, batch_size):
                 qs = chunk[query_col].fillna("").astype(str).tolist()
@@ -527,8 +560,6 @@ def rerank_score(
                 )
                 # probe drops tt for exports that don't declare it (RoBERTa-family)
                 logits = _run(session, build_feeds(session, ids, mask, tt))["logits"]
-                res = chunk.copy()
-                res[out_col] = logits[:, 0].astype(np.float32)
-                yield res
+                yield _append_cols(chunk, {out_col: logits[:, 0].astype(np.float32)})
 
     return pairs.mapInPandas(fn, schema=out_schema)

@@ -48,13 +48,12 @@ def test_init_options_builder_mirrors_reference():
     assert o2.execution_providers == ["CPUExecutionProvider"]
 
 
-def test_init_options_export_env():
-    """Handles export the env vars the runtime reads. The handle writes
-    ``os.environ`` directly, so this test snapshots and RESTORES the three
-    keys itself — monkeypatch's delenv-undo would re-leak the values the
-    handle set mid-test into the rest of the session (and a stray
-    FASTEMBED_CACHE_DIR/EXECUTION_PROVIDERS would break any later
-    artifact-staged golden test)."""
+def test_init_options_are_per_handle_not_env():
+    """r6 (VERDICT r5 wart #1): InitOptions knobs are per-handle
+    ``SessionOptions`` shipped in the UDF closure — constructing a handle
+    must NOT touch the process environment, and two handles with
+    different options must map to DIFFERENT session cache keys (no more
+    retargeting every earlier handle's future sessions)."""
     import os
 
     keys = (
@@ -62,32 +61,26 @@ def test_init_options_export_env():
         "FASTEMBED_INTRA_THREADS",
         "FASTEMBED_EXECUTION_PROVIDERS",
     )
-    saved = {k: os.environ.get(k) for k in keys}
-    try:
-        for k in keys:
-            os.environ.pop(k, None)
-        TextEmbedding.try_new(
-            InitOptions.new("stub-dense-mean")
-            .with_cache_dir("/tmp/fe-cache")
-            .with_intra_threads(2)
-            .with_execution_providers(["CUDAExecutionProvider", "CPUExecutionProvider"])
-        )
-        assert os.environ["FASTEMBED_CACHE_DIR"] == "/tmp/fe-cache"
-        assert os.environ["FASTEMBED_INTRA_THREADS"] == "2"
-        assert (
-            os.environ["FASTEMBED_EXECUTION_PROVIDERS"]
-            == "CUDAExecutionProvider,CPUExecutionProvider"
-        )
-        # defaults leave the environment untouched
-        os.environ.pop("FASTEMBED_CACHE_DIR", None)
-        TextEmbedding.try_new("stub-dense-mean")
-        assert "FASTEMBED_CACHE_DIR" not in os.environ
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = v
+    before = {k: os.environ.get(k) for k in keys}
+    h1 = TextEmbedding.try_new(
+        InitOptions.new("stub-dense-mean")
+        .with_cache_dir("/tmp/fe-cache")
+        .with_intra_threads(2)
+        .with_execution_providers(["CUDAExecutionProvider", "CPUExecutionProvider"])
+    )
+    h2 = TextEmbedding.try_new(
+        InitOptions.new("stub-dense-mean").with_cache_dir("/tmp/other-cache")
+    )
+    # environment untouched by handle construction
+    assert {k: os.environ.get(k) for k in keys} == before
+    # the options landed on the handle...
+    assert h1.session_options.cache_dir == "/tmp/fe-cache"
+    assert h1.session_options.intra_threads == 2
+    assert h1.session_options.execution_providers == (
+        "CUDAExecutionProvider", "CPUExecutionProvider",
+    )
+    # ...and distinct options resolve to distinct session cache keys
+    assert h1.session_options.key() != h2.session_options.key()
 
 
 def test_text_embedding_matches_operator(spark, docs_df):
@@ -252,15 +245,16 @@ def test_intra_threads_zero_rejected():
         )
 
 
-def test_env_overwrite_warns(monkeypatch):
-    import warnings
+def test_env_still_serves_as_default(monkeypatch):
+    """Unset SessionOptions fields resolve from the environment at
+    session-build time; explicit fields override it without writing it."""
+    import os
 
     monkeypatch.setenv("FASTEMBED_INTRA_THREADS", "2")
-    with warnings.catch_warnings(record=True) as rec:
-        warnings.simplefilter("always")
-        TextEmbedding.try_new(
-            InitOptions(model_name="stub-dense-mean", intra_threads=4)
-        )
-    assert any("FASTEMBED_INTRA_THREADS" in str(w.message) for w in rec)
-    import os as _os
-    assert _os.environ["FASTEMBED_INTRA_THREADS"] == "4"
+    h_env = TextEmbedding.try_new("stub-dense-mean")
+    h_own = TextEmbedding.try_new(
+        InitOptions(model_name="stub-dense-mean", intra_threads=4)
+    )
+    assert h_env.session_options.resolved_intra() == 2
+    assert h_own.session_options.resolved_intra() == 4
+    assert os.environ["FASTEMBED_INTRA_THREADS"] == "2"  # untouched

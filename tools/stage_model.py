@@ -2,11 +2,13 @@
 """Stage model artifacts into the local cache — the engine's counterpart of
 the reference's ``pull_from_hf`` (src/common.rs:171-192).
 
-The Spark engine never downloads at query time: executors resolve artifacts
-from ``FASTEMBED_CACHE_DIR`` (falling back to ``HF_HOME``, see
-models/runtime.cache_dir), which on a real cluster is a shared volume /
-pre-baked image layer / per-node bootstrap. This tool fills that cache once,
-driver-side:
+Executors resolve artifacts from ``FASTEMBED_CACHE_DIR`` (falling back to
+``HF_HOME``, see models/runtime.cache_dir) — on a real cluster a shared
+volume / pre-baked image layer / per-node bootstrap. Since r6 the runtime
+also auto-resolves at first session build (models/artifacts.py, honoring
+``HF_ENDPOINT``), but pre-staging with this tool is still the right move on
+a cluster: one download driver-side instead of one per executor node, and
+air-gapped copies:
 
     # from the HuggingFace hub (honors HF_ENDPOINT like the reference):
     python tools/stage_model.py AllMiniLML6V2
