@@ -172,3 +172,54 @@ def audio_features(
                 yield res
 
     return df.mapInPandas(fn, schema=out_schema)
+
+
+def byte_hash_coords(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    dim: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """SQL-verifiable "image tower": L2-normalized byte-value histogram of a
+    binary column in coordinate form ``(id, bucket long, weight double)`` —
+    the binary-modality analogue of ``embed_hash.hash_embed_coords`` (the
+    trick that made ``dense_hash_embed`` oracle-checkable). A real model
+    tower (``embed.embed_image``) swaps in via the registry; this one
+    exists so cross-modal compositions have an exact DuckDB oracle.
+
+    Shuffle-free NumPy kernel: one ``np.frombuffer`` + ``bincount`` pass
+    per Arrow batch; tf counts are exact integers (< 2^53), the norm is the
+    float64 sqrt of their squares. Empty/null blobs vanish (no coords) —
+    mirroring zero-vector guards downstream."""
+    from pyspark.sql import functions as F
+
+    from fastembed_rs_spark.operators.scale import spread_if_narrow
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, bucket long, weight double"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, buckets, weights = [], [], []
+            for i, b in zip(pdf[id_col], pdf[content_col]):
+                if b is None or len(b) == 0:
+                    continue
+                tf = np.bincount(
+                    np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64) % dim,
+                    minlength=dim,
+                ).astype(np.float64)
+                nz = np.nonzero(tf)[0]
+                w = tf[nz] / np.sqrt(np.sum(tf[nz] * tf[nz]))
+                ids.extend([i] * len(nz))
+                buckets.extend(nz.tolist())
+                weights.extend(w.tolist())
+            if ids:
+                yield pd.DataFrame(
+                    {id_col: ids, "bucket": buckets, "weight": weights}
+                )
+
+    out = spread_if_narrow(df.select(id_col, content_col)).mapInPandas(
+        gen, schema=schema
+    )
+    return out.withColumn("weight", F.round("weight", round_to))

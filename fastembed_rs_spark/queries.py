@@ -1744,34 +1744,75 @@ def q_embed_image_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CROSSMODAL_ORACLE = f"""
+WITH ttoks AS (
+  SELECT doc_id, unnest(list_transform({duck_tokens('text')}, tk -> {duck_token_hash('tk')} % 64)) AS bucket
+  FROM documents WHERE doc_id < 4 AND text <> ''
+),
+ttf AS (SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS tf FROM ttoks GROUP BY doc_id, bucket),
+tnorm AS (SELECT doc_id, sqrt(sum(tf * tf)) AS nrm FROM ttf GROUP BY doc_id),
+tcoord AS (SELECT ttf.doc_id AS query_id, bucket, round(tf / nrm, 6) AS w
+           FROM ttf JOIN tnorm ON ttf.doc_id = tnorm.doc_id),
+ibytes AS (
+  SELECT doc_id, unnest(list_transform(split(text, ''), c -> ord(c) % 64)) AS bucket
+  FROM documents WHERE doc_id % 7 = 0 AND text <> ''
+),
+itf AS (SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS tf FROM ibytes GROUP BY doc_id, bucket),
+inorm AS (SELECT doc_id, sqrt(sum(tf * tf)) AS nrm FROM itf GROUP BY doc_id),
+icoord AS (SELECT itf.doc_id AS image_id, bucket, round(tf / nrm, 6) AS w
+           FROM itf JOIN inorm ON itf.doc_id = inorm.doc_id),
+scored AS (
+  SELECT t.query_id, i.image_id, round(sum(t.w * i.w), 6) AS score
+  FROM tcoord t JOIN icoord i ON t.bucket = i.bucket
+  GROUP BY t.query_id, i.image_id
+)
+SELECT query_id, image_id, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, image_id ASC) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
 @q(
     "crossmodal_similarity",
-    None,
-    "text-vs-image cosine similarity matrix in a shared embedding space "
-    "(mirrors the reference's cross-modal test, tests/image-embeddings.rs:24-79): "
-    "both towers are stub models of equal dim; real ONNX towers swap in via the registry",
+    _CROSSMODAL_ORACLE,
+    "text-vs-image cosine top-3 in a shared 64-dim embedding space "
+    "(mirrors the reference's cross-modal test, tests/image-embeddings.rs:24-79). "
+    "Both towers are SQL-verifiable hash embeddings (the dense_hash_embed "
+    "trick): text = token-hash tf tower, image = byte-histogram tower over "
+    "the BINARY column (multimodal.byte_hash_coords — the image bytes here "
+    "are the utf-8 encoding of the doc text, so DuckDB rebuilds them from "
+    "char codes). Real/stub model towers swap in via embed_text/embed_image "
+    "(covered by embed_text_stub / embed_image_stub). Both sides are "
+    "L2-normalized so the bucket-join dot IS the cosine; the 4-query text "
+    "side broadcasts, one shuffle for the pair aggregation",
 )
 def q_crossmodal_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastembed_rs_spark.operators.embed import embed_image, embed_text
-    from fastembed_rs_spark.operators.topk import cosine_top_k
+    from fastembed_rs_spark.operators.fast_text import hash_embed_coords_fast
+    from fastembed_rs_spark.operators.multimodal import byte_hash_coords
 
     docs = t(spark, sf_dir, "documents")
     texts = docs.filter(F.col("doc_id") < 4).select("doc_id", "text")
-    text_emb = embed_text(texts, "text", model="stub-dense-mean").select(
-        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    tcoord = hash_embed_coords_fast(texts, "doc_id", "text", dim=64).select(
+        F.col("doc_id").alias("query_id"), "bucket", F.col("weight").alias("__tw")
     )
     images = docs.filter(F.col("doc_id") % 7 == 0).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
     )
-    img_emb = embed_image(images, "content", model="stub-image").select(
-        F.col("doc_id").alias("image_id"), "embedding"
+    icoord = byte_hash_coords(images, "doc_id", "content", dim=64).select(
+        F.col("doc_id").alias("image_id"), "bucket", F.col("weight").alias("__iw")
     )
-    # full matrix (k = corpus size): every text scored against every image,
-    # ranked per text — the reference asserts the matched pair tops its row
-    out = cosine_top_k(
-        text_emb, img_emb, k=1_000_000, id_col="image_id", round_to=6
+    scored = (
+        icoord.join(F.broadcast(tcoord), "bucket")
+        .groupBy("query_id", "image_id")
+        .agg(F.round(F.sum(F.col("__tw") * F.col("__iw")), 6).alias("score"))
     )
-    return out.select("query_id", "image_id", "score", "rank")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("image_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "image_id", "score", "rank")
+    )
 
 
 @q(
@@ -5231,12 +5272,23 @@ def _last_driver_round() -> dict[str, int]:
     return last
 
 
+#: Queries whose Spark code or oracle SQL changed since the last committed
+#: CORRECTNESS round — sorted ahead of even never-seen queries so the
+#: driver's ~50-row window re-verifies them THIS round. Refresh per round.
+_CHANGED_THIS_ROUND: tuple[str, ...] = (
+    "crossmodal_similarity",          # r6: SQL-verifiable hash towers
+    "returned_items_top_customers",   # r6: integer ten-thousandths money sum
+    "top_supplier_revenue",           # r6: integer ten-thousandths money sum
+)
+
+
 def all_queries() -> dict[str, QuerySpec]:
     """Full catalog, ordered for driver-verification rotation: queries
-    NEVER seen in a committed CORRECTNESS_r*.json first, then ascending by
-    the round that last checked them (ties keep registration order) — the
-    driver's ~50-row window always covers the least-recently-verified
-    queries, with no manual list upkeep. Falls back to the static
+    changed this round first (``_CHANGED_THIS_ROUND``), then queries NEVER
+    seen in a committed CORRECTNESS_r*.json, then ascending by the round
+    that last checked them (ties keep registration order) — the driver's
+    ~50-row window always covers changed + least-recently-verified
+    queries, with no other manual list upkeep. Falls back to the static
     ``_DRIVER_PRIORITY`` snapshot when no driver artifacts are readable."""
     last = _last_driver_round()
     names = list(QUERIES)
@@ -5244,5 +5296,7 @@ def all_queries() -> dict[str, QuerySpec]:
         prioritized = {n: QUERIES[n] for n in _DRIVER_PRIORITY if n in QUERIES}
         rest = {n: s for n, s in QUERIES.items() if n not in prioritized}
         return {**prioritized, **rest}
+    for n in _CHANGED_THIS_ROUND:
+        last[n] = -3
     order = sorted(range(len(names)), key=lambda i: (last.get(names[i], -2), i))
     return {names[i]: QUERIES[names[i]] for i in order}

@@ -47,13 +47,20 @@ def _checked_rounds() -> dict[str, int]:
 def test_rotation_orders_least_recently_checked_first():
     from fastembed_rs_spark.queries import all_queries
 
+    from fastembed_rs_spark.queries import _CHANGED_THIS_ROUND
+
     last = _checked_rounds()
     names = list(all_queries().keys())
     if not last:  # fresh clone: fallback covered by the test below
         return
+    # changed-this-round queries jump the queue (key -3): the driver must
+    # re-verify an edited query/oracle in the same round it changed
+    for n in _CHANGED_THIS_ROUND:
+        last[n] = -3
     seen_rounds = [last.get(n, -2) for n in names]
     # the rotation law: rotation keys are non-decreasing down the dict
-    # (-2 never-checked, -1 red-in-latest-row, else last-checked round)
+    # (-3 changed-this-round, -2 never-checked, -1 red-in-latest-row,
+    # else last-checked round)
     assert seen_rounds == sorted(seen_rounds)
     # and every never-checked query precedes every checked one
     if -2 in seen_rounds:
