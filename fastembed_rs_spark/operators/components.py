@@ -38,9 +38,11 @@ def connected_components(
     collect_threshold: int = 0,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component =
-    min node id in the connected component. Σcomp (long) is the potential
-    function — fine up to ~10^9 nodes of id ~10^9; beyond that switch the
-    convergence probe to a decimal sum.
+    min node id in the connected component. Σcomp is the potential
+    function, summed as DECIMAL(38,0) so the probe cannot silently
+    overflow at any realistic scale (a long sum wraps past ~10^9 nodes of
+    id ~10^9 — Spark's integral SUM overflows silently without ANSI mode,
+    and a wrapped sum could fake convergence).
 
     ``hops_per_round`` chains that many propagation steps between
     checkpoint + convergence probe: the checkpoint materialization and the
@@ -84,7 +86,8 @@ def connected_components(
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "comp", F.col("node")
     ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    pot = F.sum(F.col("comp").cast("decimal(38,0)"))
+    prev_sum = labels.agg(pot).collect()[0][0]
 
     def _propagate(lab: DataFrame) -> DataFrame:
         nbr = sym.join(lab, sym["a"] == lab["node"]).select(
@@ -101,7 +104,7 @@ def connected_components(
         for _hop in range(hops_per_round):
             labels = _propagate(labels)
         labels = labels.localCheckpoint()
-        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        cur_sum = labels.agg(pot).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

