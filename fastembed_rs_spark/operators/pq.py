@@ -232,3 +232,85 @@ def pq_adc_topk(
         folded.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def opq_rotation(dim: int, seed: int = 7):
+    """Deterministic orthonormal rotation matrix (NumPy, driver-side):
+    QR of a seeded Gaussian, sign-fixed so the factorization is unique.
+
+    OPQ-lite: full Optimized PQ (Ge et al., CVPR 2013) alternates
+    rotation-fit and codebook-fit; the dominant win on most corpora is
+    simply DEcorrelating the coordinate blocks so each subspace carries
+    comparable energy — which a single energy-spreading rotation already
+    provides. Rotation preserves inner products and norms exactly (up to
+    float rounding), so exact search on rotated vectors equals exact
+    search on the originals; only the PQ cell boundaries move."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    Q, R = np.linalg.qr(rng.standard_normal((dim, dim)))
+    return Q * np.sign(np.diag(R))  # column sign fix -> unique Q
+
+
+def apply_rotation(
+    df: DataFrame, id_col: str, vec_col: str, R, out_col: str | None = None,
+) -> DataFrame:
+    """Rotate every vector by the (dim, dim) matrix ``R`` — one NumPy
+    matmul per Arrow batch, no shuffle (the rotation ships in the closure:
+    dim² doubles, ~32 KB at dim 64). Returns (id_col, out_col)."""
+    import numpy as np
+
+    from fastembed_rs_spark.operators.scale import spread_if_narrow
+
+    out_col = out_col or vec_col
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, {out_col} array<double>"
+    Rm = np.asarray(R, dtype=np.float64)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            P = V @ Rm
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), out_col: list(P)})
+
+    return spread_if_narrow(df.select(id_col, vec_col)).mapInPandas(gen, schema=schema)
+
+
+def pq_adc_rescore_topk(
+    queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
+    vectors: DataFrame, k: int, rescore_factor: int = 4,
+    query_id: str = "query_id", query_vec: str = "query_vec",
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    m: int = 8, dsub: int = 8, round_to: int = 6,
+) -> DataFrame:
+    """ADC shortlist + exact cosine rescore — the standard recall-recovery
+    tier for quantized search (same pattern as the binary-Hamming and JL
+    rescore paths in operators.quantize): PQ scores ALL vectors through
+    the compressed codes, keeps the top ``k·rescore_factor`` per query,
+    and re-scores ONLY that bounded shortlist against the raw vectors.
+    Full-precision reads stay proportional to k·factor·|queries|, never
+    corpus size — the compressed scan does the corpus-shaped work."""
+    from fastembed_rs_spark.functions.vector import cosine_similarity
+
+    short = pq_adc_topk(
+        queries, codes, codebooks, k=k * rescore_factor,
+        query_id=query_id, query_vec=query_vec, id_col=id_col,
+        m=m, dsub=dsub, round_to=round_to,
+    ).select(query_id, id_col)
+    resc = (
+        short.join(vectors.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .select(
+            query_id, id_col,
+            F.round(cosine_similarity(vec_col, query_vec), round_to).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        resc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

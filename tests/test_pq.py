@@ -87,3 +87,48 @@ def test_blocked_neardup_handles_zero_vectors(spark):
            for r in D.embedding_near_dups_blocked(df, threshold=0.5, n_blocks=2).collect()}
     # zero-norm pairs score 0.0 (guard), identical unit vectors score 1.0
     assert got == {(2, 3): 1.0}
+
+
+def test_opq_rotation_is_orthonormal_and_preserves_search():
+    R = pq.opq_rotation(DIM, seed=7)
+    assert np.allclose(R @ R.T, np.eye(DIM), atol=1e-12)
+    # deterministic across calls
+    assert np.array_equal(R, pq.opq_rotation(DIM, seed=7))
+    # inner products invariant -> exact search unchanged by the rotation
+    P = CORPUS @ R
+    assert np.allclose(P @ P.T, CORPUS @ CORPUS.T, atol=1e-9)
+
+
+def test_apply_rotation_matches_numpy(spark, emb):
+    R = pq.opq_rotation(DIM, seed=7)
+    got = {
+        r["vec_id"]: np.asarray(r["embedding"])
+        for r in pq.apply_rotation(emb, "vec_id", "embedding", R).collect()
+    }
+    want = CORPUS @ R
+    for i in range(N):
+        assert np.allclose(got[i], want[i], atol=1e-12)
+
+
+def test_pq_adc_rescore_topk_scores_are_exact_cosine(spark, emb):
+    """The rescore tier must emit k rows per query whose scores equal the
+    EXACT cosine (the shortlist comes from the compressed codes, but what
+    the user sees is full-precision)."""
+    books = pq.train_pq_codebooks(
+        emb, "vec_id", "embedding", m=M, dsub=DSUB, k=4, iters=2
+    )
+    codes = pq.pq_encode(emb, books, "vec_id", "embedding", m=M, dsub=DSUB)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = pq.pq_adc_rescore_topk(
+        queries, codes, books, emb, k=3, rescore_factor=4, m=M, dsub=DSUB
+    )
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+        a, b = CORPUS[r["query_id"]], CORPUS[r["vec_id"]]
+        true_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert r["score"] == pytest.approx(round(true_cos, 6), abs=1e-9)
+    assert all(len(v) == 3 for v in per_q.values()) and len(per_q) == 2

@@ -102,6 +102,53 @@ def main() -> int:
     rows.append(("PQ-ADC m=8 d'=8 (sampled codebooks)",
                  recall(approx, exact), time.time() - t0))
 
+    # trained codebooks (per-subspace k-means) + the rescore ladder
+    from fastembed_rs_spark.operators.pq import (
+        apply_rotation, opq_rotation, pq_adc_rescore_topk, train_pq_codebooks,
+    )
+
+    tbooks = train_pq_codebooks(
+        emb, "vec_id", "embedding", m=8, dsub=8, k=16, iters=3
+    ).localCheckpoint()
+    tencoded = pq_encode(
+        emb, tbooks, "vec_id", "embedding", m=8, dsub=8
+    ).localCheckpoint()
+    t0 = time.time()
+    approx = pq_adc_topk(qs, tencoded, tbooks, k=K).collect()
+    rows.append(("PQ-ADC m=8 d'=8 (trained k=16)",
+                 recall(approx, exact), time.time() - t0))
+    for rf in (4, 8, 16):
+        t0 = time.time()
+        approx = pq_adc_rescore_topk(
+            qs, tencoded, tbooks, emb, k=K, rescore_factor=rf
+        ).collect()
+        rows.append((f"PQ-ADC trained + exact rescore x{rf}",
+                     recall(approx, exact), time.time() - t0))
+
+    # OPQ-lite: energy-spreading orthonormal rotation before encoding —
+    # exact search is invariant to it, only the PQ cells move
+    R = opq_rotation(64, seed=7)
+    remb = apply_rotation(emb, "vec_id", "embedding", R).localCheckpoint()
+    rqs = apply_rotation(
+        qs, "query_id", "query_vec", R, out_col="query_vec"
+    ).localCheckpoint()
+    rbooks = train_pq_codebooks(
+        remb, "vec_id", "embedding", m=8, dsub=8, k=16, iters=3
+    ).localCheckpoint()
+    rencoded = pq_encode(
+        remb, rbooks, "vec_id", "embedding", m=8, dsub=8
+    ).localCheckpoint()
+    t0 = time.time()
+    approx = pq_adc_topk(rqs, rencoded, rbooks, k=K).collect()
+    rows.append(("PQ-ADC trained + OPQ-lite rotation",
+                 recall(approx, exact), time.time() - t0))
+    t0 = time.time()
+    approx = pq_adc_rescore_topk(
+        rqs, rencoded, rbooks, remb, k=K, rescore_factor=8
+    ).collect()
+    rows.append(("PQ-ADC trained + OPQ-lite + rescore x8",
+                 recall(approx, exact), time.time() - t0))
+
     from fastembed_rs_spark.operators.quantize import (
         binary_hamming_top_k, int8_quant_top_k,
     )
@@ -189,7 +236,16 @@ def main() -> int:
         "with trained centroids over sampled ones; LSH recall climbs with",
         "bands at the cost of candidate volume; the PQ path's loss is",
         "quantization distortion, not candidate pruning (it scores ALL",
-        "vectors through an 8x-compressed code). Binary Hamming scans all",
+        "vectors through an 8x-compressed code) — so its recall ladder is",
+        "the exact-rescore oversample factor, which recovers recall with",
+        "k x factor full-precision reads per query, never corpus-sized",
+        "reads. Trained codebooks and the OPQ-lite rotation land within",
+        "noise of sampled codebooks HERE because isotropic random vectors",
+        "have no inter-dimension correlation to decorrelate and no",
+        "cluster structure to fit — on real embedding corpora (strongly",
+        "anisotropic) trained+rotated PQ is the difference between",
+        "unusable and production recall, which is why both stay in the",
+        "toolbox with this worst-case floor documented. Binary Hamming scans all",
         "vectors at 16 B each; rescoring an oversampled candidate set",
         "recovers most of the sign-quantization loss — recall climbs with",
         "the oversample factor while the f32 reads stay proportional to",
