@@ -86,6 +86,7 @@ HEADLINE = [
     "mmr_diversify",
     "ann_ivf_trained",
     "ann_pq_trained",
+    "ann_pq_rescore",
     "dsir_importance",
     "sequence_packing",
     "embedding_stats",

@@ -384,11 +384,14 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pq_trained_oracle(
     m: int, dsub: int, k: int, iters: int, nq: int, topk: int, seed: int = 42,
+    rescore_factor: int | None = None,
 ) -> str:
     """Replay of ``pq.train_pq_codebooks`` + encode + ADC as chained CTEs:
     iterations are fixed and seeded, init orders by the shared rolling hash,
     and per-iteration means are rounded to 9 decimals on both engines, so
-    Lloyd's is DuckDB-expressible."""
+    Lloyd's is DuckDB-expressible. ``rescore_factor`` appends the
+    ``pq.pq_adc_rescore_topk`` tier: shortlist topk·factor by ADC score,
+    exact-cosine rescore of only that shortlist, re-rank to topk."""
     h = duck_token_hash(f"(sv.vec_id::VARCHAR || '#pq{seed}')")
     sq = (
         "coalesce(list_sum(list_transform(generate_series(1, {dsub}), "
@@ -450,10 +453,31 @@ scored AS (
          round(coalesce(list_sum(list(l.pdot ORDER BY l.subspace)), 0.0), 6) AS score
   FROM enc JOIN lut l ON enc.subspace = l.subspace AND enc.code_id = l.code_id
   GROUP BY l.query_id, enc.vec_id
-)
+)""")
+    if rescore_factor is None:
+        parts.append(f"""
 SELECT query_id, vec_id, score,
        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
 FROM scored
+QUALIFY rank <= {topk}""")
+    else:
+        parts.append(f""",
+short AS (
+  SELECT query_id, vec_id FROM scored
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, vec_id ASC)
+          <= {topk * rescore_factor}
+),
+resc AS (
+  SELECT s.query_id, s.vec_id,
+         round({_dk_cos('qe.embedding', 'e.embedding')}, 6) AS score
+  FROM short s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN embeddings qe ON qe.vec_id = s.query_id
+)
+SELECT query_id, vec_id, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+FROM resc
 QUALIFY rank <= {topk}""")
     return "".join(parts)
 
@@ -477,6 +501,36 @@ def q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = pq.pq_adc_topk(queries, codes, books, k=5, m=_PQ_M, dsub=_PQ_DSUB)
+    return out.select("query_id", "vec_id", "score", "rank")
+
+
+@q(
+    "ann_pq_rescore",
+    _pq_trained_oracle(
+        m=_PQ_M, dsub=_PQ_DSUB, k=8, iters=2, nq=3, topk=5, rescore_factor=4
+    ),
+    "PQ-ADC shortlist + exact cosine rescore (the quantized-search recall-"
+    "recovery tier, ANN_RECALL.md): trained codebooks score ALL vectors "
+    "through the compressed codes, the top k*4 per query get re-scored "
+    "against raw vectors — full-precision reads stay proportional to "
+    "k*factor per query, never corpus size. Oracle replays training + "
+    "encode + ADC + shortlist + rescore as chained CTEs",
+)
+def q_ann_pq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators import pq
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = pq.train_pq_codebooks(
+        emb, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB, k=8, iters=2
+    )
+    codes = pq.pq_encode(emb, books, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = pq.pq_adc_rescore_topk(
+        queries, codes, books, emb, k=5, rescore_factor=4,
+        m=_PQ_M, dsub=_PQ_DSUB,
+    )
     return out.select("query_id", "vec_id", "score", "rank")
 
 
@@ -5159,6 +5213,8 @@ _fill_sketch_oracles()
 # list below is the round-4 snapshot, kept ONLY as the fallback when no
 # driver artifacts are readable (fresh clone without history).
 _DRIVER_PRIORITY: list[str] = [
+    "ann_pq_rescore",
+    "crossmodal_similarity",
     "events_props_json",
     "revenue_rollup",
     "revenue_cube",

@@ -62,10 +62,10 @@ def test_rotation_orders_least_recently_checked_first():
     # (-3 changed-this-round, -2 never-checked, -1 red-in-latest-row,
     # else last-checked round)
     assert seen_rounds == sorted(seen_rounds)
-    # and every never-checked query precedes every checked one
+    # and every changed/never-checked query precedes every checked one
     if -2 in seen_rounds:
         first_checked = next(i for i, r in enumerate(seen_rounds) if r >= -1)
-        assert all(r == -2 for r in seen_rounds[:first_checked])
+        assert all(r in (-3, -2) for r in seen_rounds[:first_checked])
 
 
 def test_fallback_uses_static_priority(monkeypatch):
