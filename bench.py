@@ -87,6 +87,7 @@ HEADLINE = [
     "ann_ivf_trained",
     "ann_pq_trained",
     "ann_pq_rescore",
+    "ann_ivf_pq_topk",
     "dsir_importance",
     "sequence_packing",
     "embedding_stats",

@@ -314,3 +314,76 @@ def pq_adc_rescore_topk(
         resc.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_pq_topk(
+    queries: DataFrame, codes_bucketed: DataFrame, centroids: DataFrame,
+    codebooks: DataFrame, k: int, nprobe: int,
+    query_id: str = "query_id", query_vec: str = "query_vec",
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id", centroid_vec: str = "centroid_vec",
+    m: int = 8, dsub: int = 8, round_to: int = 6,
+) -> DataFrame:
+    """IVF-PQ: coarse bucket pruning + in-bucket ADC — the composition a
+    100 TB vector deployment actually runs (FAISS IVFADC; Jégou et al.
+    2011 §IV): the IVF stage cuts the candidate set to ``nprobe/k_coarse``
+    of the corpus, the PQ stage scores those candidates through 8x-
+    compressed codes, and raw vectors are never touched at all.
+
+    ``codes_bucketed`` is the persisted form: the ``pq_encode`` output
+    carrying each vector's ``centroid_id`` (join the ``assign_ivf_buckets``
+    result once at index-build time; at scale, hive-partition by it — the
+    probe join then prunes partitions like operators/ivf_index.py).
+
+    Plan shape: probes (queries x nprobe, broadcast) equi-join the code
+    table on the bucket id — only probed buckets' codes are read — then the
+    broadcast ADC LUT joins on (query, subspace, code) and the m partial
+    dots fold per (query, vector). The big table never shuffles; the only
+    shuffle is the final (query, vector) aggregation over candidate rows.
+    Deterministic like its parents: rounded probe scores and partial dots,
+    ties to lowest id, subspace-ordered fold from literal 0.0."""
+    from fastembed_rs_spark.functions.vector import cosine_similarity
+
+    probes = queries.crossJoin(F.broadcast(centroids)).select(
+        query_id,
+        query_vec,
+        centroid_id,
+        F.round(cosine_similarity(query_vec, centroid_vec), 6).alias("__pscore"),
+    )
+    wp = Window.partitionBy(query_id).orderBy(
+        F.desc("__pscore"), F.asc(centroid_id)
+    )
+    probes = (
+        probes.withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= nprobe)
+        .select(query_id, centroid_id)
+    )
+    qsub = split_subvectors(
+        queries.select(query_id, query_vec), query_id, query_vec, m, dsub
+    )
+    lut = qsub.join(F.broadcast(codebooks), on="subspace").select(
+        query_id, "subspace", "code_id",
+        F.round(_dot_fixed("subvec", "code_vec", dsub), round_to).alias("__pdot"),
+    )
+    cand = codes_bucketed.join(F.broadcast(probes), on=centroid_id)
+    joined = cand.join(F.broadcast(lut), on=[query_id, "subspace", "code_id"])
+    folded = (
+        joined.groupBy(query_id, id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("subspace", "__pdot"))).alias("__sp"))
+        .select(
+            query_id, id_col,
+            F.round(
+                F.aggregate(
+                    F.transform("__sp", lambda s: s["__pdot"]),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                round_to,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        folded.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -382,6 +382,103 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "score", "rank")
 
 
+_IVF_PQ_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0
+),
+assign AS (
+  SELECT e.vec_id, c.centroid_id,
+         round({_dk_cos('e.embedding', 'c.ce')}, 6) AS cscore
+  FROM embeddings e CROSS JOIN cent c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY cscore DESC, c.centroid_id ASC) = 1
+),
+qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+probes AS (
+  SELECT qv.query_id, c.centroid_id,
+         round({_dk_cos('qv.qe', 'c.ce')}, 6) AS pscore
+  FROM qv CROSS JOIN cent c
+  QUALIFY row_number() OVER (PARTITION BY qv.query_id ORDER BY pscore DESC, c.centroid_id ASC) <= 3
+),
+subs AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS subspace),
+cb AS (
+  SELECT s.subspace, e.vec_id AS code_id,
+         {_PQ_SLICE.format(dsub=_PQ_DSUB, v='e.embedding')} AS code_vec
+  FROM embeddings e CROSS JOIN subs s
+  WHERE e.vec_id % {_PQ_EVERY} = 0
+),
+sv AS (
+  SELECT e.vec_id, s.subspace,
+         {_PQ_SLICE.format(dsub=_PQ_DSUB, v='e.embedding')} AS subvec
+  FROM embeddings e CROSS JOIN subs s
+),
+enc AS (
+  SELECT sv.vec_id, sv.subspace, cb.code_id,
+         round(coalesce(list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+           i -> (sv.subvec[i] - cb.code_vec[i]) * (sv.subvec[i] - cb.code_vec[i]))), 0.0), 6) AS d2
+  FROM sv JOIN cb ON sv.subspace = cb.subspace
+  QUALIFY row_number() OVER (PARTITION BY sv.vec_id, sv.subspace
+                             ORDER BY d2 ASC, cb.code_id ASC) = 1
+),
+qsub AS (
+  SELECT vec_id AS query_id, subspace, subvec AS qsubvec FROM sv WHERE vec_id < 5
+),
+lut AS (
+  SELECT q.query_id, q.subspace, cb.code_id,
+         round(coalesce(list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+           i -> q.qsubvec[i] * cb.code_vec[i])), 0.0), 6) AS pdot
+  FROM qsub q JOIN cb ON q.subspace = cb.subspace
+),
+scored AS (
+  SELECT l.query_id, enc.vec_id,
+         round(coalesce(list_sum(list(l.pdot ORDER BY l.subspace)), 0.0), 6) AS score
+  FROM enc
+  JOIN assign a ON enc.vec_id = a.vec_id
+  JOIN probes p ON p.centroid_id = a.centroid_id
+  JOIN lut l ON enc.subspace = l.subspace AND enc.code_id = l.code_id
+            AND l.query_id = p.query_id
+  GROUP BY l.query_id, enc.vec_id
+)
+SELECT query_id, vec_id, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+@q(
+    "ann_ivf_pq_topk",
+    _IVF_PQ_ORACLE,
+    "IVF-PQ (FAISS IVFADC shape; Jégou et al. 2011 §IV): coarse 1-in-50 "
+    "centroids prune to 3 probed buckets per query, then asymmetric-"
+    "distance scoring through 8x8 PQ codes WITHIN those buckets only — "
+    "raw vectors are never read at query time. The probe table and ADC "
+    "LUT both broadcast; the code table joins on the bucket id (at scale: "
+    "hive-partitioned by it, so the probe join prunes partitions) and the "
+    "only shuffle is the per-(query,vector) fold over candidates",
+)
+def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators import pq
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    bucketed = assign_ivf_buckets_fast(emb, centroids)
+    books = pq.sample_pq_codebooks(
+        emb, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB, every=_PQ_EVERY
+    )
+    codes = pq.pq_encode(emb, books, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB)
+    codes_bucketed = codes.join(bucketed.select("vec_id", "centroid_id"), "vec_id")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = pq.ivf_pq_topk(
+        queries, codes_bucketed, centroids, books, k=5, nprobe=3,
+        m=_PQ_M, dsub=_PQ_DSUB,
+    )
+    return out.select("query_id", "vec_id", "score", "rank")
+
+
 def _pq_trained_oracle(
     m: int, dsub: int, k: int, iters: int, nq: int, topk: int, seed: int = 42,
     rescore_factor: int | None = None,
@@ -5214,6 +5311,7 @@ _fill_sketch_oracles()
 # driver artifacts are readable (fresh clone without history).
 _DRIVER_PRIORITY: list[str] = [
     "ann_pq_rescore",
+    "ann_ivf_pq_topk",
     "crossmodal_similarity",
     "events_props_json",
     "revenue_rollup",

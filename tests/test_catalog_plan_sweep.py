@@ -39,6 +39,7 @@ PYTHON_OK = {
     "incremental_embed",
     "embedding_neardup", "mmr_diversify",
     "rag_passage_topk", "ann_ivf_topk", "ann_ivf_trained", "ann_lsh_topk",
+    "ann_ivf_pq_topk",
     "cluster_balanced_sample",
     "lang_id", "text_quality",
     "exact_dedup", "dense_hash_embed", "splade_hash_sparse",

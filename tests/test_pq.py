@@ -132,3 +132,46 @@ def test_pq_adc_rescore_topk_scores_are_exact_cosine(spark, emb):
         true_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert r["score"] == pytest.approx(round(true_cos, 6), abs=1e-9)
     assert all(len(v) == 3 for v in per_q.values()) and len(per_q) == 2
+
+
+def test_ivf_pq_full_probe_equals_plain_adc(spark, emb):
+    """With every bucket probed, IVF-PQ scores the whole corpus through
+    the same LUT as plain ADC — the top-k must be identical; with
+    nprobe=1 the candidate set (and output) must be a subset drawn only
+    from probed buckets."""
+    books = pq.sample_pq_codebooks(emb, "vec_id", "embedding", m=M, dsub=DSUB, every=10)
+    codes = pq.pq_encode(emb, books, "vec_id", "embedding", m=M, dsub=DSUB)
+    centroids = emb.filter(F.col("vec_id") % 8 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    from fastembed_rs_spark.operators.topk import assign_ivf_buckets
+
+    bucketed = assign_ivf_buckets(emb, centroids)
+    codes_b = codes.join(bucketed.select("vec_id", "centroid_id"), "vec_id")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    n_buckets = centroids.count()
+
+    plain = {
+        (r["query_id"], r["vec_id"], r["score"], r["rank"])
+        for r in pq.pq_adc_topk(queries, codes, books, k=4, m=M, dsub=DSUB).collect()
+    }
+    full = {
+        (r["query_id"], r["vec_id"], r["score"], r["rank"])
+        for r in pq.ivf_pq_topk(
+            queries, codes_b, centroids, books, k=4, nprobe=n_buckets,
+            m=M, dsub=DSUB,
+        ).collect()
+    }
+    assert full == plain
+
+    one = pq.ivf_pq_topk(
+        queries, codes_b, centroids, books, k=4, nprobe=1, m=M, dsub=DSUB
+    ).collect()
+    assigned = {r["vec_id"]: r["centroid_id"] for r in bucketed.collect()}
+    probed_sizes = {}
+    for r in one:
+        probed_sizes.setdefault(r["query_id"], set()).add(assigned[r["vec_id"]])
+    # all results of a query come from ONE probed bucket
+    assert all(len(buckets) == 1 for buckets in probed_sizes.values())

@@ -125,6 +125,22 @@ def main() -> int:
         rows.append((f"PQ-ADC trained + exact rescore x{rf}",
                      recall(approx, exact), time.time() - t0))
 
+    # IVF-PQ (FAISS IVFADC shape): trained coarse centroids prune buckets,
+    # trained codebooks score candidates in compressed domain — candidate
+    # volume AND read bytes both drop; recall is bounded by min(IVF at
+    # that nprobe, PQ distortion)
+    from fastembed_rs_spark.operators.pq import ivf_pq_topk
+
+    codes_b = tencoded.join(tbucketed.select("vec_id", "centroid_id"), "vec_id") \
+        .localCheckpoint()
+    for nprobe in (8, 16):
+        t0 = time.time()
+        approx = ivf_pq_topk(
+            qs, codes_b, trained, tbooks, k=K, nprobe=nprobe
+        ).collect()
+        rows.append((f"IVF-PQ (k=40 trained, m=8) nprobe={nprobe}",
+                     recall(approx, exact), time.time() - t0))
+
     # OPQ-lite: energy-spreading orthonormal rotation before encoding —
     # exact search is invariant to it, only the PQ cells move
     R = opq_rotation(64, seed=7)
