@@ -121,6 +121,7 @@ class _Handle:
             cache_dir=options.cache_dir,
             intra_threads=options.intra_threads,
             execution_providers=tuple(options.execution_providers),
+            show_download_progress=options.show_download_progress,
         )
 
     # reference: try_new(options) -> Result<Self> (impl.rs:36)

@@ -79,10 +79,21 @@ def model_dir(spec: ModelSpec, cache: str | None = None) -> str:
 
 
 def _download(url: str, dst: str) -> None:
-    tmp = dst + ".part"
+    import tempfile
+
     os.makedirs(os.path.dirname(dst), exist_ok=True)
+    # Unique temp per downloader: several Python workers on one executor
+    # can race to fetch the same uncached artifact into a shared cache
+    # dir; a fixed '<dst>.part' would interleave their writes and publish
+    # a corrupted file that the cache-first check then trusts forever.
+    # mkstemp in the target dir keeps os.replace atomic (same filesystem)
+    # and last-writer-wins publishes a complete file either way.
+    fd, tmp = tempfile.mkstemp(
+        prefix=os.path.basename(dst) + ".", suffix=".part",
+        dir=os.path.dirname(dst),
+    )
     try:
-        with urllib.request.urlopen(url) as resp, open(tmp, "wb") as out:
+        with urllib.request.urlopen(url) as resp, os.fdopen(fd, "wb") as out:
             shutil.copyfileobj(resp, out)
         os.replace(tmp, dst)
     finally:

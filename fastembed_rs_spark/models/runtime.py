@@ -68,6 +68,9 @@ class SessionOptions:
     #: one per task closure.
     model_bytes: object = None
     tokenizer_bytes: object = None
+    #: forwarded to artifact resolution (reference show_download_progress,
+    #: src/init.rs); presentation-only, so NOT part of the session key
+    show_download_progress: bool = False
 
     def resolved_cache(self) -> str:
         return self.cache_dir or cache_dir()
@@ -90,12 +93,18 @@ class SessionOptions:
         return eps or ("CPUExecutionProvider",)
 
     def key(self) -> tuple:
+        # Content digests, NOT id(): a pickled SessionOptions arrives as a
+        # fresh object per task, so identity-based keys would rebuild the
+        # ONNX session every task and leak every stale one into _SESSIONS
+        # (and a GC-recycled address could alias two different models).
+        # Hash cost lands once per get_session call — per task, not per
+        # batch.
         return (
             self.resolved_cache(),
             self.resolved_intra(),
             self.resolved_eps(),
-            None if self.model_bytes is None else id(self.model_bytes),
-            None if self.tokenizer_bytes is None else id(self.tokenizer_bytes),
+            _bytes_digest(self.model_bytes),
+            _bytes_digest(self.tokenizer_bytes),
         )
 
 
@@ -137,7 +146,12 @@ def _build_onnx(spec: ModelSpec, opts: SessionOptions):
         and not (f == "tokenizer.json" and tok_bytes is not None)
     ]
     model_dir = (
-        resolve_model_artifacts(spec, opts.resolved_cache(), files=needed)
+        resolve_model_artifacts(
+            spec,
+            opts.resolved_cache(),
+            show_download_progress=opts.show_download_progress,
+            files=needed,
+        )
         if needed
         else None
     )
@@ -166,6 +180,14 @@ def _unwrap_bytes(b):
     if b is None or isinstance(b, (bytes, bytearray)):
         return b
     return b.value
+
+
+def _bytes_digest(b) -> str | None:
+    if b is None:
+        return None
+    import hashlib
+
+    return hashlib.sha256(_unwrap_bytes(b)).hexdigest()[:16]
 
 
 def _build_stub(spec: ModelSpec):

@@ -392,7 +392,12 @@ def _prefix_pairs_from_postings(
     not pinnable from the final plan)."""
     if n_grams is None:
         # one bounded count over the vocabulary histogram (gram_df is an
-        # aggregate, so Catalyst has no size estimate to gate on for us)
+        # aggregate, so Catalyst has no size estimate to gate on for us).
+        # Checkpoint first: without it the count would materialize the
+        # groupBy once and the annotation join would recompute the same
+        # aggregation from scratch — doubling the most expensive shuffle
+        # in the query.
+        gram_df = gram_df.localCheckpoint()
         n_grams = gram_df.count()
     use_broadcast = n_grams <= broadcast_max_grams
     if decision is not None:

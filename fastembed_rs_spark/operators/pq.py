@@ -348,7 +348,9 @@ def ivf_pq_topk(
         query_id,
         query_vec,
         centroid_id,
-        F.round(cosine_similarity(query_vec, centroid_vec), 6).alias("__pscore"),
+        F.round(
+            cosine_similarity(query_vec, centroid_vec), round_to
+        ).alias("__pscore"),
     )
     wp = Window.partitionBy(query_id).orderBy(
         F.desc("__pscore"), F.asc(centroid_id)

@@ -1905,7 +1905,12 @@ tnorm AS (SELECT doc_id, sqrt(sum(tf * tf)) AS nrm FROM ttf GROUP BY doc_id),
 tcoord AS (SELECT ttf.doc_id AS query_id, bucket, round(tf / nrm, 6) AS w
            FROM ttf JOIN tnorm ON ttf.doc_id = tnorm.doc_id),
 ibytes AS (
-  SELECT doc_id, unnest(list_transform(split(text, ''), c -> ord(c) % 64)) AS bucket
+  -- true UTF-8 BYTES via hex pairs (ord(char) would diverge from the
+  -- Spark kernel's np.frombuffer on any non-ASCII text: 'é' is one
+  -- codepoint 233 but two bytes 0xC3 0xA9)
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, octet_length(encode(text))),
+                i -> (('0x' || substr(hex(encode(text)), 2*i-1, 2))::INT % 64))) AS bucket
   FROM documents WHERE doc_id % 7 = 0 AND text <> ''
 ),
 itf AS (SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS tf FROM ibytes GROUP BY doc_id, bucket),

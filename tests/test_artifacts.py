@@ -155,9 +155,13 @@ def test_resolve_missing_raises_with_detail(hub, tmp_path, monkeypatch):
     monkeypatch.setenv("HF_ENDPOINT", hub.as_uri())
     with pytest.raises(ModelArtifactError, match="model.onnx"):
         resolve_model_artifacts(SPEC, str(cache))
-    # no truncated partials left behind
-    part = os.path.join(str(cache), "acme--test-model", "model.onnx.part")
-    assert not os.path.exists(part)
+    # no truncated partials left behind (unique per-downloader temp names)
+    import glob
+
+    leftovers = glob.glob(
+        os.path.join(str(cache), "acme--test-model", "*.part")
+    )
+    assert leftovers == []
 
 
 def test_stub_spec_has_nothing_to_resolve():
