@@ -146,6 +146,11 @@ HEADLINE = [
     "embed_image_stub",
     "crossmodal_similarity",
     "rerank_model_stub",
+    # round 6 additions
+    "bpe_merge_step",
+    "bigram_surprisal",
+    "epoch_shuffle",
+    "quality_classifier",
 ]
 
 

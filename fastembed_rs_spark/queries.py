@@ -5264,6 +5264,321 @@ def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
+# ===========================================================================
+# 10. Tokenizer training / LM scoring / epoch shuffling / model-as-data
+#     (beyond-reference pipeline operators, round 6)
+# ===========================================================================
+
+_BPE_ORACLE = f"""
+WITH w AS (SELECT unnest({duck_tokens('text')}) AS word FROM documents),
+wf AS (SELECT word, CAST(count(*) AS BIGINT) AS wfreq FROM w GROUP BY word),
+p AS (
+  SELECT wfreq,
+         unnest(list_transform(generate_series(1, length(word) - 1),
+                i -> substr(word, i, 2))) AS pair
+  FROM wf WHERE length(word) >= 2
+),
+pc AS (SELECT pair, CAST(sum(wfreq) AS BIGINT) AS cnt FROM p GROUP BY pair),
+top AS (SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair LIMIT 20)
+SELECT pair, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rnk
+FROM top
+"""
+
+
+@q(
+    "bpe_merge_step",
+    _BPE_ORACLE,
+    "one distributed BPE-training iteration (the tokenizer-training inner "
+    "loop): corpus -> word-frequency table (ONE scan; vocabulary-sized, "
+    "orders of magnitude smaller than the corpus) -> adjacent symbol-pair "
+    "counts weighted by word frequency -> global top-20 merge candidates "
+    "via TakeOrdered. Classic BPE counts pairs over the word-frequency "
+    "table, not the raw token stream, so each extra merge iteration "
+    "re-scans only the vocab — at 100 TB the corpus is read once per "
+    "vocab rebuild, not once per merge",
+)
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import tokens as sp_tokens
+
+    docs = t(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(sp_tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wfreq"))
+    )
+    # adjacent character pairs per distinct word, weighted by wfreq —
+    # codegen-only transform over the (small) vocabulary table
+    pc = (
+        wf.filter(F.length("word") >= 2)
+        .select(
+            "wfreq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.substring(F.col("word"), i, F.lit(2)),
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("wfreq").cast("long").alias("cnt"))
+    )
+    top = pc.orderBy(F.desc("cnt"), F.asc("pair")).limit(20)
+    wn = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return top.withColumn("rnk", F.row_number().over(wn).cast("long"))
+
+
+_BIGRAM_SURPRISAL_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {duck_tokens('text')} AS tk FROM documents),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i + 1])) AS bg
+  FROM toks WHERE len(tk) >= 2
+),
+bper AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS k FROM big GROUP BY doc_id, bg),
+c2 AS (SELECT bg, CAST(sum(k) AS DOUBLE) AS c2 FROM bper GROUP BY bg),
+c1m AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(k) AS DOUBLE) AS c1
+        FROM bper GROUP BY 1),
+c2m AS (SELECT split_part(bg, ' ', 2) AS w2, CAST(sum(k) AS DOUBLE) AS cm
+        FROM bper GROUP BY 1),
+n2 AS (SELECT CAST(sum(k) AS DOUBLE) AS n FROM bper),
+s AS (
+  SELECT c2.bg, -ln(0.7 * c2.c2 / c1m.c1 + 0.3 * c2m.cm / n2.n) AS s
+  FROM c2
+  JOIN c1m ON split_part(c2.bg, ' ', 1) = c1m.w1
+  JOIN c2m ON split_part(c2.bg, ' ', 2) = c2m.w2
+  CROSS JOIN n2
+)
+SELECT bper.doc_id, CAST(sum(bper.k) AS BIGINT) AS n_bigrams,
+       round(sum(bper.k * s.s) / sum(bper.k), 6) AS surprisal
+FROM bper JOIN s USING (bg)
+GROUP BY bper.doc_id
+"""
+
+
+@q(
+    "bigram_surprisal",
+    _BIGRAM_SURPRISAL_ORACLE,
+    "interpolated bigram-LM quality score (unigram_surprisal's stronger "
+    "sibling): train bigram stats on the corpus itself, score each doc by "
+    "mean -ln(0.7*P(w2|w1) + 0.3*P(w2)) over its bigrams. The bigram "
+    "stream is materialized ONCE (per-doc bigram counts, checkpointed); "
+    "the conditional's denominator and the backoff unigram are both "
+    "marginals of that table, so no second corpus scan. Type scores join "
+    "vocab-sized marginals broadcast; the per-doc join keys on the bigram "
+    "(shuffle join — at 100 TB the bigram-type table outgrows broadcast "
+    "by design, unlike the unigram case)",
+)
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import tokens as sp_tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tk = sp_tokens("text")
+    n1 = F.greatest(F.size(tk) - 1, F.lit(0))
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(tk, 1, n1).alias("w1"), F.slice(tk, 2, n1).alias("w2")
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bper = (
+        big.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint()  # feeds the LM marginals AND the scoring join
+    )
+    c2 = bper.groupBy("w1", "w2").agg(F.sum("k").cast("double").alias("c2"))
+    c1m = bper.groupBy("w1").agg(F.sum("k").cast("double").alias("c1"))
+    c2m = bper.groupBy("w2").agg(F.sum("k").cast("double").alias("cm"))
+    n2 = bper.agg(F.sum("k").cast("double").alias("n"))
+    scored = (
+        c2.join(F.broadcast(c1m), "w1")
+        .join(F.broadcast(c2m), "w2")
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1", "w2",
+            (-F.log(
+                0.7 * F.col("c2") / F.col("c1") + 0.3 * F.col("cm") / F.col("n")
+            )).alias("s"),
+        )
+    )
+    return (
+        bper.join(scored, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("k") * F.col("s")) / F.sum("k"), 6
+            ).alias("surprisal"),
+        )
+    )
+
+
+_EPOCH_SHUFFLE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         {duck_token_hash("CAST(doc_id AS VARCHAR) || '#epoch0'")} AS hh
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, hh, hh % 32 AS shard,
+         CAST(row_number() OVER (PARTITION BY hh % 32 ORDER BY hh, doc_id)
+              AS BIGINT) AS pos
+  FROM h
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(hh) AS BIGINT) AS first_hh,
+       CAST(sum((pos * (doc_id % 1000003)) % 1000000007) AS BIGINT)
+         AS perm_checksum
+FROM sharded GROUP BY shard
+"""
+
+
+@q(
+    "epoch_shuffle",
+    _EPOCH_SHUFFLE_ORACLE,
+    "deterministic training-epoch shuffle: every doc gets a seeded "
+    "engine-shared hash, shard = hash % 32, position-in-shard by "
+    "rank-within-shard — a full-corpus random permutation with NO global "
+    "sort (each shard ranks independently; at 100 TB that is 32+ "
+    "independent sorts of corpus/32 each, the partitionBy write shape of "
+    "write_training_shards). Output pins the permutation itself via a "
+    "per-shard modular checksum of (pos, doc_id), so a different epoch "
+    "seed or a broken rank is a hash mismatch, not a silent reshuffle",
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import token_hash
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    hh = token_hash(F.concat(F.col("doc_id").cast("string"), F.lit("#epoch0")))
+    sharded = docs.select("doc_id", hh.alias("hh"), (hh % 32).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("hh", "doc_id")
+    per = sharded.withColumn("pos", F.row_number().over(w).cast("long"))
+    return per.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("hh").alias("first_hh"),
+        F.sum(
+            (F.col("pos") * (F.col("doc_id") % 1000003)) % 1000000007
+        ).cast("long").alias("perm_checksum"),
+    )
+
+
+# classifier weights are DATA (a tiny broadcast table), not code — the
+# fasttext-style "train a small quality classifier, score the corpus"
+# deployment pattern. Same literals on both engines.
+_QC_WEIGHTS = (
+    ("bias", -1.5), ("f_len", 1.2), ("f_sw", 2.0),
+    ("f_punct", -4.0), ("f_atl", 0.05),
+)
+
+_QC_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({duck_tokens('text')}) AS BIGINT) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform({duck_tokens('text')}, tk -> length(tk))), 0) AS DOUBLE) AS tok_chars,
+         CAST(len(list_filter({duck_tokens('text')}, tk -> list_contains([{_ALL_SW}], tk))) AS DOUBLE) AS sw_hits,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) AS f_len,
+         least(CASE WHEN n_tokens = 0 THEN 0.0
+                    ELSE sw_hits / CAST(n_tokens AS DOUBLE) END * 4.0, 1.0) AS f_sw,
+         CASE WHEN n_chars = 0.0 THEN 0.0 ELSE n_punct / n_chars END AS f_punct,
+         CASE WHEN n_tokens = 0 THEN 0.0
+              ELSE tok_chars / CAST(n_tokens AS DOUBLE) END AS f_atl
+  FROM base
+),
+wts AS (
+  SELECT * FROM (VALUES {", ".join(f"('{f}', {w})" for f, w in _QC_WEIGHTS)})
+  AS t(feature, w)
+),
+wrow AS (
+  SELECT max(CASE WHEN feature = 'bias' THEN w END) AS w_bias,
+         max(CASE WHEN feature = 'f_len' THEN w END) AS w_len,
+         max(CASE WHEN feature = 'f_sw' THEN w END) AS w_sw,
+         max(CASE WHEN feature = 'f_punct' THEN w END) AS w_punct,
+         max(CASE WHEN feature = 'f_atl' THEN w END) AS w_atl
+  FROM wts
+),
+z AS (
+  SELECT doc_id,
+         round(w_bias + w_len * f_len + w_sw * f_sw + w_punct * f_punct
+               + w_atl * f_atl, 6) AS z
+  FROM m CROSS JOIN wrow
+)
+SELECT doc_id, z,
+       round(1.0 / (1.0 + exp(-z)), 6) AS score,
+       CAST(CASE WHEN z >= 0.0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM z
+"""
+
+
+@q(
+    "quality_classifier",
+    _QC_ORACLE,
+    "linear quality classifier scoring (fasttext-style deploy pattern): "
+    "features from the one-pass text-stats kernel, weights as a tiny "
+    "broadcast table pivoted to one row (model-as-data — retraining swaps "
+    "the table, not the plan), sigmoid score + keep decision per doc. "
+    "Logit is rounded to 6 BEFORE the sigmoid so the one transcendental "
+    "runs on bit-identical inputs in both engines; keep tests z >= 0 "
+    "(exactly the 0.5 boundary) on the rounded logit. Pure codegen over "
+    "one corpus scan — no shuffle at all",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.fast_text import text_stat_counts_fast
+
+    docs = t(spark, sf_dir, "documents")
+    counts = text_stat_counts_fast(docs, "doc_id", "text")
+    feats = counts.select(
+        "doc_id",
+        F.least(F.col("n_tokens").cast("double") / 50.0, F.lit(1.0)).alias("f_len"),
+        F.least(TS.stopword_ratio_from_counts() * 4.0, F.lit(1.0)).alias("f_sw"),
+        TS.punct_ratio_from_counts().alias("f_punct"),
+        TS.avg_token_len_from_counts().alias("f_atl"),
+    )
+    wts = spark.createDataFrame(list(_QC_WEIGHTS), "feature string, w double")
+    # long-form weights -> one row of w_* columns (renamed so they can't
+    # collide with the feature columns after the cross join)
+    wrow = (
+        wts.groupBy()
+        .pivot("feature", [f for f, _ in _QC_WEIGHTS])
+        .agg(F.first("w"))
+        .select(
+            F.col("bias").alias("w_bias"),
+            F.col("f_len").alias("w_len"),
+            F.col("f_sw").alias("w_sw"),
+            F.col("f_punct").alias("w_punct"),
+            F.col("f_atl").alias("w_atl"),
+        )
+    )
+    scored = feats.crossJoin(F.broadcast(wrow))
+    # same left-to-right addition order as the oracle: double addition is
+    # not associative, identical order => identical bits => identical round
+    z = F.round(
+        F.col("w_bias")
+        + F.col("w_len") * F.col("f_len")
+        + F.col("w_sw") * F.col("f_sw")
+        + F.col("w_punct") * F.col("f_punct")
+        + F.col("w_atl") * F.col("f_atl"),
+        6,
+    )
+    return scored.withColumn("z", z).select(
+        "doc_id",
+        "z",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6).alias("score"),
+        F.when(F.col("z") >= 0.0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("keep"),
+    )
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import (
         duck_cms,
@@ -5384,6 +5699,12 @@ _DRIVER_PRIORITY: list[str] = [
     "returned_items_top_customers",
     "top_supplier_revenue",
     "brand_bracket_revenue",
+    # round-6 additions (ann_pq_rescore / ann_ivf_pq_topk are already at
+    # the head of the list)
+    "bpe_merge_step",
+    "bigram_surprisal",
+    "epoch_shuffle",
+    "quality_classifier",
 ]
 
 

@@ -41,7 +41,7 @@ PYTHON_OK = {
     "rag_passage_topk", "ann_ivf_topk", "ann_ivf_trained", "ann_lsh_topk",
     "ann_ivf_pq_topk",
     "cluster_balanced_sample",
-    "lang_id", "text_quality",
+    "lang_id", "text_quality", "quality_classifier",
     "exact_dedup", "dense_hash_embed", "splade_hash_sparse",
     "sparse_dot_topk", "hybrid_rrf_topk",
     "kmv_distinct", "hll_distinct", "hll_distinct_per_lang",

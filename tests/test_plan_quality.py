@@ -258,3 +258,51 @@ def test_repeated_spans_df_join_has_no_fanout_shape(spark, catalog):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "partial_count" in p
+
+
+def test_bpe_merge_counts_pairs_over_vocab_not_corpus(spark, catalog):
+    """BPE merge candidates: the corpus is scanned once into a word-
+    frequency table; pair explosion runs over the (vocab-sized) aggregate,
+    and the global top-20 is a TakeOrderedAndProject, never a full sort.
+    The whole plan is JVM codegen — no Python nodes."""
+    p = plan_of(spark, catalog, "bpe_merge_step")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "TakeOrderedAndProject(limit=20" in p
+    # exactly two aggregations: word counts, then pair counts — the pair
+    # stage must consume the word aggregate, not re-scan documents
+    assert p.count("Scan parquet") == 1
+
+
+def test_epoch_shuffle_sorts_per_shard_never_globally(spark, catalog):
+    """Epoch shuffle: the permutation rank is a window PARTITIONED BY
+    shard — the sort under it must be a per-partition sort (global=false),
+    so at scale each shard sorts independently; no global Sort/Exchange
+    for ordering exists in the plan."""
+    p = plan_of(spark, catalog, "epoch_shuffle")
+    assert "rangepartitioning" not in p.lower()  # global sort would use it
+    assert "Sort [" in p and "false, 0" in p  # per-partition sort only
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_quality_classifier_weights_broadcast_into_codegen(spark, catalog):
+    """Linear classifier scoring: the pivoted weight row joins the feature
+    stream via a broadcast (IdentityBroadcastMode cross of ONE row — never
+    a shuffle), and scoring math is pure JVM projection above the one
+    pandas stats kernel."""
+    p = plan_of(spark, catalog, "quality_classifier")
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    # exactly one Python node: the shared text-stats kernel
+    assert p.count("MapInPandas") + p.count("ArrowEvalPython") <= 1
+
+
+def test_bigram_surprisal_joins_checkpointed_types_once(spark, catalog):
+    """Bigram LM: marginals/types all derive from ONE checkpointed per-doc
+    bigram table (plan shows RDD scans of the checkpoint, no re-explode of
+    documents), vocab-sized marginals broadcast, and the per-doc scoring
+    join is an equi-join on the bigram key."""
+    p = plan_of(spark, catalog, "bigram_surprisal")
+    assert "Scan ExistingRDD" in p  # checkpointed bigram table reused
+    assert "Scan parquet" not in p  # documents never re-scanned post-checkpoint
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastExchange") >= 2  # c1m, c2m (+ scalar n2)
