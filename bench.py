@@ -24,6 +24,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "token_budget_mix",
+    "weighted_sample",
+    "dedup_keep_best",
+    "backoff_trigram_score",
     "dense_hash_embed",
     "splade_hash_sparse",
     "embed_text_stub",

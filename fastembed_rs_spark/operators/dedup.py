@@ -787,3 +787,52 @@ def embedding_near_dups(
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+
+
+def keep_best_representative(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Cluster near-dup ``pairs`` and keep the highest-``score_col`` doc of
+    every cluster — the curation step that decides WHICH duplicate survives.
+
+    ``docs`` carries one row per document with ``id_col`` and a (pre-rounded)
+    ``score_col``; ``pairs`` is any near-dup pair table ``(id_a, id_b)`` from
+    this module. Docs in no pair are singleton clusters and always survive.
+    Unlike the min-id canonical of ``semantic_dedup``/``corpus_curation``
+    (cheapest deterministic pick), the representative here is the argmax of
+    ``score_col`` (ties: min id) — the quality-aware dedup policy of
+    Penedo et al.'s RefinedWeb-style pipelines.
+
+    Scale shape: connected components is the bounded iterative op from
+    ``operators.components``; the argmax is one window per component
+    (clusters are near-dup groups — bounded fan-in, never corpus-sized), and
+    singletons join with a broadcast-able label table when pairs are sparse.
+    Output: (``id_col``, component, cluster_size, ``score_col``, keep).
+    """
+    from pyspark.sql import Window
+
+    from fastembed_rs_spark.operators.components import connected_components
+
+    labels = connected_components(pairs.select("id_a", "id_b"))
+    base = docs.select(id_col, score_col).join(
+        labels, docs[id_col] == labels["node"], "left"
+    )
+    labeled = base.select(
+        id_col,
+        score_col,
+        F.coalesce(F.col("comp"), F.col(id_col)).alias("component"),
+    )
+    w = Window.partitionBy("component")
+    rank = F.row_number().over(
+        w.orderBy(F.desc(score_col), F.asc(id_col))
+    )
+    return labeled.select(
+        id_col,
+        "component",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        score_col,
+        (rank == 1).cast("long").alias("keep"),
+    )

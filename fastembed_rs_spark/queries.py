@@ -5579,6 +5579,338 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared quality CTE (same formula as _QUALITY_ORACLE) carrying source —
+# feeds the corpus-assembly oracles below
+_QUAL_SRC_CTE = f"""base AS (
+  SELECT doc_id, source,
+         CAST(len({duck_tokens('text')}) AS BIGINT) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform({duck_tokens('text')}, tk -> length(tk))), 0) AS DOUBLE) AS tok_chars,
+         CAST(len(list_filter({duck_tokens('text')}, tk -> list_contains([{_ALL_SW}], tk))) AS DOUBLE) AS sw_hits,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source, n_tokens,
+         CASE WHEN n_tokens = 0 THEN 0.0 ELSE tok_chars / CAST(n_tokens AS DOUBLE) END AS avg_token_len,
+         CASE WHEN n_tokens = 0 THEN 0.0 ELSE sw_hits / CAST(n_tokens AS DOUBLE) END AS stopword_ratio,
+         CASE WHEN n_chars = 0.0 THEN 0.0 ELSE n_punct / n_chars END AS punct_ratio
+  FROM base
+),
+qual AS (
+  SELECT doc_id, source, n_tokens,
+         round(
+           (0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+            + 0.3 * (CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 10.0 THEN 1.0 ELSE 0.5 END)
+            + 0.3 * least(stopword_ratio * 4.0, 1.0))
+           * (1.0 - punct_ratio), 6) AS quality
+  FROM m
+)"""
+
+
+def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_tokens, quality) — Spark twin of _QUAL_SRC_CTE's
+    qual CTE, through the one-pass text-stats kernel."""
+    from fastembed_rs_spark.operators.fast_text import text_stat_counts_fast
+
+    docs = t(spark, sf_dir, "documents")
+    counts = text_stat_counts_fast(docs, "doc_id", "text", keep_cols=("source",))
+    return counts.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens"),
+        F.round(TS.quality_score_from_counts(), 6).alias("quality"),
+    )
+
+
+_MIX_BUDGET = 800  # tokens per source (absolute, like a real mixing recipe)
+
+
+@q(
+    "token_budget_mix",
+    f"""
+WITH {_QUAL_SRC_CTE},
+r AS (
+  SELECT source, doc_id, quality, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY quality DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tokens_before
+  FROM qual
+)
+SELECT source, doc_id, quality, n_tokens, tokens_before
+FROM r WHERE tokens_before < {_MIX_BUDGET}
+""",
+    "token-budget corpus mixing (the selection step of corpus assembly, "
+    "complementing domain_mix_weights' ratio step): per source, take docs "
+    "best-quality-first until the source's token budget is spent — a doc is "
+    "taken iff ANY budget remains before it, so the greedy fill is "
+    "deterministic and order-stable (rank on the ROUNDED quality, ties by "
+    "doc_id). One window per source: sources partition independently, so at "
+    "100 TB this is n_sources parallel sorts of corpus/n_sources each; a "
+    "heavily skewed source would two-level it (per-shard budget split) — "
+    "same shape as write_training_shards' per-stream cumsum",
+)
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored_docs(spark, sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        scored.withColumn(
+            "tokens_before",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+        )
+        .filter(F.col("tokens_before") < _MIX_BUDGET)
+        .select("source", "doc_id", "quality", "n_tokens", "tokens_before")
+    )
+
+
+_WS_K = 64  # sample size
+
+
+@q(
+    "weighted_sample",
+    f"""
+WITH {_QUAL_SRC_CTE},
+keyed AS (
+  SELECT doc_id, quality,
+         round(ln(({duck_token_hash("CAST(doc_id AS VARCHAR) || '#ws'")} + 1.0)
+                  / {HASH_MOD + 1}.0)
+               / greatest(quality, 0.001), 6) AS skey
+  FROM qual
+)
+SELECT doc_id, quality, skey,
+       CAST(row_number() OVER (ORDER BY skey DESC, doc_id ASC) AS BIGINT) AS rank
+FROM keyed
+QUALIFY rank <= {_WS_K}
+""",
+    "deterministic weighted sampling without replacement (Efraimidis-"
+    "Spirakis A-ES, 2006): key = u^(1/w) with u a seeded engine-shared "
+    "hash-uniform in (0,1] and w the doc quality score, computed in log "
+    "space (ln(u)/w is the same ordering with one transcendental and no "
+    "pow), top-k by key. Inclusion probability is proportional-to-weight "
+    "without replacement, yet fully replayable: same seed string, same "
+    "sample, on any engine. Shuffle-free key map + distributed TakeOrdered "
+    "— the 100 TB shape is one scan, never a global sort; ranking uses the "
+    "ROUNDED key (ties by doc_id) per the catalog determinism policy",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import token_hash
+
+    scored = _scored_docs(spark, sf_dir)
+    hh = token_hash(F.concat(F.col("doc_id").cast("string"), F.lit("#ws")))
+    u = (hh + F.lit(1.0)) / F.lit(float(HASH_MOD + 1))
+    skey = F.round(
+        F.log(u) / F.greatest(F.col("quality"), F.lit(0.001)), 6
+    )
+    keyed = scored.select("doc_id", "quality", skey.alias("skey"))
+    top = keyed.orderBy(F.desc("skey"), F.asc("doc_id")).limit(_WS_K)
+    w = Window.orderBy(F.desc("skey"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+@q(
+    "dedup_keep_best",
+    f"""
+WITH RECURSIVE {_QUAL_SRC_CTE},
+g AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len({duck_tokens('text')}) >= 3 THEN
+           list_transform(generate_series(1, len({duck_tokens('text')}) - 2),
+             i -> concat_ws(' ', {duck_tokens('text')}[i], {duck_tokens('text')}[i+1], {duck_tokens('text')}[i+2]))
+         ELSE [] END) AS grams
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE round(CASE WHEN (len(a.grams) = 0 AND len(b.grams) = 0) THEN 0.0 ELSE
+      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / (CAST(len(a.grams) AS DOUBLE) + CAST(len(b.grams) AS DOUBLE)
+         - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)) END, 6) >= 0.5
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+labeled AS (
+  SELECT q.doc_id, q.quality, coalesce(c.component, q.doc_id) AS component
+  FROM qual q LEFT JOIN comp c ON q.doc_id = c.node
+)
+SELECT doc_id, component,
+       CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size,
+       quality,
+       CAST(CASE WHEN row_number() OVER (
+              PARTITION BY component ORDER BY quality DESC, doc_id ASC) = 1
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM labeled
+""",
+    "quality-aware dedup survivor selection (RefinedWeb-style keep policy): "
+    "3-gram Jaccard near-dup pairs -> connected components -> within every "
+    "cluster keep the argmax-quality doc (ties: min id) instead of the "
+    "min-id canonical that semantic_dedup/corpus_curation use — WHICH "
+    "duplicate survives is a curation decision, not an arbitrary one. "
+    "Singletons (docs in no pair) survive unchanged via a left join against "
+    "the label table, which stays pair-bounded (broadcast-able when dups "
+    "are sparse). operators/dedup.py::keep_best_representative; the argmax "
+    "window partitions by component — near-dup clusters, bounded fan-in, "
+    "never corpus-sized partitions",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    scored = _scored_docs(spark, sf_dir)
+    return D.keep_best_representative(
+        scored, pairs.select("id_a", "id_b"), "doc_id", "quality"
+    )
+
+
+_BACKOFF_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {duck_tokens('text')} AS tk FROM documents),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(tk) - 2),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tg
+  FROM toks WHERE len(tk) >= 3
+),
+c3g AS (SELECT tg, CAST(count(*) AS DOUBLE) AS c123 FROM tri
+        WHERE doc_id % 2 = 0 GROUP BY tg),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i+1])) AS bg
+  FROM toks WHERE len(tk) >= 2
+),
+c2g AS (SELECT bg, CAST(count(*) AS DOUBLE) AS c FROM big
+        WHERE doc_id % 2 = 0 GROUP BY bg),
+uni AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+c1g AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM uni
+        WHERE doc_id % 2 = 0 GROUP BY w),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM uni WHERE doc_id % 2 = 0),
+per AS (SELECT doc_id, tg, CAST(count(*) AS BIGINT) AS k FROM tri
+        WHERE doc_id % 2 = 1 GROUP BY doc_id, tg),
+sc AS (
+  SELECT per.doc_id, per.k,
+         -ln(CASE WHEN coalesce(c3g.c123, 0.0) > 0.0 THEN c3g.c123 / c12.c
+                  WHEN coalesce(c23.c, 0.0) > 0.0 THEN 0.4 * c23.c / cu2.c
+                  ELSE 0.4 * 0.4 * (coalesce(cu3.c, 0.0) + 0.5) / (nn.n + 0.5)
+             END) AS s
+  FROM per
+  LEFT JOIN c3g ON per.tg = c3g.tg
+  LEFT JOIN c2g c12 ON split_part(per.tg, ' ', 1) || ' ' || split_part(per.tg, ' ', 2) = c12.bg
+  LEFT JOIN c2g c23 ON split_part(per.tg, ' ', 2) || ' ' || split_part(per.tg, ' ', 3) = c23.bg
+  LEFT JOIN c1g cu2 ON split_part(per.tg, ' ', 2) = cu2.w
+  LEFT JOIN c1g cu3 ON split_part(per.tg, ' ', 3) = cu3.w
+  CROSS JOIN nn
+)
+SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_trigrams,
+       round(sum(k * s) / sum(k), 6) AS surprisal
+FROM sc GROUP BY doc_id
+"""
+
+
+@q(
+    "backoff_trigram_score",
+    _BACKOFF_ORACLE,
+    "held-out stupid-backoff trigram LM scoring (Brants et al. 2007, the "
+    "web-scale LM quality filter): train raw trigram/bigram/unigram counts "
+    "on the even-doc_id half of the corpus, score each odd-doc_id doc by "
+    "mean -ln S(w3|w1,w2) where S backs off c123/c12 -> 0.4*c23/c2 -> "
+    "0.4*0.4*(c3+0.5)/(N+0.5) (add-half floor so OOV words score finitely). "
+    "Held-out split makes backoff REAL — unlike self-scoring, unseen "
+    "trigrams actually occur. Unlike bigram_surprisal's interpolation this "
+    "is the sparse-count regime: the trigram/bigram type tables join the "
+    "per-doc types by key (shuffle joins — at 100 TB they outgrow "
+    "broadcast by design); unigram marginal + N broadcast. Per-doc trigram "
+    "types materialize ONCE (localCheckpoint) and feed nothing else — the "
+    "LM side derives from the train split only",
+)
+def q_backoff_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import tokens as sp_tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tk = sp_tokens("text")
+    n3 = F.greatest(F.size(tk) - 2, F.lit(0))
+    tri = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(tk, 1, n3).alias("w1"),
+                F.slice(tk, 2, n3).alias("w2"),
+                F.slice(tk, 3, n3).alias("w3"),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        F.col("p.w1").alias("w1"),
+        F.col("p.w2").alias("w2"),
+        F.col("p.w3").alias("w3"),
+    )
+    n2 = F.greatest(F.size(tk) - 1, F.lit(0))
+    big = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.explode(
+            F.arrays_zip(F.slice(tk, 1, n2).alias("wa"), F.slice(tk, 2, n2).alias("wb"))
+        ).alias("p")
+    ).select(F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb"))
+    uni = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.explode(tk).alias("w")
+    )
+
+    c3g = (
+        tri.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("double").alias("c123"))
+    )
+    c2g = big.groupBy("wa", "wb").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    c1g = uni.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    nn = uni.agg(F.count(F.lit(1)).cast("double").alias("n"))
+
+    per = (
+        tri.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("doc_id", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint()
+    )
+    c12 = c2g.select(F.col("wa").alias("w1"), F.col("wb").alias("w2"), F.col("c").alias("c12"))
+    c23 = c2g.select(F.col("wa").alias("w2"), F.col("wb").alias("w3"), F.col("c").alias("c23"))
+    cu2 = c1g.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    cu3 = c1g.select(F.col("w").alias("w3"), F.col("c").alias("c3"))
+    joined = (
+        per.join(c3g, ["w1", "w2", "w3"], "left")
+        .join(c12, ["w1", "w2"], "left")
+        .join(c23, ["w2", "w3"], "left")
+        .join(F.broadcast(cu2), "w2", "left")
+        .join(F.broadcast(cu3), "w3", "left")
+        .crossJoin(F.broadcast(nn))
+    )
+    s = -F.log(
+        F.when(F.coalesce(F.col("c123"), F.lit(0.0)) > 0.0, F.col("c123") / F.col("c12"))
+        .when(
+            F.coalesce(F.col("c23"), F.lit(0.0)) > 0.0,
+            F.lit(0.4) * F.col("c23") / F.col("c2"),
+        )
+        .otherwise(
+            F.lit(0.4) * F.lit(0.4) * (F.coalesce(F.col("c3"), F.lit(0.0)) + F.lit(0.5))
+            / (F.col("n") + F.lit(0.5))
+        )
+    )
+    return (
+        joined.select("doc_id", "k", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_trigrams"),
+            F.round(F.sum(F.col("k") * F.col("s")) / F.sum("k"), 6).alias("surprisal"),
+        )
+    )
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import (
         duck_cms,
@@ -5630,6 +5962,10 @@ _fill_sketch_oracles()
 # list below is the round-4 snapshot, kept ONLY as the fallback when no
 # driver artifacts are readable (fresh clone without history).
 _DRIVER_PRIORITY: list[str] = [
+    "token_budget_mix",
+    "weighted_sample",
+    "dedup_keep_best",
+    "backoff_trigram_score",
     "ann_pq_rescore",
     "ann_ivf_pq_topk",
     "crossmodal_similarity",

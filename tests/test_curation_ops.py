@@ -119,3 +119,92 @@ def test_pii_redaction_is_complete(spark, catalog):
         else:
             assert r["n_emails"] == 0 and r["n_longnums"] == 0
     assert n_email_docs > 0 and n_num_docs > 0
+
+
+# ---------------------------------------------------------------------------
+# round-6 corpus-assembly operators
+# ---------------------------------------------------------------------------
+
+def test_keep_best_representative_semantics(spark):
+    """Argmax-quality survivor per cluster, min-id tiebreak, singletons
+    survive — on a hand-built graph where the answer is obvious."""
+    from fastembed_rs_spark.operators.dedup import keep_best_representative
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (10, 0.1), (11, 0.3)],
+        "doc_id long, quality double",
+    )
+    # cluster A = {1,2,3} (chain), cluster B = {10,11}, singleton {4}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r for r in
+           keep_best_representative(docs, pairs, "doc_id", "quality").collect()}
+    assert len(out) == 6
+    # argmax quality 0.9 shared by 2 and 3 -> min id 2 survives
+    assert [out[i]["keep"] for i in (1, 2, 3)] == [0, 1, 0]
+    assert all(out[i]["cluster_size"] == 3 for i in (1, 2, 3))
+    assert all(out[i]["component"] == 1 for i in (1, 2, 3))
+    assert [out[10]["keep"], out[11]["keep"]] == [0, 1]  # 0.3 > 0.1
+    assert out[4]["keep"] == 1 and out[4]["cluster_size"] == 1
+    # exactly one survivor per component
+    comp_keeps: dict[int, int] = {}
+    for r in out.values():
+        comp_keeps[r["component"]] = comp_keeps.get(r["component"], 0) + r["keep"]
+    assert set(comp_keeps.values()) == {1}
+
+
+def test_token_budget_mix_is_greedy_quality_prefix(spark, catalog):
+    """Kept docs per source are exactly the best-quality-first prefix whose
+    pre-doc cumulative token count is under the budget."""
+    from fastembed_rs_spark.queries import _MIX_BUDGET, _scored_docs
+
+    kept = catalog["token_budget_mix"].spark(spark, SF).collect()
+    scored = _scored_docs(spark, SF).collect()
+    by_src: dict[str, list] = {}
+    for r in scored:
+        by_src.setdefault(r["source"], []).append(r)
+    expect: dict[str, set] = {}
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: (-r["quality"], r["doc_id"]))
+        cum, ids = 0, set()
+        for r in rows:
+            if cum < _MIX_BUDGET:
+                ids.add(r["doc_id"])
+            cum += r["n_tokens"]
+        expect[src] = ids
+    got: dict[str, set] = {}
+    for r in kept:
+        assert r["tokens_before"] < _MIX_BUDGET
+        got.setdefault(r["source"], set()).add(r["doc_id"])
+    assert got == expect
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, catalog):
+    """Exactly k ranked rows, deterministic across runs, and the
+    quality-weighted sample's mean quality exceeds the corpus mean."""
+    from fastembed_rs_spark.queries import _WS_K, _scored_docs
+
+    out = catalog["weighted_sample"].spark(spark, SF).collect()
+    assert sorted(r["rank"] for r in out) == list(range(1, _WS_K + 1))
+    again = catalog["weighted_sample"].spark(spark, SF).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    corpus = _scored_docs(spark, SF).collect()
+    corpus_mean = sum(r["quality"] for r in corpus) / len(corpus)
+    sample_mean = sum(r["quality"] for r in out) / len(out)
+    assert sample_mean > corpus_mean
+
+
+def test_backoff_score_held_out_split(spark, catalog):
+    """Scores exist only for the held-out (odd) split, are positive, and
+    n_trigrams matches the doc's token count."""
+    from fastembed_rs_spark.functions.text import tokens
+
+    out = catalog["backoff_trigram_score"].spark(spark, SF).collect()
+    assert out and all(r["doc_id"] % 2 == 1 for r in out)
+    assert all(r["surprisal"] > 0.0 for r in out)
+    lens = {r["doc_id"]: r["n"] for r in
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", F.size(tokens("text")).alias("n")).collect()}
+    for r in out:
+        assert r["n_trigrams"] == max(lens[r["doc_id"]] - 2, 0)
