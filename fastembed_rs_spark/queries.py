@@ -5911,6 +5911,183 @@ def q_backoff_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic snapshot mutation shared by both engines: the "new" table
+# is derived from orders, so the diff has a known ground truth without a
+# second physical table. Deletes, reclassifications and inserts all hit.
+_DIFF_DEL, _DIFF_CHG, _DIFF_ADD = 97, 11, 131
+_DIFF_ADD_OFFSET = 10_000_000
+
+
+@q(
+    "snapshot_diff",
+    f"""
+WITH old AS (
+  SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderpriority AS prio
+  FROM orders
+),
+new AS (
+  SELECT k, o_custkey, o_orderstatus, cents,
+         CASE WHEN k % {_DIFF_CHG} = 0 THEN '9-RECLASS' ELSE prio END AS prio
+  FROM old WHERE k % {_DIFF_DEL} <> 0
+  UNION ALL
+  SELECT k + {_DIFF_ADD_OFFSET}, o_custkey, o_orderstatus, cents, prio
+  FROM old WHERE k % {_DIFF_ADD} = 0
+),
+od AS (SELECT k, {duck_token_hash(
+        "CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' || "
+        "CAST(cents AS VARCHAR) || '|' || prio")} AS dg FROM old),
+nd AS (SELECT k, {duck_token_hash(
+        "CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' || "
+        "CAST(cents AS VARCHAR) || '|' || prio")} AS dg FROM new),
+j AS (
+  SELECT coalesce(od.k, nd.k) AS k,
+         CASE WHEN od.k IS NULL THEN 'added'
+              WHEN nd.k IS NULL THEN 'removed'
+              WHEN od.dg <> nd.dg THEN 'changed'
+              ELSE 'unchanged' END AS change_class
+  FROM od FULL OUTER JOIN nd ON od.k = nd.k
+)
+SELECT change_class, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS key_checksum
+FROM j GROUP BY change_class
+""",
+    "CDC-style snapshot diff (the lakehouse table-maintenance primitive): "
+    "full outer join of two snapshot versions on the key, rows classified "
+    "added/removed/changed/unchanged by comparing an engine-shared content "
+    "digest (exact integers only — money as cents — so the digest never "
+    "sees float formatting). The 'new' snapshot is a deterministic "
+    "mutation of orders (delete k%97, reclassify k%11, insert k%131 under "
+    "an offset), giving the diff a known ground truth without a second "
+    "table. Output pins per-class membership via a key checksum. Scale "
+    "shape: ONE co-partitioned full outer join on the key — with both "
+    "snapshots bucketed by key (sources/io.py::write_bucketed) it runs "
+    "shuffle-free; digests compare 8-byte longs, never row payloads",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import token_hash
+
+    orders = t(spark, sf_dir, "orders")
+    old = orders.select(
+        F.col("o_orderkey").alias("k"),
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    new = old.filter(F.col("k") % _DIFF_DEL != 0).withColumn(
+        "prio",
+        F.when(F.col("k") % _DIFF_CHG == 0, F.lit("9-RECLASS")).otherwise(
+            F.col("prio")
+        ),
+    ).unionAll(
+        old.filter(F.col("k") % _DIFF_ADD == 0).withColumn(
+            "k", F.col("k") + F.lit(_DIFF_ADD_OFFSET)
+        )
+    )
+
+    def digest(df: DataFrame) -> DataFrame:
+        return df.select(
+            "k",
+            token_hash(
+                F.concat_ws(
+                    "|",
+                    F.col("o_custkey").cast("string"),
+                    "o_orderstatus",
+                    F.col("cents").cast("string"),
+                    "prio",
+                )
+            ).alias("dg"),
+        )
+
+    od = digest(old).withColumnRenamed("dg", "odg")
+    nd = digest(new).withColumnRenamed("dg", "ndg")
+    j = od.join(nd.withColumnRenamed("k", "nk"), od["k"] == F.col("nk"), "full_outer")
+    cls = (
+        F.when(F.col("k").isNull(), F.lit("added"))
+        .when(F.col("nk").isNull(), F.lit("removed"))
+        .when(F.col("odg") != F.col("ndg"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(F.coalesce("k", "nk").alias("k"), cls.alias("change_class"))
+        .groupBy("change_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("key_checksum"),
+        )
+    )
+
+
+# learned BPE merge ranking as DATA (model-as-data, like _QC_WEIGHTS): the
+# apply step is Sennrich et al. 2016's procedure — each merge applied
+# globally, in rank order. Literals shared verbatim with the oracle.
+_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"),
+    ("i", "n"), ("e", "r"), ("o", "n"), ("r", "e"),
+)
+
+
+def _duck_bpe_apply(var: str) -> str:
+    s = f"trim(regexp_replace({var}, '(.)', '\\1 ', 'g'))"
+    for a, b in _BPE_MERGES:
+        s = f"replace({s}, '{a} {b}', '{a}{b}')"
+    return s
+
+
+@q(
+    "bpe_apply",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({duck_tokens('text')}) AS tok FROM documents
+),
+pieces AS (
+  SELECT doc_id,
+         CAST(len(string_split({_duck_bpe_apply('tok')}, ' ')) AS BIGINT) AS np
+  FROM toks
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(np) AS BIGINT) AS n_pieces,
+       round(CAST(sum(np) AS DOUBLE) / count(*), 6) AS pieces_per_token
+FROM pieces GROUP BY doc_id
+""",
+    "BPE tokenizer APPLICATION (the deploy half of bpe_merge_step's "
+    "training half): each word becomes its character sequence, then the "
+    "learned merge table — a broadcast model-as-data literal list — is "
+    "applied globally in rank order, exactly Sennrich et al. 2016's apply "
+    "procedure (left-to-right non-overlapping replace per rank, identical "
+    "on both engines). Per-doc piece counts and pieces-per-token "
+    "(the fertility metric that decides if a tokenizer fits a corpus). "
+    "Pure codegen string ops over one corpus scan — no shuffle except the "
+    "final per-doc agg; merges travel in the plan, not in a join",
+)
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import tokens as sp_tokens
+
+    docs = t(spark, sf_dir, "documents")
+
+    def apply_merges(tok: F.Column) -> F.Column:
+        cur = F.trim(F.regexp_replace(tok, "(.)", "$1 "))
+        for a, b in _BPE_MERGES:
+            cur = F.replace(cur, F.lit(f"{a} {b}"), F.lit(f"{a}{b}"))
+        return cur
+
+    per_tok = docs.select(
+        "doc_id", F.explode(sp_tokens("text")).alias("tok")
+    ).select(
+        "doc_id",
+        F.size(F.split(apply_merges(F.col("tok")), " ")).cast("long").alias("np"),
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("np").cast("long").alias("n_pieces"),
+        F.round(
+            F.sum("np").cast("double") / F.count(F.lit(1)), 6
+        ).alias("pieces_per_token"),
+    )
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import (
         duck_cms,
@@ -5962,6 +6139,8 @@ _fill_sketch_oracles()
 # list below is the round-4 snapshot, kept ONLY as the fallback when no
 # driver artifacts are readable (fresh clone without history).
 _DRIVER_PRIORITY: list[str] = [
+    "snapshot_diff",
+    "bpe_apply",
     "token_budget_mix",
     "weighted_sample",
     "dedup_keep_best",

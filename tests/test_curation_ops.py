@@ -208,3 +208,51 @@ def test_backoff_score_held_out_split(spark, catalog):
             .select("doc_id", F.size(tokens("text")).alias("n")).collect()}
     for r in out:
         assert r["n_trigrams"] == max(lens[r["doc_id"]] - 2, 0)
+
+
+def test_snapshot_diff_classes_partition_the_keyspace(spark, catalog):
+    """Class counts must match the mutation rules exactly, and the four
+    classes partition old ∪ new."""
+    from fastembed_rs_spark.queries import (
+        _DIFF_ADD, _DIFF_CHG, _DIFF_DEL, t as load,
+    )
+
+    out = {r["change_class"]: r for r in
+           catalog["snapshot_diff"].spark(spark, SF).collect()}
+    keys = [r["o_orderkey"] for r in
+            load(spark, SF, "orders").select("o_orderkey").collect()]
+    removed = {k for k in keys if k % _DIFF_DEL == 0}
+    changed = {k for k in keys if k % _DIFF_CHG == 0} - removed
+    added = {k for k in keys if k % _DIFF_ADD == 0}
+    assert out["removed"]["n"] == len(removed)
+    assert out["changed"]["n"] == len(changed)
+    assert out["added"]["n"] == len(added)
+    assert out["unchanged"]["n"] == len(keys) - len(removed) - len(changed)
+    assert out["removed"]["key_checksum"] == sum(removed)
+    assert out["changed"]["key_checksum"] == sum(changed)
+
+
+def test_bpe_apply_matches_reference_merge_walk(spark, catalog):
+    """Piece counts equal a pure-Python replay of the rank-ordered merge
+    walk (Sennrich apply) on a sample of docs."""
+    from fastembed_rs_spark.queries import _BPE_MERGES
+    import re as _re
+
+    def pieces(word: str) -> int:
+        cur = " ".join(word)
+        for a, b in _BPE_MERGES:
+            cur = cur.replace(f"{a} {b}", f"{a}{b}")
+        return len(cur.split(" "))
+
+    out = {r["doc_id"]: r for r in
+           catalog["bpe_apply"].spark(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20).collect()
+    for d in docs:
+        toks = [w for w in _re.split(r"[^a-z0-9]+", d["text"].lower()) if w]
+        if not toks:
+            assert d["doc_id"] not in out
+            continue
+        assert out[d["doc_id"]]["n_tokens"] == len(toks)
+        assert out[d["doc_id"]]["n_pieces"] == sum(pieces(w) for w in toks)
+        # merging can only shrink: pieces never exceed characters
+        assert out[d["doc_id"]]["n_pieces"] <= sum(len(w) for w in toks)
