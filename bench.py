@@ -24,6 +24,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "group_winsorize",
+    "stratified_split",
     "snapshot_diff",
     "bpe_apply",
     "token_budget_mix",

@@ -6088,6 +6088,132 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "group_winsorize",
+    f"""
+WITH h AS (
+  SELECT event_type, value,
+         {duck_token_hash("CAST(event_id AS VARCHAR) || '#wins'")} AS hh
+  FROM events
+),
+s AS (
+  SELECT event_type, value FROM h
+  QUALIFY row_number() OVER (PARTITION BY event_type
+                             ORDER BY hh, value) <= 256
+),
+b AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.05), 6) AS lo,
+         round(quantile_cont(value, 0.95), 6) AS hi
+  FROM s GROUP BY event_type
+)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n, b.lo, b.hi,
+       round(avg(least(greatest(e.value, b.lo), b.hi)), 6) AS winsorized_mean,
+       CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type, b.lo, b.hi
+""",
+    "per-group winsorized statistics (the robust-feature-engineering "
+    "staple): p05/p95 clip bounds come from the replayable bottom-k-by-"
+    "hash sample (same KMV machinery as value_percentiles_sampled_by_type "
+    "— WindowGroupLimit caps every group's buffer, exact interpolated "
+    "percentiles over 256 rows), then one clamp-and-aggregate pass over "
+    "the full table with the KB-sized bounds broadcast. Unlike a true "
+    "per-group percentile this never sorts the corpus: sample is rank-"
+    "limited, clip pass is a broadcast join + codegen least/greatest",
+)
+def q_group_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import token_hash
+
+    ev = t(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type", "value",
+        token_hash(
+            F.concat(F.col("event_id").cast("string"), F.lit("#wins"))
+        ).alias("__h"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.asc("__h"), F.asc("value"))
+    samp = hashed.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= 256
+    )
+    bounds = samp.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("hi"),
+    )
+    cv = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg(cv), 6).alias("winsorized_mean"),
+            F.sum((F.col("value") < F.col("lo")).cast("long"))
+            .cast("long").alias("n_clipped_low"),
+            F.sum((F.col("value") > F.col("hi")).cast("long"))
+            .cast("long").alias("n_clipped_high"),
+        )
+        .select(
+            "event_type", "n", "lo", "hi",
+            "winsorized_mean", "n_clipped_low", "n_clipped_high",
+        )
+    )
+
+
+@q(
+    "stratified_split",
+    f"""
+WITH b AS (
+  SELECT doc_id, source,
+         (({duck_token_hash("CAST(doc_id AS VARCHAR) || '#split'")}
+           * 2654435761) % 4294967296) * 1000 // 4294967296 AS bkt
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source,
+         CASE WHEN bkt < 800 THEN 'train'
+              WHEN bkt < 900 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT source, split, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM s GROUP BY source, split
+""",
+    "deterministic stratified train/val/test split (80/10/10): every doc's "
+    "split comes from the seeded engine-shared hash pushed through the "
+    "same multiplicative scramble as hash_sample, so the assignment is "
+    "reproducible across engines/runs/epochs and join-consistent with any "
+    "other keyed artifact. Output pins per-(source, split) membership via "
+    "an id checksum. Pure codegen map + one partial-agg groupBy — no "
+    "shuffle of the corpus itself, ever",
+)
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import token_hash
+
+    docs = t(spark, sf_dir, "documents")
+    hh = token_hash(F.concat(F.col("doc_id").cast("string"), F.lit("#split")))
+    # exact int64 math end-to-end (div, not /): same Fibonacci mix as
+    # operators.scale.hash_sample and the _DET_SAMPLE oracle
+    bkt = F.expr("((__sg_h * 2654435761) % 4294967296) * 1000 div 4294967296")
+    split = (
+        F.when(bkt < 800, F.lit("train"))
+        .when(bkt < 900, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.withColumn("__sg_h", hh)
+        .select("doc_id", "source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+    )
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import (
         duck_cms,
@@ -6139,6 +6265,8 @@ _fill_sketch_oracles()
 # list below is the round-4 snapshot, kept ONLY as the fallback when no
 # driver artifacts are readable (fresh clone without history).
 _DRIVER_PRIORITY: list[str] = [
+    "group_winsorize",
+    "stratified_split",
     "snapshot_diff",
     "bpe_apply",
     "token_budget_mix",

@@ -256,3 +256,42 @@ def test_bpe_apply_matches_reference_merge_walk(spark, catalog):
         assert out[d["doc_id"]]["n_pieces"] == sum(pieces(w) for w in toks)
         # merging can only shrink: pieces never exceed characters
         assert out[d["doc_id"]]["n_pieces"] <= sum(len(w) for w in toks)
+
+
+def test_group_winsorize_clip_accounting(spark, catalog):
+    """Bounds sit inside each group's range, the clip counters match a
+    direct recount, and the winsorized mean is inside [lo, hi]."""
+    out = catalog["group_winsorize"].spark(spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_type", "value").collect()
+    by_type: dict[str, list[float]] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    assert {r["event_type"] for r in out} == set(by_type)
+    for r in out:
+        vals = by_type[r["event_type"]]
+        assert r["n"] == len(vals)
+        assert r["lo"] <= r["hi"]
+        assert r["n_clipped_low"] == sum(1 for v in vals if v < r["lo"])
+        assert r["n_clipped_high"] == sum(1 for v in vals if v > r["hi"])
+        assert r["lo"] <= r["winsorized_mean"] <= r["hi"]
+
+
+def test_stratified_split_partitions_and_ratios(spark, catalog):
+    """Per-source counts sum to the source size, assignment is
+    deterministic, and the global split ratio is near 80/10/10."""
+    out = catalog["stratified_split"].spark(spark, SF).collect()
+    again = catalog["stratified_split"].spark(spark, SF).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    src_n: dict[str, int] = {}
+    split_n: dict[str, int] = {}
+    for r in out:
+        src_n[r["source"]] = src_n.get(r["source"], 0) + r["n"]
+        split_n[r["split"]] = split_n.get(r["split"], 0) + r["n"]
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    truth = {r["source"]: r["n"] for r in
+             docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert src_n == truth
+    total = sum(split_n.values())
+    assert 0.7 < split_n["train"] / total < 0.9
+    assert split_n["val"] / total < 0.2 and split_n["test"] / total < 0.2
