@@ -5935,19 +5935,15 @@ new AS (
   SELECT k + {_DIFF_ADD_OFFSET}, o_custkey, o_orderstatus, cents, prio
   FROM old WHERE k % {_DIFF_ADD} = 0
 ),
-od AS (SELECT k, {duck_token_hash(
-        "CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' || "
-        "CAST(cents AS VARCHAR) || '|' || prio")} AS dg FROM old),
-nd AS (SELECT k, {duck_token_hash(
-        "CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' || "
-        "CAST(cents AS VARCHAR) || '|' || prio")} AS dg FROM new),
 j AS (
-  SELECT coalesce(od.k, nd.k) AS k,
-         CASE WHEN od.k IS NULL THEN 'added'
-              WHEN nd.k IS NULL THEN 'removed'
-              WHEN od.dg <> nd.dg THEN 'changed'
+  SELECT coalesce(o.k, n.k) AS k,
+         CASE WHEN o.k IS NULL THEN 'added'
+              WHEN n.k IS NULL THEN 'removed'
+              WHEN o.o_custkey <> n.o_custkey
+                   OR o.o_orderstatus <> n.o_orderstatus
+                   OR o.cents <> n.cents OR o.prio <> n.prio THEN 'changed'
               ELSE 'unchanged' END AS change_class
-  FROM od FULL OUTER JOIN nd ON od.k = nd.k
+  FROM old o FULL OUTER JOIN new n ON o.k = n.k
 )
 SELECT change_class, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(k) AS BIGINT) AS key_checksum
@@ -5955,19 +5951,19 @@ FROM j GROUP BY change_class
 """,
     "CDC-style snapshot diff (the lakehouse table-maintenance primitive): "
     "full outer join of two snapshot versions on the key, rows classified "
-    "added/removed/changed/unchanged by comparing an engine-shared content "
-    "digest (exact integers only — money as cents — so the digest never "
-    "sees float formatting). The 'new' snapshot is a deterministic "
-    "mutation of orders (delete k%97, reclassify k%11, insert k%131 under "
-    "an offset), giving the diff a known ground truth without a second "
-    "table. Output pins per-class membership via a key checksum. Scale "
-    "shape: ONE co-partitioned full outer join on the key — with both "
-    "snapshots bucketed by key (sources/io.py::write_bucketed) it runs "
-    "shuffle-free; digests compare 8-byte longs, never row payloads",
+    "added/removed/changed/unchanged by direct codegen column comparison "
+    "on exact values (money as integer cents so no float formatting is "
+    "compared). The 'new' snapshot is a deterministic mutation of orders "
+    "(delete k%97, reclassify k%11, insert k%131 under an offset), giving "
+    "the diff a known ground truth without a second table. Output pins "
+    "per-class membership via a key checksum. Scale shape: ONE "
+    "co-partitioned full outer join on the key — with both snapshots "
+    "bucketed by key (sources/io.py) it runs shuffle-free. Column-compare "
+    "measured 12x faster than a row-digest variant at sf0.1 (the rolling "
+    "hash costs per-char per row); a WIDE table would pre-digest each row "
+    "once at write time instead — never per-diff",
 )
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastembed_rs_spark.functions.text import token_hash
-
     orders = t(spark, sf_dir, "orders")
     old = orders.select(
         F.col("o_orderkey").alias("k"),
@@ -5987,27 +5983,24 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def digest(df: DataFrame) -> DataFrame:
-        return df.select(
-            "k",
-            token_hash(
-                F.concat_ws(
-                    "|",
-                    F.col("o_custkey").cast("string"),
-                    "o_orderstatus",
-                    F.col("cents").cast("string"),
-                    "prio",
-                )
-            ).alias("dg"),
-        )
-
-    od = digest(old).withColumnRenamed("dg", "odg")
-    nd = digest(new).withColumnRenamed("dg", "ndg")
-    j = od.join(nd.withColumnRenamed("k", "nk"), od["k"] == F.col("nk"), "full_outer")
+    nd = new.select(
+        F.col("k").alias("nk"),
+        F.col("o_custkey").alias("nc"),
+        F.col("o_orderstatus").alias("ns"),
+        F.col("cents").alias("ncents"),
+        F.col("prio").alias("nprio"),
+    )
+    j = old.join(nd, old["k"] == F.col("nk"), "full_outer")
+    changed = (
+        (F.col("o_custkey") != F.col("nc"))
+        | (F.col("o_orderstatus") != F.col("ns"))
+        | (F.col("cents") != F.col("ncents"))
+        | (F.col("prio") != F.col("nprio"))
+    )
     cls = (
         F.when(F.col("k").isNull(), F.lit("added"))
         .when(F.col("nk").isNull(), F.lit("removed"))
-        .when(F.col("odg") != F.col("ndg"), F.lit("changed"))
+        .when(changed, F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return (
