@@ -93,7 +93,11 @@ def _download(url: str, dst: str) -> None:
         dir=os.path.dirname(dst),
     )
     try:
-        with urllib.request.urlopen(url) as resp, os.fdopen(fd, "wb") as out:
+        # fdopen FIRST: once the fd is inside the context manager it closes
+        # even when urlopen raises — the other order leaked one fd per
+        # failed resolve (EMFILE on a long-lived reused worker retrying a
+        # dead endpoint).
+        with os.fdopen(fd, "wb") as out, urllib.request.urlopen(url) as resp:
             shutil.copyfileobj(resp, out)
         os.replace(tmp, dst)
     finally:

@@ -160,6 +160,17 @@ def _build_onnx(spec: ModelSpec, opts: SessionOptions):
     so.intra_op_num_threads = opts.resolved_intra()
     eps = list(opts.resolved_eps())
     if model_bytes is not None:
+        if spec.additional_files:
+            # ORT resolves a graph's external-data references relative to
+            # the model FILE's directory; an in-memory graph has none, so
+            # the session build would fail after the (successful) download
+            # with an opaque loader error. Refuse up front with the fix.
+            raise ValueError(
+                f"model {spec.name!r} uses external data files "
+                f"{spec.additional_files!r}; onnxruntime cannot resolve "
+                "them for an in-memory graph (OnnxSource::Memory). Load "
+                "this model from the cache path instead (omit model_bytes)."
+            )
         # OnnxSource::Memory: graph from bytes (broadcast-friendly)
         session = ort.InferenceSession(model_bytes, sess_options=so, providers=eps)
     else:
@@ -182,12 +193,26 @@ def _unwrap_bytes(b):
     return b.value
 
 
+#: digest memo keyed by id() of the live bytes object, with a strong
+#: keepalive reference so the id can never be recycled while the entry
+#: exists (and an identity re-check besides). A broadcast's .value is one
+#: object per worker, so every task after the first gets the digest for
+#: free instead of re-hashing hundreds of MB per task.
+_DIGEST_MEMO: dict[int, tuple[object, str]] = {}
+
+
 def _bytes_digest(b) -> str | None:
     if b is None:
         return None
+    raw = _unwrap_bytes(b)
+    hit = _DIGEST_MEMO.get(id(raw))
+    if hit is not None and hit[0] is raw:
+        return hit[1]
     import hashlib
 
-    return hashlib.sha256(_unwrap_bytes(b)).hexdigest()[:16]
+    dig = hashlib.sha256(raw).hexdigest()[:16]
+    _DIGEST_MEMO[id(raw)] = (raw, dig)
+    return dig
 
 
 def _build_stub(spec: ModelSpec):

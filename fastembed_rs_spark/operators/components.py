@@ -58,6 +58,18 @@ def connected_components(
     edges ≈ 16 MB driver memory; above the threshold the distributed loop
     runs unchanged. Both tiers produce identical labels (pinned by test).
     """
+    # Integral ids only: min-label components AND the decimal Σcomp
+    # convergence probe both need numeric ids — a string id would CAST to
+    # NULL in the probe, making both round-sums None and faking instant
+    # convergence (silently wrong labels). Fail loudly instead; callers
+    # with string keys should first densify them (zipWithIndex / xxhash64).
+    dts = dict(edges.dtypes)
+    for c in (src, dst):
+        if dts.get(c) not in ("bigint", "int", "smallint", "tinyint"):
+            raise TypeError(
+                f"connected_components needs integral node ids; column {c!r} "
+                f"is {dts.get(c)!r} — map string keys to dense/hashed longs first"
+            )
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint()

@@ -955,9 +955,16 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ALL_SW = ", ".join(f"'{w}'" for w in sorted({w for ws in TS.STOPWORDS.values() for w in ws}))
 
-_QUALITY_ORACLE = f"""
-WITH base AS (
-  SELECT doc_id,
+
+def _duck_stats_ctes(carry: str = "") -> str:
+    """``base``/``m`` CTE chain — the ONE source of truth for the per-doc
+    text statistics in oracle SQL (mirror of text_stat_counts_fast +
+    textstats *_from_counts). ``m`` exposes doc_id{carry}, n_tokens,
+    avg_token_len, stopword_ratio, punct_ratio; ``carry`` threads extra
+    document columns through (e.g. ", source"). Every quality-consuming
+    oracle composes this — never a second copy of the formulas."""
+    return f"""base AS (
+  SELECT doc_id{carry},
          CAST(len({duck_tokens('text')}) AS BIGINT) AS n_tokens,
          CAST(coalesce(list_sum(list_transform({duck_tokens('text')}, tk -> length(tk))), 0) AS DOUBLE) AS tok_chars,
          CAST(len(list_filter({duck_tokens('text')}, tk -> list_contains([{_ALL_SW}], tk))) AS DOUBLE) AS sw_hits,
@@ -966,21 +973,41 @@ WITH base AS (
   FROM documents
 ),
 m AS (
-  SELECT doc_id, n_tokens,
+  SELECT doc_id{carry}, n_tokens,
          CASE WHEN n_tokens = 0 THEN 0.0 ELSE tok_chars / CAST(n_tokens AS DOUBLE) END AS avg_token_len,
          CASE WHEN n_tokens = 0 THEN 0.0 ELSE sw_hits / CAST(n_tokens AS DOUBLE) END AS stopword_ratio,
          CASE WHEN n_chars = 0.0 THEN 0.0 ELSE n_punct / n_chars END AS punct_ratio
   FROM base
-)
+)"""
+
+
+#: the quality-score formula over m's columns (twin of
+#: textstats.quality_score_from_counts) — shared by every oracle below
+_DUCK_QUALITY_EXPR = """round(
+           (0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+            + 0.3 * (CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 10.0 THEN 1.0 ELSE 0.5 END)
+            + 0.3 * least(stopword_ratio * 4.0, 1.0))
+           * (1.0 - punct_ratio), 6)"""
+
+
+def _duck_quality_ctes(carry: str = "", keep: str = ", n_tokens",
+                       alias: str = "quality") -> str:
+    """base/m/qual chain ending in qual(doc_id{carry}{keep}, {alias})."""
+    return f"""{_duck_stats_ctes(carry)},
+qual AS (
+  SELECT doc_id{carry}{keep},
+         {_DUCK_QUALITY_EXPR} AS {alias}
+  FROM m
+)"""
+
+
+_QUALITY_ORACLE = f"""
+WITH {_duck_stats_ctes()}
 SELECT doc_id, n_tokens,
        round(avg_token_len, 6) AS avg_token_len,
        round(stopword_ratio, 6) AS stopword_ratio,
        round(punct_ratio, 6) AS punct_ratio,
-       round(
-         (0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
-          + 0.3 * (CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 10.0 THEN 1.0 ELSE 0.5 END)
-          + 0.3 * least(stopword_ratio * 4.0, 1.0))
-         * (1.0 - punct_ratio), 6) AS quality
+       {_DUCK_QUALITY_EXPR} AS quality
 FROM m
 """
 
@@ -1950,19 +1977,20 @@ def q_crossmodal_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     texts = docs.filter(F.col("doc_id") < 4).select("doc_id", "text")
     tcoord = hash_embed_coords_fast(texts, "doc_id", "text", dim=64).select(
-        F.col("doc_id").alias("query_id"), "bucket", F.col("weight").alias("__tw")
+        F.col("doc_id").alias("query_id"), "bucket", "weight"
     )
     images = docs.filter(F.col("doc_id") % 7 == 0).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
     )
     icoord = byte_hash_coords(images, "doc_id", "content", dim=64).select(
-        F.col("doc_id").alias("image_id"), "bucket", F.col("weight").alias("__iw")
+        F.col("doc_id").alias("image_id"), "bucket", "weight"
     )
-    scored = (
-        icoord.join(F.broadcast(tcoord), "bucket")
-        .groupBy("query_id", "image_id")
-        .agg(F.round(F.sum(F.col("__tw") * F.col("__iw")), 6).alias("score"))
-    )
+    # the shared coordinate-form sparse dot (same op as sparse_dot_topk) —
+    # text side broadcast (few queries), image side streams
+    scored = EH.sparse_dot_coords(
+        F.broadcast(tcoord), icoord,
+        "query_id", "image_id", bucket_col="bucket", value_col="weight",
+    ).withColumnRenamed("dot", "score")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("image_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -2438,31 +2466,7 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quality CTE shared by the curation pipeline oracle (same formula as
 # _QUALITY_ORACLE, carrying lang and keeping the filterable rounded score)
 _CURATION_ORACLE = f"""
-WITH RECURSIVE base AS (
-  SELECT doc_id, lang, text,
-         CAST(len({duck_tokens('text')}) AS BIGINT) AS n_tokens,
-         CAST(coalesce(list_sum(list_transform({duck_tokens('text')}, tk -> length(tk))), 0) AS DOUBLE) AS tok_chars,
-         CAST(len(list_filter({duck_tokens('text')}, tk -> list_contains([{_ALL_SW}], tk))) AS DOUBLE) AS sw_hits,
-         CAST(length(text) AS DOUBLE) AS n_chars,
-         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct
-  FROM documents
-),
-m AS (
-  SELECT doc_id, lang, text, n_tokens,
-         CASE WHEN n_tokens = 0 THEN 0.0 ELSE tok_chars / CAST(n_tokens AS DOUBLE) END AS avg_token_len,
-         CASE WHEN n_tokens = 0 THEN 0.0 ELSE sw_hits / CAST(n_tokens AS DOUBLE) END AS stopword_ratio,
-         CASE WHEN n_chars = 0.0 THEN 0.0 ELSE n_punct / n_chars END AS punct_ratio
-  FROM base
-),
-qual AS (
-  SELECT doc_id, lang, text,
-         round(
-           (0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
-            + 0.3 * (CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 10.0 THEN 1.0 ELSE 0.5 END)
-            + 0.3 * least(stopword_ratio * 4.0, 1.0))
-           * (1.0 - punct_ratio), 6) AS q
-  FROM m
-),
+WITH RECURSIVE {_duck_quality_ctes(", lang, text", keep="", alias="q")},
 q_ok AS (SELECT * FROM qual WHERE q >= 0.5),
 fp AS (SELECT doc_id, lang, text,
               {duck_doc_fingerprint('text')} AS fingerprint FROM q_ok),
@@ -5474,24 +5478,14 @@ _QC_WEIGHTS = (
 )
 
 _QC_ORACLE = f"""
-WITH base AS (
-  SELECT doc_id,
-         CAST(len({duck_tokens('text')}) AS BIGINT) AS n_tokens,
-         CAST(coalesce(list_sum(list_transform({duck_tokens('text')}, tk -> length(tk))), 0) AS DOUBLE) AS tok_chars,
-         CAST(len(list_filter({duck_tokens('text')}, tk -> list_contains([{_ALL_SW}], tk))) AS DOUBLE) AS sw_hits,
-         CAST(length(text) AS DOUBLE) AS n_chars,
-         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct
-  FROM documents
-),
-m AS (
+WITH {_duck_stats_ctes()},
+feats AS (
   SELECT doc_id,
          least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) AS f_len,
-         least(CASE WHEN n_tokens = 0 THEN 0.0
-                    ELSE sw_hits / CAST(n_tokens AS DOUBLE) END * 4.0, 1.0) AS f_sw,
-         CASE WHEN n_chars = 0.0 THEN 0.0 ELSE n_punct / n_chars END AS f_punct,
-         CASE WHEN n_tokens = 0 THEN 0.0
-              ELSE tok_chars / CAST(n_tokens AS DOUBLE) END AS f_atl
-  FROM base
+         least(stopword_ratio * 4.0, 1.0) AS f_sw,
+         punct_ratio AS f_punct,
+         avg_token_len AS f_atl
+  FROM m
 ),
 wts AS (
   SELECT * FROM (VALUES {", ".join(f"('{f}', {w})" for f, w in _QC_WEIGHTS)})
@@ -5509,7 +5503,7 @@ z AS (
   SELECT doc_id,
          round(w_bias + w_len * f_len + w_sw * f_sw + w_punct * f_punct
                + w_atl * f_atl, 6) AS z
-  FROM m CROSS JOIN wrow
+  FROM feats CROSS JOIN wrow
 )
 SELECT doc_id, z,
        round(1.0 / (1.0 + exp(-z)), 6) AS score,
@@ -5579,33 +5573,10 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# shared quality CTE (same formula as _QUALITY_ORACLE) carrying source —
-# feeds the corpus-assembly oracles below
-_QUAL_SRC_CTE = f"""base AS (
-  SELECT doc_id, source,
-         CAST(len({duck_tokens('text')}) AS BIGINT) AS n_tokens,
-         CAST(coalesce(list_sum(list_transform({duck_tokens('text')}, tk -> length(tk))), 0) AS DOUBLE) AS tok_chars,
-         CAST(len(list_filter({duck_tokens('text')}, tk -> list_contains([{_ALL_SW}], tk))) AS DOUBLE) AS sw_hits,
-         CAST(length(text) AS DOUBLE) AS n_chars,
-         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct
-  FROM documents
-),
-m AS (
-  SELECT doc_id, source, n_tokens,
-         CASE WHEN n_tokens = 0 THEN 0.0 ELSE tok_chars / CAST(n_tokens AS DOUBLE) END AS avg_token_len,
-         CASE WHEN n_tokens = 0 THEN 0.0 ELSE sw_hits / CAST(n_tokens AS DOUBLE) END AS stopword_ratio,
-         CASE WHEN n_chars = 0.0 THEN 0.0 ELSE n_punct / n_chars END AS punct_ratio
-  FROM base
-),
-qual AS (
-  SELECT doc_id, source, n_tokens,
-         round(
-           (0.4 * least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
-            + 0.3 * (CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 10.0 THEN 1.0 ELSE 0.5 END)
-            + 0.3 * least(stopword_ratio * 4.0, 1.0))
-           * (1.0 - punct_ratio), 6) AS quality
-  FROM m
-)"""
+# shared quality CTE chain (base/m/qual via the single-source builders
+# next to _QUALITY_ORACLE) carrying source — feeds the corpus-assembly
+# oracles below
+_QUAL_SRC_CTE = _duck_quality_ctes(", source")
 
 
 def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -269,3 +269,51 @@ def test_byo_bytes_ride_session_options(fake_ort, tmp_path, monkeypatch):
     assert h.spec.kind == "rerank"
     tok, session = get_session(h.spec, h.session_options)
     assert fake_ort["source"] == b"RERANK-GRAPH"
+
+
+def test_bytes_plus_external_data_refused(fake_ort, hub, tmp_path, monkeypatch):
+    """OnnxSource::Memory cannot resolve external-data weight files (ORT
+    resolves them relative to the model FILE's dir, which bytes lack) —
+    the combination must fail loudly up front, not as an opaque loader
+    error after a successful download."""
+    monkeypatch.setenv("HF_ENDPOINT", hub.as_uri())
+    spec = ModelSpec(
+        name="byo-ext-model", dim=8, model_code="acme/test-model",
+        kind="dense", additional_files=("model.onnx_data",),
+    )
+    opts = SessionOptions(
+        cache_dir=str(tmp_path / "cache"),
+        model_bytes=b"GRAPH", tokenizer_bytes=b"{}",
+    )
+    with pytest.raises(ValueError, match="external data"):
+        get_session(spec, opts)
+
+
+def test_bytes_digest_memoized_per_object():
+    """The session-key digest is computed once per live bytes object
+    (broadcast .value is one object per worker): repeated key() calls do
+    not re-hash the payload."""
+    import hashlib
+
+    from fastembed_rs_spark.models import runtime as rt
+
+    blob = b"x" * 1024
+    d1 = rt._bytes_digest(blob)
+    assert d1 == hashlib.sha256(blob).hexdigest()[:16]
+    memo = rt._DIGEST_MEMO[id(blob)]
+    assert memo == (blob, d1)
+    # same object -> memo hit (entry object unchanged)
+    assert rt._bytes_digest(blob) is memo[1]
+    # equal but distinct object -> its own entry, same hex
+    blob2 = b"x" * 1024
+    assert rt._bytes_digest(blob2) == d1
+
+
+def test_connected_components_rejects_string_ids(spark):
+    """String ids would NULL out the decimal convergence probe and fake
+    instant convergence — the guard fails loudly instead."""
+    from fastembed_rs_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    with pytest.raises(TypeError, match="integral node ids"):
+        connected_components(edges)
