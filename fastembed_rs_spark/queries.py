@@ -5736,7 +5736,11 @@ FROM labeled
 )
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    # ADAPTIVE pair generator: identical pairs to the inverted index at any
+    # threshold > 0, but flips to the prefix-filtered shape when boilerplate
+    # grams make ΣC(df,2) explode — the composition inherits the jaccard
+    # family's scale behavior instead of pinning the worst shape
+    pairs = D.jaccard_pairs_adaptive(docs, "doc_id", "text", n=3, threshold=0.5)
     scored = _scored_docs(spark, sf_dir)
     return D.keep_best_representative(
         scored, pairs.select("id_a", "id_b"), "doc_id", "quality"
@@ -6363,9 +6367,12 @@ def _last_driver_round() -> dict[str, int]:
 #: CORRECTNESS round — sorted ahead of even never-seen queries so the
 #: driver's ~50-row window re-verifies them THIS round. Refresh per round.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "crossmodal_similarity",          # r6: SQL-verifiable hash towers
+    "crossmodal_similarity",          # r6: hash towers + shared sparse dot
     "returned_items_top_customers",   # r6: integer ten-thousandths money sum
     "top_supplier_revenue",           # r6: integer ten-thousandths money sum
+    "text_quality",                   # r6: oracle on shared stats CTE builder
+    "corpus_curation",                # r6: oracle on shared quality CTE builder
+    "quality_classifier",             # r6: oracle features from shared m CTE
 )
 
 
