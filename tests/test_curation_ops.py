@@ -295,3 +295,50 @@ def test_stratified_split_partitions_and_ratios(spark, catalog):
     total = sum(split_n.values())
     assert 0.7 < split_n["train"] / total < 0.9
     assert split_n["val"] / total < 0.2 and split_n["test"] / total < 0.2
+
+
+def test_keep_best_representative_matches_union_find_reference(spark):
+    """Random pair graphs + random scores: the distributed CC + argmax must
+    equal a pure-Python union-find with the same keep policy (argmax score,
+    min-id ties), including singleton handling."""
+    import random
+
+    from fastembed_rs_spark.operators.dedup import keep_best_representative
+
+    for seed in (7, 23, 101):
+        rng = random.Random(seed)
+        n = 60
+        ids = list(range(n))
+        scores = {i: round(rng.random(), 6) for i in ids}
+        pairs = sorted({
+            tuple(sorted(rng.sample(ids, 2))) for _ in range(rng.randint(5, 40))
+        })
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        comp_of = {i: min(j for j in ids if find(j) == find(i)) for i in ids}
+        members: dict[int, list[int]] = {}
+        for i in ids:
+            members.setdefault(comp_of[i], []).append(i)
+        expect = {}
+        for c, ms in members.items():
+            keeper = min(ms, key=lambda i: (-scores[i], i))
+            for i in ms:
+                expect[i] = (c, len(ms), int(i == keeper))
+
+        docs = spark.createDataFrame(
+            [(i, scores[i]) for i in ids], "doc_id long, quality double"
+        )
+        edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {
+            r["doc_id"]: (r["component"], r["cluster_size"], r["keep"])
+            for r in keep_best_representative(docs, edges, "doc_id", "quality").collect()
+        }
+        assert got == expect, f"seed {seed}"
