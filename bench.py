@@ -24,6 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "ann_rq_adc_topk",
     "group_winsorize",
     "stratified_split",
     "snapshot_diff",

@@ -389,3 +389,85 @@ def ivf_pq_topk(
         folded.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def rq_encode(
+    corpus: DataFrame, id_col: str, vec_col: str, dim: int,
+    every1: int = 50, every2: int = 37, round_to: int = 6,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Two-level residual quantization (the RQ shape faiss calls
+    ResidualQuantizer, level count 2): level-1 codebook = every
+    ``every1``-th corpus vector; each vector takes its nearest L1 code by
+    squared L2 (rounded, ties code_id asc), leaves a residual; level-2
+    codebook = the residuals of every ``every2``-th vector; residuals take
+    their nearest L2 code the same way. Deterministic and SQL-mirrorable
+    like sample_pq_codebooks. Returns (codes(id, c1_id, c2_id), books1,
+    books2) with books as (code_id, code_vec array<double>).
+
+    Scale shape: both codebooks are O(corpus/every) rows of dim doubles —
+    broadcast constants; encoding is two broadcast nested-loop argmins
+    (one corpus scan each, no shuffle); the codes table the search scans
+    carries TWO ints per vector instead of dim floats."""
+    v = _to_double(vec_col)
+    base = corpus.select(F.col(id_col), v.alias("__v"))
+    b1 = base.filter(F.col(id_col) % every1 == 0).select(
+        F.col(id_col).alias("c1_id"), F.col("__v").alias("c1_vec")
+    )
+    w1 = Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("c1_id"))
+    a1 = (
+        base.crossJoin(F.broadcast(b1))
+        .withColumn("__d2", F.round(_sq_dist_fixed("__v", "c1_vec", dim), round_to))
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col, "c1_id",
+            F.zip_with("__v", "c1_vec", lambda x, y: x - y).alias("__r"),
+        )
+    )
+    b2 = a1.filter(F.col(id_col) % every2 == 0).select(
+        F.col(id_col).alias("c2_id"), F.col("__r").alias("c2_vec")
+    )
+    w2 = Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("c2_id"))
+    a2 = (
+        a1.crossJoin(F.broadcast(b2))
+        .withColumn("__d2", F.round(_sq_dist_fixed("__r", "c2_vec", dim), round_to))
+        .withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "c1_id", "c2_id")
+    )
+    return a2, b1, b2
+
+
+def rq_adc_topk(
+    queries: DataFrame, codes: DataFrame, books1: DataFrame, books2: DataFrame,
+    id_col: str = "vec_id", query_id: str = "query_id",
+    query_vec: str = "query_vec", k: int = 10, dim: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance search over RQ codes: dot(q, c1 + c2) =
+    dot(q, c1) + dot(q, c2), so the score is two LUT lookups + one add —
+    the scan never touches a full vector. LUTs are queries x codebook
+    (both tiny, broadcast); per-level dots are rounded before the add so
+    ranking replays identically cross-engine."""
+    qs = queries.select(F.col(query_id), _to_double(query_vec).alias("__q"))
+    l1 = qs.crossJoin(F.broadcast(books1)).select(
+        query_id, "c1_id",
+        F.round(_dot_fixed("__q", "c1_vec", dim), round_to).alias("__dot1"),
+    )
+    l2 = qs.crossJoin(F.broadcast(books2)).select(
+        query_id, "c2_id",
+        F.round(_dot_fixed("__q", "c2_vec", dim), round_to).alias("__dot2"),
+    )
+    scored = (
+        codes.join(F.broadcast(l1), on="c1_id")
+        .join(F.broadcast(l2), on=[query_id, "c2_id"])
+        .select(
+            query_id, id_col,
+            F.round(F.col("__dot1") + F.col("__dot2"), round_to).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -6182,6 +6182,97 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RQ_E1, _RQ_E2 = 50, 37
+
+
+def _dk_sqdist(a: str, b: str) -> str:
+    return (
+        f"coalesce(list_sum(list_transform(generate_series(1, least(len({a}), len({b}))), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), 0.0)"
+    )
+
+
+@q(
+    "ann_rq_adc_topk",
+    f"""
+WITH b1 AS (
+  SELECT vec_id AS c1_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c1_vec
+  FROM embeddings WHERE vec_id % {_RQ_E1} = 0
+),
+ev AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+a1 AS (
+  SELECT e.vec_id, e.v, b.c1_id, b.c1_vec,
+         round({_dk_sqdist('e.v', 'b.c1_vec')}, 6) AS d2
+  FROM ev e CROSS JOIN b1 b
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d2 ASC, b.c1_id ASC) = 1
+),
+resid AS (
+  SELECT vec_id, c1_id,
+         list_transform(generate_series(1, least(len(v), len(c1_vec))),
+                        i -> v[i] - c1_vec[i]) AS r
+  FROM a1
+),
+b2 AS (SELECT vec_id AS c2_id, r AS c2_vec FROM resid WHERE vec_id % {_RQ_E2} = 0),
+a2 AS (
+  SELECT resid.vec_id, resid.c1_id, b.c2_id,
+         round({_dk_sqdist('resid.r', 'b.c2_vec')}, 6) AS d2
+  FROM resid CROSS JOIN b2 b
+  QUALIFY row_number() OVER (PARTITION BY resid.vec_id ORDER BY d2 ASC, b.c2_id ASC) = 1
+),
+qv AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE vec_id < 5
+),
+l1 AS (
+  SELECT q.query_id, b.c1_id, round({_dk_dot('q.qe', 'b.c1_vec')}, 6) AS dot1
+  FROM qv q CROSS JOIN b1 b
+),
+l2 AS (
+  SELECT q.query_id, b.c2_id, round({_dk_dot('q.qe', 'b.c2_vec')}, 6) AS dot2
+  FROM qv q CROSS JOIN b2 b
+),
+scored AS (
+  SELECT l1.query_id, a2.vec_id, round(l1.dot1 + l2.dot2, 6) AS score
+  FROM a2
+  JOIN l1 ON a2.c1_id = l1.c1_id
+  JOIN l2 ON a2.c2_id = l2.c2_id AND l2.query_id = l1.query_id
+)
+SELECT query_id, vec_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 10
+""",
+    "residual-quantization ADC search (2-level RQ, the faiss "
+    "ResidualQuantizer shape; completes the quantized-search family next "
+    "to PQ subspace codes): L1 codebook quantizes the vector, L2 codebook "
+    "quantizes what L1 missed, score = dot(q, c1) + dot(q, c2) — two LUT "
+    "lookups and one add per candidate, the scan never touches a full "
+    "vector. Both codebooks are corpus/every samples (deterministic, "
+    "SQL-mirrorable like sample_pq_codebooks): broadcast constants; "
+    "encoding is two broadcast argmin scans, no shuffle; the searched "
+    "codes table is TWO ints per vector. operators/pq.py::rq_encode / "
+    "rq_adc_topk",
+)
+def q_ann_rq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators import pq
+
+    emb = t(spark, sf_dir, "embeddings")
+    codes, b1, b2 = pq.rq_encode(
+        emb, "vec_id", "embedding", dim=EMB_DIM, every1=_RQ_E1, every2=_RQ_E2
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = pq.rq_adc_topk(queries, codes, b1, b2, k=10, dim=EMB_DIM)
+    return out.select("query_id", "vec_id", "score", "rank")
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import (
         duck_cms,
@@ -6233,6 +6324,7 @@ _fill_sketch_oracles()
 # list below is the round-4 snapshot, kept ONLY as the fallback when no
 # driver artifacts are readable (fresh clone without history).
 _DRIVER_PRIORITY: list[str] = [
+    "ann_rq_adc_topk",
     "group_winsorize",
     "stratified_split",
     "snapshot_diff",

@@ -175,3 +175,38 @@ def test_ivf_pq_full_probe_equals_plain_adc(spark, emb):
         probed_sizes.setdefault(r["query_id"], set()).add(assigned[r["vec_id"]])
     # all results of a query come from ONE probed bucket
     assert all(len(buckets) == 1 for buckets in probed_sizes.values())
+
+
+def test_rq_residual_refinement_improves_reconstruction(spark):
+    """Level-2 codes must reduce mean reconstruction error vs level-1
+    alone (that's what residual quantization IS), and the ADC score must
+    equal dot(q, c1 + c2) recomputed in numpy."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fastembed_rs_spark.operators.pq import rq_adc_topk, rq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    codes, b1, b2 = rq_encode(emb, "vec_id", "embedding", dim=64)
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    c1 = {r["c1_id"]: np.asarray(r["c1_vec"]) for r in b1.collect()}
+    c2 = {r["c2_id"]: np.asarray(r["c2_vec"]) for r in b2.collect()}
+    asg = {r["vec_id"]: (r["c1_id"], r["c2_id"]) for r in codes.collect()}
+    assert set(asg) == set(vecs)
+    e1 = e2 = 0.0
+    for vid, (a, b) in asg.items():
+        v = vecs[vid]
+        e1 += float(np.linalg.norm(v - c1[a]))
+        e2 += float(np.linalg.norm(v - (c1[a] + c2[b])))
+    assert e2 < e1  # the second level refines, never degrades on average
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = rq_adc_topk(queries, codes, b1, b2, k=10, dim=64).collect()
+    for r in out[:20]:
+        a, b = asg[r["vec_id"]]
+        q = vecs[r["query_id"]]
+        exp = round(round(float(q @ c1[a]), 6) + round(float(q @ c2[b]), 6), 6)
+        assert abs(r["score"] - exp) < 1e-9
