@@ -471,3 +471,34 @@ def rq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def rq_adc_rescore_topk(
+    queries: DataFrame, codes: DataFrame, books1: DataFrame, books2: DataFrame,
+    vectors: DataFrame, k: int, rescore_factor: int = 4,
+    query_id: str = "query_id", query_vec: str = "query_vec",
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = 64, round_to: int = 6,
+) -> DataFrame:
+    """RQ-ADC shortlist + exact cosine rescore — the same recall-recovery
+    tier as pq_adc_rescore_topk: the 2-int codes score the whole corpus,
+    only the top ``k·rescore_factor`` per query touch raw vectors."""
+    from fastembed_rs_spark.functions.vector import cosine_similarity
+
+    short = rq_adc_topk(
+        queries, codes, books1, books2, id_col=id_col, query_id=query_id,
+        query_vec=query_vec, k=k * rescore_factor, dim=dim, round_to=round_to,
+    ).select(query_id, id_col)
+    resc = (
+        short.join(vectors.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .select(
+            query_id, id_col,
+            F.round(cosine_similarity(vec_col, query_vec), round_to).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        resc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

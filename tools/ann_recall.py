@@ -165,6 +165,30 @@ def main() -> int:
     rows.append(("PQ-ADC trained + OPQ-lite + rescore x8",
                  recall(approx, exact), time.time() - t0))
 
+    # 2-level residual quantization: full-dim codebooks, ADC = LUT + add.
+    # Denser L1/L2 sampling than the catalog query (recall ladder wants an
+    # operating point, the oracle wants small codebooks)
+    from fastembed_rs_spark.operators.pq import (
+        rq_adc_rescore_topk, rq_adc_topk, rq_encode,
+    )
+
+    for e1, e2 in ((50, 37), (20, 13)):
+        codes, rb1, rb2 = rq_encode(
+            emb, "vec_id", "embedding", dim=64, every1=e1, every2=e2
+        )
+        codes = codes.localCheckpoint()
+        t0 = time.time()
+        approx = rq_adc_topk(qs, codes, rb1, rb2, k=K, dim=64).collect()
+        rows.append((f"RQ-ADC 2-level (n/{e1} + n/{e2} codes)",
+                     recall(approx, exact), time.time() - t0))
+        for rf in (4, 8):
+            t0 = time.time()
+            approx = rq_adc_rescore_topk(
+                qs, codes, rb1, rb2, emb, k=K, rescore_factor=rf
+            ).collect()
+            rows.append((f"RQ-ADC (n/{e1}+n/{e2}) + exact rescore x{rf}",
+                         recall(approx, exact), time.time() - t0))
+
     from fastembed_rs_spark.operators.quantize import (
         binary_hamming_top_k, int8_quant_top_k,
     )
@@ -261,7 +285,12 @@ def main() -> int:
         "cluster structure to fit — on real embedding corpora (strongly",
         "anisotropic) trained+rotated PQ is the difference between",
         "unusable and production recall, which is why both stay in the",
-        "toolbox with this worst-case floor documented. Binary Hamming scans all",
+        "toolbox with this worst-case floor documented. RQ-ADC's 2-level",
+        "codes suffer the same isotropy penalty doubled (the residual of",
+        "random data is just as structureless as the data), so its rescore",
+        "tiers are the usable operating points here; on clustered corpora",
+        "the L2 codebook captures real residual structure and RQ beats",
+        "single-level PQ at equal code budget. Binary Hamming scans all",
         "vectors at 16 B each; rescoring an oversampled candidate set",
         "recovers most of the sign-quantization loss — recall climbs with",
         "the oversample factor while the f32 reads stay proportional to",
