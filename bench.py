@@ -24,6 +24,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "skew_report",
+    "minhash_estimate_eval",
     "ann_rq_adc_topk",
     "group_winsorize",
     "stratified_split",

@@ -6273,6 +6273,165 @@ def q_ann_rq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "score", "rank")
 
 
+@q(
+    "skew_report",
+    """
+WITH g AS (
+  SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_custkey
+),
+s AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(n) AS BIGINT) AS max_group,
+         round(quantile_cont(n, 0.5), 6) AS p50_group,
+         round(quantile_cont(n, 0.99), 6) AS p99_group
+  FROM g
+)
+SELECT g.key, g.n,
+       CAST(row_number() OVER (ORDER BY g.n DESC, g.key ASC) AS BIGINT) AS rnk,
+       round(CAST(g.n AS DOUBLE) / s.total_rows, 6) AS share,
+       s.total_rows, s.n_keys, s.max_group, s.p50_group, s.p99_group
+FROM g, s
+QUALIFY rnk <= 5
+""",
+    "join-key skew diagnostic (the report that decides between a plain "
+    "shuffle join, AQE skew splitting, and scale.salted_join): per-key "
+    "group sizes -> top-5 heavy hitters with their share of the table, "
+    "plus global distribution stats (p50/p99/max group size, key count) "
+    "on every row. One keyed partial-agg scan; the percentile runs over "
+    "the key-count table (keys, not rows); heavy keys come from a "
+    "distributed TakeOrdered, stats ride a broadcast single-row join",
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    g = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    s = g.agg(
+        F.sum("n").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_group"),
+        F.round(F.expr("percentile(n, 0.5)"), 6).alias("p50_group"),
+        F.round(F.expr("percentile(n, 0.99)"), 6).alias("p99_group"),
+    )
+    top = g.orderBy(F.desc("n"), F.asc("key")).limit(5)
+    w = Window.orderBy(F.desc("n"), F.asc("key"))
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(s))
+        .select(
+            "key", "n", "rnk",
+            F.round(F.col("n").cast("double") / F.col("total_rows"), 6).alias("share"),
+            "total_rows", "n_keys", "max_group", "p50_group", "p99_group",
+        )
+    )
+
+
+def _minhash_eval_oracle() -> str:
+    sig_cols = ",\n    ".join(
+        f"MIN((hs * {a} + {b}) % {HASH_MOD}) AS mh_{i}"
+        for i, (a, b) in enumerate(D.MINHASH_COEFFS)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {bnum} AS band_idx, concat_ws('_', "
+        + ", ".join(f"mh_{bnum * 4 + r}" for r in range(4))
+        + ") AS band_key FROM sig"
+        for bnum in range(4)
+    )
+    n_h = len(D.MINHASH_COEFFS)
+    est = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)" for i in range(n_h)
+    )
+    inter = "CAST(len(list_intersect(A.ss, B.ss)) AS DOUBLE)"
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_dk_shingles('text', 5)})) AS s
+  FROM documents
+),
+h AS (SELECT doc_id, {duck_token_hash('s')} AS hs FROM sh),
+sig AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
+bands AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+shingle_sets AS (
+  SELECT doc_id, list_distinct({_dk_shingles('text', 5)}) AS ss FROM documents
+)
+SELECT cand.id_a, cand.id_b,
+       round(
+         CASE WHEN (len(A.ss) = 0 AND len(B.ss) = 0) THEN 0.0 ELSE
+           {inter} / (CAST(len(A.ss) AS DOUBLE) + CAST(len(B.ss) AS DOUBLE) - {inter})
+         END, 6) AS jaccard,
+       round(({est}) / {n_h}.0, 6) AS est,
+       round(abs(round(({est}) / {n_h}.0, 6) -
+         round(
+           CASE WHEN (len(A.ss) = 0 AND len(B.ss) = 0) THEN 0.0 ELSE
+             {inter} / (CAST(len(A.ss) AS DOUBLE) + CAST(len(B.ss) AS DOUBLE) - {inter})
+           END, 6)), 6) AS abs_err
+FROM cand
+JOIN shingle_sets A ON cand.id_a = A.doc_id
+JOIN shingle_sets B ON cand.id_b = B.doc_id
+JOIN sig sa ON cand.id_a = sa.doc_id
+JOIN sig sb ON cand.id_b = sb.doc_id
+"""
+
+
+@q(
+    "minhash_estimate_eval",
+    _minhash_eval_oracle(),
+    "sketch-accuracy monitoring for the dedup pipeline: on every LSH "
+    "candidate pair, the MinHash-estimated Jaccard (fraction of matching "
+    "signature components — the unbiased estimator the banding math "
+    "assumes) next to the EXACT shingle Jaccard and the absolute error. "
+    "This is how a production pipeline validates its sketch parameters "
+    "(k hashes, band shape) on its own corpus before trusting them at "
+    "100 TB: error is inspected on the bounded candidate set only — no "
+    "all-pairs work; signatures join by id (16 longs/doc), the exact "
+    "verify is the same candidate-only pass minhash_lsh_neardup runs",
+)
+def q_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.fast_text import (
+        minhash_signatures_fast,
+        verify_candidates_fast,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures_fast(docs, "doc_id", "text", k_shingle=5)
+    sigs = sigs.localCheckpoint()  # feeds banding AND the estimate join
+    cand = D.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
+    exact = verify_candidates_fast(
+        cand, docs, "doc_id", "text", k_shingle=5, threshold=0.0
+    )
+    n_h = len(D.MINHASH_COEFFS)
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"__a{i}") for i in range(n_h)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"__b{i}") for i in range(n_h)],
+    )
+    match_terms = None
+    for i in range(n_h):
+        term = (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("int")
+        match_terms = term if match_terms is None else match_terms + term
+    est = F.round(match_terms / F.lit(float(n_h)), 6)
+    return (
+        exact.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", "jaccard",
+            est.alias("est"),
+            F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+        )
+    )
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import (
         duck_cms,
@@ -6324,6 +6483,8 @@ _fill_sketch_oracles()
 # list below is the round-4 snapshot, kept ONLY as the fallback when no
 # driver artifacts are readable (fresh clone without history).
 _DRIVER_PRIORITY: list[str] = [
+    "skew_report",
+    "minhash_estimate_eval",
     "ann_rq_adc_topk",
     "group_winsorize",
     "stratified_split",

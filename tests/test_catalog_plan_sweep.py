@@ -43,6 +43,7 @@ PYTHON_OK = {
     "cluster_balanced_sample",
     "lang_id", "text_quality", "quality_classifier",
     "token_budget_mix", "weighted_sample", "dedup_keep_best",
+    "minhash_estimate_eval",
     "exact_dedup", "dense_hash_embed", "splade_hash_sparse",
     "sparse_dot_topk", "hybrid_rrf_topk",
     "kmv_distinct", "hll_distinct", "hll_distinct_per_lang",

@@ -342,3 +342,38 @@ def test_keep_best_representative_matches_union_find_reference(spark):
             for r in keep_best_representative(docs, edges, "doc_id", "quality").collect()
         }
         assert got == expect, f"seed {seed}"
+
+
+def test_skew_report_stats_and_heavy_keys(spark, catalog):
+    """Global stats match a direct recount; heavy keys are the true top-5
+    with correct shares on every row."""
+    out = catalog["skew_report"].spark(spark, SF).collect()
+    orders = spark.read.parquet(f"{SF}/orders.parquet").collect()
+    counts: dict[int, int] = {}
+    for r in orders:
+        counts[r["o_custkey"]] = counts.get(r["o_custkey"], 0) + 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["key"], r["n"]) for r in sorted(out, key=lambda r: r["rnk"])] == top
+    for r in out:
+        assert r["total_rows"] == len(orders)
+        assert r["n_keys"] == len(counts)
+        assert r["max_group"] == max(counts.values())
+        assert abs(r["share"] - r["n"] / len(orders)) < 1e-6
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, catalog):
+    """The signature estimate must actually track exact Jaccard on the
+    candidate set: mean abs error well under 0.5 (16 hashes -> se ~0.125)
+    and est/jaccard positively correlated."""
+    out = catalog["minhash_estimate_eval"].spark(spark, SF).collect()
+    assert out
+    mae = sum(r["abs_err"] for r in out) / len(out)
+    assert mae < 0.3
+    xs = [r["jaccard"] for r in out]
+    ys = [r["est"] for r in out]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    vx = sum((x - mx) ** 2 for x in xs)
+    vy = sum((y - my) ** 2 for y in ys)
+    if vx > 0 and vy > 0:
+        assert cov / (vx * vy) ** 0.5 > 0.5
