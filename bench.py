@@ -24,6 +24,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "scd2_history",
+    "fuzzy_vocab_join",
+    "events_anomaly_days",
+    "chi2_token_select",
     "skew_report",
     "minhash_estimate_eval",
     "ann_rq_adc_topk",

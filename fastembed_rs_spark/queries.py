@@ -6432,6 +6432,332 @@ def q_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "scd2_history",
+    """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id
+  FROM events WHERE user_id % 10 = 0
+),
+r AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM e
+),
+runs AS (
+  SELECT user_id, event_type, ts, rn,
+         CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY rn) AS BIGINT) AS version
+  FROM r
+),
+v AS (
+  SELECT user_id, version, min(event_type) AS state,
+         CAST(min(ts) AS BIGINT) AS valid_from,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY user_id, version
+)
+SELECT user_id, version, state, valid_from,
+       coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version),
+                CAST(-1 AS BIGINT)) AS valid_to,
+       CAST(CASE WHEN lead(valid_from)
+                      OVER (PARTITION BY user_id ORDER BY version) IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+       n_events
+FROM v
+""",
+    "SCD type-2 dimension build from an event stream (the warehouse "
+    "pattern behind every `dim_*_history` table): per user, consecutive "
+    "runs of the same state collapse into one version row with "
+    "valid_from/valid_to nanos (valid_to = next version's start, -1 "
+    "sentinel = current — an open NULL would go float64 in the driver's "
+    "pandas canon), version number, is_current flag and the run's event "
+    "count. All three windows and the run groupBy share ONE partitioning "
+    "(user_id), so the whole build is a single shuffle; per-user history "
+    "fits a partition because versions are change-compressed, not "
+    "per-event. Deterministic under ts ties via the event_id tiebreak",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 0)
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.withColumn("rn", F.row_number().over(wo)).withColumn(
+        "prev", F.lag("event_type").over(wo)
+    )
+    wv = Window.partitionBy("user_id").orderBy("rn")
+    runs = r.withColumn(
+        "version",
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("prev") != F.col("event_type")), 1
+            ).otherwise(0)
+        )
+        .over(wv)
+        .cast("long"),
+    )
+    v = runs.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").cast("long").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("valid_from").over(ws)
+    return v.select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from",
+        F.coalesce(nxt, F.lit(-1).cast("long")).alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
+        "n_events",
+    )
+
+
+_FUZZY_DELETE_KEYS = (
+    "list_distinct(list_transform(generate_series(0, length({t})), "
+    "i -> CASE WHEN i = 0 THEN {t} "
+    "ELSE substr({t}, 1, i - 1) || substr({t}, i + 1) END))"
+)
+
+
+@q(
+    "fuzzy_vocab_join",
+    f"""
+WITH tk AS (
+  SELECT unnest({duck_tokens('p_name')}) AS tok FROM part
+),
+v AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM tk WHERE length(tok) >= 3 GROUP BY tok
+),
+keys AS (
+  SELECT tok, unnest({_FUZZY_DELETE_KEYS.format(t='tok')}) AS k FROM v
+),
+cand AS (
+  SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+  FROM keys a JOIN keys b ON a.k = b.k AND a.tok < b.tok
+)
+SELECT tok_a, tok_b, va.cnt AS cnt_a, vb.cnt AS cnt_b
+FROM cand
+JOIN v va ON cand.tok_a = va.tok
+JOIN v vb ON cand.tok_b = vb.tok
+WHERE levenshtein(tok_a, tok_b) = 1
+""",
+    "fuzzy vocabulary self-join via the SymSpell deletion neighborhood "
+    "(Garbe's symmetric-delete algorithm): every vocab token emits itself "
+    "plus its length single-character deletions as join keys; two tokens "
+    "at edit distance 1 PROVABLY share a key (substitution -> both delete "
+    "the differing position; insert/delete -> the longer's deletion equals "
+    "the shorter), so candidates come from a plain EQUI-join on an 8-byte-"
+    "ish key — never the O(V^2) blocked cross-join — and the exact "
+    "levenshtein verify runs on candidates only. This is the typo/variant "
+    "normalization step of a corpus vocab pipeline; at 100 TB the vocab "
+    "is Heaps-law sublinear in the corpus, keys fan out x(len+1), and "
+    "both the key join and the count joins stay key-partitioned",
+)
+def q_fuzzy_vocab_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import tokens as sp_tokens
+
+    part = t(spark, sf_dir, "part")
+    v = (
+        part.select(F.explode(sp_tokens("p_name")).alias("tok"))
+        .filter(F.length("tok") >= 3)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    del_keys = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.length("tok")),
+            lambda i: F.when(i == 0, F.col("tok")).otherwise(
+                F.concat(
+                    F.substring(F.col("tok"), F.lit(1), i - 1),
+                    F.substring(F.col("tok"), i + 1, F.length("tok")),
+                )
+            ),
+        )
+    )
+    keys = v.select("tok", F.explode(del_keys).alias("k"))
+    a = keys.select(F.col("tok").alias("tok_a"), "k")
+    b = keys.select(F.col("tok").alias("tok_b"), "k")
+    cand = (
+        a.join(b, "k")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b")
+        .distinct()
+        .filter(F.levenshtein("tok_a", "tok_b") == 1)
+    )
+    va = v.select(F.col("tok").alias("tok_a"), F.col("cnt").alias("cnt_a"))
+    vb = v.select(F.col("tok").alias("tok_b"), F.col("cnt").alias("cnt_b"))
+    return cand.join(va, "tok_a").join(vb, "tok_b").select(
+        "tok_a", "tok_b", "cnt_a", "cnt_b"
+    )
+
+
+@q(
+    "events_anomaly_days",
+    """
+WITH d AS (
+  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, day, n,
+         CAST(sum(n) OVER tw AS BIGINT) AS s1,
+         CAST(sum(n * n) OVER tw AS BIGINT) AS s2,
+         CAST(count(*) OVER tw AS BIGINT) AS c
+  FROM d
+  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n,
+       round(s1 / 7.0, 6) AS baseline_avg,
+       round(sqrt(greatest((s2 - s1 * s1 / 7.0) / 6.0, 0.0)), 6) AS baseline_std,
+       round(CASE WHEN sqrt(greatest((s2 - s1 * s1 / 7.0) / 6.0, 0.0)) = 0.0
+                  THEN 0.0
+                  ELSE (n - s1 / 7.0)
+                       / sqrt(greatest((s2 - s1 * s1 / 7.0) / 6.0, 0.0)) END,
+             6) AS zscore,
+       CAST(CASE WHEN abs(round(CASE
+                  WHEN sqrt(greatest((s2 - s1 * s1 / 7.0) / 6.0, 0.0)) = 0.0
+                  THEN 0.0
+                  ELSE (n - s1 / 7.0)
+                       / sqrt(greatest((s2 - s1 * s1 / 7.0) / 6.0, 0.0)) END,
+             6)) > 2.0 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM w WHERE c = 7
+""",
+    "time-series anomaly detection on ingest volume (the data-quality "
+    "monitor a 100 TB pipeline runs before trusting a day's partition): "
+    "per event-type daily counts, a trailing 7-day baseline (current day "
+    "EXCLUDED, only complete baselines emit), and a z-score flagging "
+    "|z| > 2 days. The baseline is computed from exact integer window "
+    "sums (sum n, sum n^2 — Welford-free) so both engines derive "
+    "bit-identical doubles from identical int64 inputs; the window runs "
+    "over the DAYS table (types x days rows, partial-agg'd map-side from "
+    "the raw events), so the sort inside the window is trivially small "
+    "no matter the corpus size",
+)
+def q_events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    d = (
+        ev.select("event_type", F.expr("ts div 86400000000000").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    w = (
+        d.withColumn("s1", F.sum("n").over(tw).cast("long"))
+        .withColumn("s2", F.sum(F.col("n") * F.col("n")).over(tw).cast("long"))
+        .withColumn("c", F.count(F.lit(1)).over(tw).cast("long"))
+        .filter(F.col("c") == 7)
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.lit(7.0)) / F.lit(6.0)
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(std == 0.0, F.lit(0.0)).otherwise(
+        (F.col("n") - F.col("s1") / F.lit(7.0)) / std
+    )
+    zr = F.round(z, 6)
+    return w.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(F.col("s1") / F.lit(7.0), 6).alias("baseline_avg"),
+        F.round(std, 6).alias("baseline_std"),
+        zr.alias("zscore"),
+        F.when(F.abs(zr) > 2.0, 1).otherwise(0).cast("long").alias("is_anomaly"),
+    )
+
+
+@q(
+    "chi2_token_select",
+    f"""
+WITH tk AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         unnest(list_distinct({duck_tokens('text')})) AS tok
+  FROM documents
+),
+j AS (
+  SELECT tok, CAST(sum(pos) AS BIGINT) AS a,
+         CAST(sum(1 - pos) AS BIGINT) AS b
+  FROM tk GROUP BY tok
+),
+tot AS (
+  SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS nn
+  FROM documents
+),
+scored AS (
+  SELECT tok, a, b,
+         round(CASE WHEN np + nn - a - b = 0 THEN 0.0 ELSE
+           (CAST(np + nn AS DOUBLE)
+            * CAST(a * (nn - b) - b * (np - a) AS DOUBLE)
+            * CAST(a * (nn - b) - b * (np - a) AS DOUBLE))
+           / (CAST(a + b AS DOUBLE) * CAST(np + nn - a - b AS DOUBLE)
+              * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))
+         END, 6) AS chi2
+  FROM j, tot
+)
+SELECT tok, a, b, chi2,
+       CAST(row_number() OVER (ORDER BY chi2 DESC, tok ASC) AS BIGINT) AS rnk
+FROM scored
+QUALIFY rnk <= 50
+""",
+    "chi-squared feature selection for the quality/language classifier "
+    "(the 2x2-contingency test every bag-of-words spam/domain filter "
+    "starts from): per token, document frequency inside vs outside the "
+    "lang='en' class, chi2 = N(ad-bc)^2/((a+b)(c+d)(a+c)(b+d)), top-50 "
+    "tokens by score. The label travels ON the token row (lang and text "
+    "come from the same record — no corpus-sized join), the contingency "
+    "cells are one partial-agg'd groupBy over distinct (doc, token) "
+    "pairs, class totals ride a broadcast single-row crossJoin, and the "
+    "final ranking is a distributed TakeOrdered over the vocab with the "
+    "row_number window touching only the 50 survivors",
+)
+def q_chi2_token_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import tokens as sp_tokens
+
+    docs = t(spark, sf_dir, "documents")
+    pos = F.when(F.col("lang") == "en", 1).otherwise(0)
+    tk = docs.select(
+        pos.alias("pos"), F.explode(F.array_distinct(sp_tokens("text"))).alias("tok")
+    )
+    j = tk.groupBy("tok").agg(
+        F.sum("pos").cast("long").alias("a"),
+        F.sum(F.lit(1) - F.col("pos")).cast("long").alias("b"),
+    )
+    tot = docs.agg(
+        F.sum(pos).cast("long").alias("np"),
+        F.sum(F.lit(1) - pos).cast("long").alias("nn"),
+    )
+    num = (
+        F.col("a") * (F.col("nn") - F.col("b"))
+        - F.col("b") * (F.col("np") - F.col("a"))
+    ).cast("double")
+    cd = F.col("np") + F.col("nn") - F.col("a") - F.col("b")
+    chi2 = F.when(cd == 0, F.lit(0.0)).otherwise(
+        ((F.col("np") + F.col("nn")).cast("double") * num * num)
+        / (
+            (F.col("a") + F.col("b")).cast("double")
+            * cd.cast("double")
+            * F.col("np").cast("double")
+            * F.col("nn").cast("double")
+        )
+    )
+    scored = j.crossJoin(F.broadcast(tot)).select(
+        "tok", "a", "b", F.round(chi2, 6).alias("chi2")
+    )
+    top = scored.orderBy(F.desc("chi2"), F.asc("tok")).limit(50)
+    wr = Window.orderBy(F.desc("chi2"), F.asc("tok"))
+    return top.withColumn("rnk", F.row_number().over(wr).cast("long"))
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import (
         duck_cms,
@@ -6483,6 +6809,10 @@ _fill_sketch_oracles()
 # list below is the round-4 snapshot, kept ONLY as the fallback when no
 # driver artifacts are readable (fresh clone without history).
 _DRIVER_PRIORITY: list[str] = [
+    "scd2_history",
+    "fuzzy_vocab_join",
+    "events_anomaly_days",
+    "chi2_token_select",
     "skew_report",
     "minhash_estimate_eval",
     "ann_rq_adc_topk",
