@@ -24,6 +24,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "graph_pagerank",
+    "graph_triangles",
+    "pareto_front",
+    "cluster_medoids",
+    "feature_correlations",
     "scd2_history",
     "fuzzy_vocab_join",
     "events_anomaly_days",

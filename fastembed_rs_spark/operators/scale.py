@@ -170,3 +170,55 @@ def hash_sample(
         )
         .drop("__sg_h")
     )
+
+
+def pareto_front_2d(
+    df: DataFrame,
+    cost_col: str,
+    gain_col: str,
+    prefilter_buckets: int = 64,
+) -> DataFrame:
+    """2-D skyline: rows not dominated by any other (lower-or-equal cost AND
+    higher-or-equal gain, strict in at least one). Both columns must be
+    integers (exact comparisons — the caller converts money to cents).
+
+    Shape: the classic sort-sweep ("keep iff gain beats the running max of
+    every strictly-cheaper row") expressed as two window maxes — O(n log n),
+    never the O(n²) NOT-EXISTS self-join. A global ORDER BY window is a
+    single-partition sort, so a LOCAL skyline prefilter runs first,
+    partitioned by a hash bucket: dominance within any subset implies
+    global dominance, and a global skyline row is undominated in every
+    subset, so the prefilter is exact (transitivity carries removed rows'
+    dominators to the survivor set). Survivors of per-bucket skylines are
+    near-skyline-sized in practice, so the single-partition final pass
+    touches a tiny fraction of the input. Equal (cost, gain) duplicates do
+    not dominate each other and all survive, matching the NOT-EXISTS
+    definition.
+    """
+    from pyspark.sql import Window
+
+    def _keep(d: DataFrame, part: list[str]) -> DataFrame:
+        w_lt = (
+            Window.partitionBy(*part)
+            .orderBy(cost_col)
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_eq = Window.partitionBy(*part, cost_col)
+        return (
+            d.withColumn("__mx_lt", F.max(gain_col).over(w_lt))
+            .withColumn("__mx_eq", F.max(gain_col).over(w_eq))
+            .filter(
+                F.col("__mx_lt").isNull() | (F.col(gain_col) > F.col("__mx_lt"))
+            )
+            .filter(F.col(gain_col) == F.col("__mx_eq"))
+            .drop("__mx_lt", "__mx_eq")
+        )
+
+    first = next(c for c in df.columns if c not in (cost_col, gain_col))
+    local = _keep(
+        df.withColumn(
+            "__bkt", F.pmod(F.hash(first), F.lit(prefilter_buckets))
+        ),
+        ["__bkt"],
+    ).drop("__bkt")
+    return _keep(local, [])

@@ -47,6 +47,7 @@ PYTHON_OK = {
     "exact_dedup", "dense_hash_embed", "splade_hash_sparse",
     "sparse_dot_topk", "hybrid_rrf_topk",
     "kmv_distinct", "hll_distinct", "hll_distinct_per_lang",
+    "cluster_medoids", "feature_correlations",
 }
 
 _PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",

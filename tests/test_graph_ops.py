@@ -1,0 +1,205 @@
+"""Semantics tests for the graph-analytics + skyline operators (r6):
+fixed-point PageRank, degree-ordered triangle counting, 2-D Pareto front,
+cluster medoids, integer-moment feature correlations."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "a long, b long"
+    )
+
+
+def _pagerank_reference(pairs, iters=5, damping_pct=85, scale=10**12):
+    """Pure-Python integer fixed-point PageRank — exact twin of
+    operators/graph.py::pagerank_fixedpoint (and the unrolled SQL oracle)."""
+    sym = {}
+    for a, b in pairs:
+        sym.setdefault(a, []).append(b)
+        sym.setdefault(b, []).append(a)
+    nodes = sorted(sym)
+    n = len(nodes)
+    base = ((100 - damping_pct) * scale) // (100 * n)
+    rank = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        nxt = {v: base for v in nodes}
+        for u, outs in sym.items():
+            share = (damping_pct * rank[u]) // (100 * len(outs))
+            for v in outs:
+                nxt[v] += share
+        rank = nxt
+    return rank
+
+
+def test_pagerank_matches_integer_reference_exactly(spark):
+    from fastembed_rs_spark.operators.graph import pagerank_fixedpoint
+
+    rng = random.Random(7)
+    nodes = list(range(1, 41))
+    pairs = sorted(
+        {tuple(sorted(rng.sample(nodes, 2))) for _ in range(120)}
+    )
+    got = {
+        r["node"]: r["rank_units"]
+        for r in pagerank_fixedpoint(_edges_df(spark, pairs), iters=5).collect()
+    }
+    assert got == _pagerank_reference(pairs)
+
+
+def test_pagerank_star_center_dominates(spark):
+    from fastembed_rs_spark.operators.graph import PR_SCALE, pagerank_fixedpoint
+
+    pairs = [(1, k) for k in range(2, 10)]
+    got = {
+        r["node"]: r["rank_units"]
+        for r in pagerank_fixedpoint(_edges_df(spark, pairs)).collect()
+    }
+    leaves = [got[k] for k in range(2, 10)]
+    assert got[1] > max(leaves)
+    assert len(set(leaves)) == 1  # symmetry
+    # integer floor loss only ever LOSES mass, and < 1 unit per edge-hop
+    assert 0 < sum(got.values()) <= PR_SCALE
+
+
+def _triangles_reference(pairs):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for v in (x, y, z):
+                counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+def test_triangles_known_graph(spark):
+    from fastembed_rs_spark.operators.graph import triangle_counts
+
+    # two triangles sharing edge (2,3); (4,5) dangles; 6-7-8-9 is a square
+    pairs = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5),
+             (6, 7), (7, 8), (8, 9), (6, 9)]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(_edges_df(spark, pairs)).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_triangle_counts_match_bruteforce_on_random_graph(spark):
+    from fastembed_rs_spark.operators.graph import triangle_counts
+
+    rng = random.Random(13)
+    nodes = list(range(1, 31))
+    pairs = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(140)})
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(_edges_df(spark, pairs)).collect()
+    }
+    assert got == _triangles_reference(pairs)
+
+
+def _skyline_reference(points):
+    keep = []
+    for i, (pid, c, g) in enumerate(points):
+        dominated = any(
+            (c2 <= c and g2 >= g and (c2 < c or g2 > g))
+            for j, (_, c2, g2) in enumerate(points)
+            if j != i
+        )
+        if not dominated:
+            keep.append((pid, c, g))
+    return sorted(keep)
+
+
+def test_pareto_front_matches_quadratic_reference(spark):
+    from fastembed_rs_spark.operators.scale import pareto_front_2d
+
+    rng = random.Random(29)
+    # duplicates on cost AND on (cost, gain) included on purpose
+    points = [
+        (i, rng.randrange(0, 40), rng.randrange(0, 40)) for i in range(200)
+    ]
+    points += [(1000 + i, points[i][1], points[i][2]) for i in range(10)]
+    df = spark.createDataFrame(points, "pid long, cost long, gain long")
+    got = sorted(
+        (r["pid"], r["cost"], r["gain"])
+        for r in pareto_front_2d(df, "cost", "gain").collect()
+    )
+    assert got == _skyline_reference(points)
+
+
+def test_cluster_medoids_are_bucket_argmax(spark):
+    import numpy as np
+
+    from fastembed_rs_spark.queries import QUERIES, t
+
+    out = {
+        r["centroid_id"]: r
+        for r in QUERIES["cluster_medoids"].spark(spark, SF_DIR).collect()
+    }
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in t(spark, SF_DIR, "embeddings").collect()
+    }
+    cents = {i: v for i, v in emb.items() if i % 50 == 0}
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return 0.0 if na == 0 or nb == 0 else float(a @ b / (na * nb))
+
+    assign: dict[int, tuple[int, float]] = {}
+    for vid, v in emb.items():
+        best = max(
+            cents, key=lambda c: (round(cos(emb[vid], cents[c]), 6), -c)
+        )
+        assign[vid] = (best, round(cos(v, cents[best]), 6))
+    sizes: dict[int, int] = {}
+    medoid: dict[int, tuple[float, int]] = {}
+    for vid, (c, s) in assign.items():
+        sizes[c] = sizes.get(c, 0) + 1
+        cur = medoid.get(c)
+        if cur is None or (s, -vid) > cur:
+            medoid[c] = (s, -vid)
+    assert set(out) == set(sizes)
+    for c, row in out.items():
+        assert row["cluster_size"] == sizes[c]
+        assert row["medoid_id"] == -medoid[c][1]
+        assert row["medoid_score"] == pytest.approx(medoid[c][0], abs=1e-9)
+    assert sum(sizes.values()) == len(emb)
+
+
+def test_feature_correlations_match_numpy(spark):
+    import numpy as np
+
+    from fastembed_rs_spark.operators.fast_text import text_stat_counts_fast
+    from fastembed_rs_spark.queries import _CORR_FEATS, QUERIES, t
+
+    out = {
+        (r["feature_a"], r["feature_b"]): r["pearson_r"]
+        for r in QUERIES["feature_correlations"].spark(spark, SF_DIR).collect()
+    }
+    assert len(out) == len(_CORR_FEATS) * (len(_CORR_FEATS) - 1) // 2
+    rows = text_stat_counts_fast(
+        t(spark, SF_DIR, "documents"), "doc_id", "text"
+    ).select(*_CORR_FEATS).collect()
+    mat = np.array([[r[f] for f in _CORR_FEATS] for r in rows], dtype=np.float64)
+    ref = np.corrcoef(mat, rowvar=False)
+    for i, a in enumerate(_CORR_FEATS):
+        for j in range(i + 1, len(_CORR_FEATS)):
+            # a zero-variance feature makes numpy emit NaN; the operator's
+            # den <= 0 guard reports 0.0 (no linear relationship) instead
+            expected = 0.0 if np.isnan(ref[i, j]) else ref[i, j]
+            assert out[(a, _CORR_FEATS[j])] == pytest.approx(
+                expected, abs=1e-6
+            )
