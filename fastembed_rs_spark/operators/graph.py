@@ -196,3 +196,53 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def propagate_labels(
+    edges: DataFrame, seeds: DataFrame, rounds: int = 2
+) -> DataFrame:
+    """Fill-only majority label propagation: seeds (node, label BIGINT) keep
+    their label forever; each round, every still-unlabeled node adjacent to
+    labeled ones takes the majority label of its labeled neighbors (ties →
+    lowest label). The semi-supervised trick for spreading sparse quality /
+    language / domain labels across a near-dup or similarity graph.
+
+    Fill-only (vs relabel-everything LPA) is monotone — the labeled set only
+    grows — so `rounds` bounds both work and the oscillation classic LPA
+    needs async tricks to avoid. Per round: one edge⋈labeled equi-join,
+    one (node, label) count aggregation (map-side combined), one
+    max(struct(cnt, -label)) argmax — no sorts, no windows; the labeled
+    frontier is localCheckpoint-truncated so lineage stays flat."""
+    sym = _symmetric(edges)
+    labeled = seeds.select(
+        "node",
+        F.col("label").cast("long").alias("label"),
+        F.lit(0).cast("long").alias("round_labeled"),
+    )
+    for k in range(1, rounds + 1):
+        votes = (
+            sym.join(labeled.select(F.col("node").alias("src"), "label"), "src")
+            .select(F.col("dst").alias("node"), "label")
+            .join(labeled.select("node"), "node", "left_anti")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        newly = (
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt").alias("cnt"),
+                        (-F.col("label")).alias("__nl"),
+                        F.col("label").alias("label"),
+                    )
+                ).alias("__b")
+            )
+            .select(
+                "node",
+                F.col("__b.label").alias("label"),
+                F.lit(k).cast("long").alias("round_labeled"),
+            )
+        )
+        labeled = labeled.unionAll(newly).localCheckpoint(eager=False)
+    return labeled

@@ -7116,6 +7116,154 @@ def q_feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "association_rules",
+    """
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+nn AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM li),
+itm AS (SELECT i, CAST(count(*) AS BIGINT) AS cnt FROM li GROUP BY i),
+pr AS (
+  SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS pair_cnt
+  FROM li a JOIN li b ON a.o = b.o AND a.i < b.i
+  GROUP BY a.i, b.i
+  HAVING count(*) >= 2
+)
+SELECT item_a, item_b, pair_cnt,
+       round(CAST(pair_cnt AS DOUBLE) / CAST(nn.n_orders AS DOUBLE), 6) AS support,
+       round(CAST(pair_cnt AS DOUBLE) / CAST(ia.cnt AS DOUBLE), 6) AS conf_a_to_b,
+       round(CAST(pair_cnt AS DOUBLE) / CAST(ib.cnt AS DOUBLE), 6) AS conf_b_to_a,
+       round((CAST(pair_cnt AS DOUBLE) * CAST(nn.n_orders AS DOUBLE))
+             / (CAST(ia.cnt AS DOUBLE) * CAST(ib.cnt AS DOUBLE)), 6) AS lift
+FROM pr
+JOIN itm ia ON pr.item_a = ia.i
+JOIN itm ib ON pr.item_b = ib.i
+CROSS JOIN nn
+""",
+    "market-basket association rules over part pairs co-occurring in ≥2 "
+    "orders: support, directional confidence, lift — the A-priori-style "
+    "2-itemset pass behind every 'frequently bought together' feature. "
+    "Pair counts come from the basket self-join (fan-out bounded by "
+    "items-per-order, the copurchase_edges scale argument); item counts "
+    "and the basket total ride broadcast joins onto the pair table; every "
+    "ratio is ONE float division (or one product then one division, same "
+    "tree both engines) of exactly-converted integer counts, so scores "
+    "are bit-identical cross-engine before round(6). min-support (≥2) is "
+    "pushed into the pair aggregation HAVING, the step that makes "
+    "A-priori feasible at scale — the long tail of singleton pairs never "
+    "leaves the partial aggregate",
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    n_orders = li.agg(
+        F.countDistinct("o").cast("long").alias("n_orders")
+    )
+    itm = li.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    a = li.select("o", F.col("i").alias("item_a"))
+    b = li.select("o", F.col("i").alias("item_b"))
+    pr = (
+        a.join(b, "o")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 2)
+    )
+    ia = itm.select(F.col("i").alias("item_a"), F.col("cnt").alias("__ca"))
+    ib = itm.select(F.col("i").alias("item_b"), F.col("cnt").alias("__cb"))
+    j = (
+        pr.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    pc, ca, cb, no = (
+        F.col("pair_cnt").cast("double"),
+        F.col("__ca").cast("double"),
+        F.col("__cb").cast("double"),
+        F.col("n_orders").cast("double"),
+    )
+    return j.select(
+        "item_a",
+        "item_b",
+        "pair_cnt",
+        F.round(pc / no, 6).alias("support"),
+        F.round(pc / ca, 6).alias("conf_a_to_b"),
+        F.round(pc / cb, 6).alias("conf_b_to_a"),
+        F.round((pc * no) / (ca * cb), 6).alias("lift"),
+    )
+
+
+def _lp_round_sql(k: int) -> str:
+    return f"""v{k} AS (
+  SELECT s.dst AS node, l.label, CAST(count(*) AS BIGINT) AS cnt
+  FROM sym s JOIN l{k - 1} l ON s.src = l.node
+  WHERE s.dst NOT IN (SELECT node FROM l{k - 1})
+  GROUP BY s.dst, l.label
+),
+n{k} AS (
+  SELECT node, label, CAST({k} AS BIGINT) AS round_labeled FROM v{k}
+  QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) = 1
+),
+l{k} AS (SELECT * FROM l{k - 1} UNION ALL SELECT * FROM n{k})"""
+
+
+@q(
+    "label_propagation",
+    f"""
+WITH edges AS ({_EDGE_SQL}),
+sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL SELECT id_b AS src, id_a AS dst FROM edges),
+l0 AS (SELECT vec_id AS node, CAST(label AS BIGINT) AS label,
+              CAST(0 AS BIGINT) AS round_labeled
+       FROM embeddings WHERE vec_id % 10 = 0),
+{_lp_round_sql(1)},
+{_lp_round_sql(2)}
+SELECT l2.node, l2.label AS label_pred, l2.round_labeled,
+       CAST(CASE WHEN l2.label = CAST(e.label AS BIGINT) THEN 1 ELSE 0 END
+            AS BIGINT) AS correct
+FROM l2 JOIN embeddings e ON l2.node = e.vec_id
+""",
+    "semi-supervised label spreading: 10% of vectors keep their true "
+    "label (deterministic vec_id seed set), everyone else takes the "
+    "majority label of labeled near-dup neighbors (cosine ≥ 0.4 graph), "
+    "2 fill-only rounds — how sparse human quality/language/domain labels "
+    "get extended across a 100 TB corpus without a model. Fill-only "
+    "propagation is monotone (labeled set only grows), so rounds bound "
+    "work and there is no LPA oscillation; per round one edge⋈labeled "
+    "equi-join + one (node,label) count agg + one max(struct) argmax "
+    "(ties → lowest label), lineage checkpoint-truncated. Output carries "
+    "the round each node was labeled in and correctness vs the held-out "
+    "truth — the accuracy audit rides the same scan",
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.graph import propagate_labels
+
+    emb = t(spark, sf_dir, "embeddings")
+    edges = (
+        QUERIES["embedding_neardup"]
+        .spark(spark, sf_dir)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    )
+    seeds = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("node"), "label"
+    )
+    out = propagate_labels(edges, seeds, rounds=2)
+    truth = emb.select(
+        F.col("vec_id").alias("node"), F.col("label").cast("long").alias("__t")
+    )
+    return out.join(truth, "node").select(
+        "node",
+        F.col("label").alias("label_pred"),
+        "round_labeled",
+        F.when(F.col("label") == F.col("__t"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("correct"),
+    )
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import (
         duck_cms,
@@ -7167,6 +7315,8 @@ _fill_sketch_oracles()
 # list below is the round-4 snapshot, kept ONLY as the fallback when no
 # driver artifacts are readable (fresh clone without history).
 _DRIVER_PRIORITY: list[str] = [
+    "association_rules",
+    "label_propagation",
     "graph_pagerank",
     "graph_triangles",
     "pareto_front",

@@ -203,3 +203,59 @@ def test_feature_correlations_match_numpy(spark):
             assert out[(a, _CORR_FEATS[j])] == pytest.approx(
                 expected, abs=1e-6
             )
+
+
+def test_propagate_labels_majority_ties_and_fill_only(spark):
+    from fastembed_rs_spark.operators.graph import propagate_labels
+
+    # seeds: 1->5, 2->5, 3->7.  node 4 touches all three seeds: majority 5.
+    # node 6 touches seeds 3(7) and 1(5) equally: tie -> lowest label 5.
+    # node 8 only reachable via 4 -> labeled in round 2 with 4's label.
+    pairs = [(1, 4), (2, 4), (3, 4), (1, 6), (3, 6), (4, 8)]
+    seeds = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 7)], "node long, label long"
+    )
+    got = {
+        r["node"]: (r["label"], r["round_labeled"])
+        for r in propagate_labels(_edges_df(spark, pairs), seeds, rounds=2).collect()
+    }
+    assert got == {
+        1: (5, 0), 2: (5, 0), 3: (7, 0),
+        4: (5, 1), 6: (5, 1), 8: (5, 2),
+    }
+
+
+def test_association_rules_match_reference(spark):
+    from fastembed_rs_spark.queries import QUERIES
+
+    out = QUERIES["association_rules"].spark(spark, SF_DIR).collect()
+    assert out, "expected some rules at sf0.001"
+    import duckdb
+
+    li = duckdb.sql(
+        "SELECT DISTINCT l_orderkey AS o, l_partkey AS i "
+        f"FROM '{SF_DIR}/lineitem.parquet'"
+    ).fetchall()
+    baskets: dict[int, set[int]] = {}
+    for o, i in li:
+        baskets.setdefault(o, set()).add(i)
+    n_orders = len(baskets)
+    item_cnt: dict[int, int] = {}
+    pair_cnt: dict[tuple[int, int], int] = {}
+    for items in baskets.values():
+        for i in items:
+            item_cnt[i] = item_cnt.get(i, 0) + 1
+        for a, b in itertools.combinations(sorted(items), 2):
+            pair_cnt[(a, b)] = pair_cnt.get((a, b), 0) + 1
+    expected = {k: v for k, v in pair_cnt.items() if v >= 2}
+    got = {(r["item_a"], r["item_b"]): r for r in out}
+    assert set(got) == set(expected)
+    for (a, b), r in got.items():
+        pc = expected[(a, b)]
+        assert r["pair_cnt"] == pc
+        assert r["support"] == pytest.approx(pc / n_orders, abs=1e-6)
+        assert r["conf_a_to_b"] == pytest.approx(pc / item_cnt[a], abs=1e-6)
+        assert r["conf_b_to_a"] == pytest.approx(pc / item_cnt[b], abs=1e-6)
+        assert r["lift"] == pytest.approx(
+            pc * n_orders / (item_cnt[a] * item_cnt[b]), abs=1e-6
+        )
