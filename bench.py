@@ -24,6 +24,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "cohort_retention",
+    "training_triples",
     "association_rules",
     "label_propagation",
     "graph_pagerank",

@@ -7264,6 +7264,169 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "cohort_retention",
+    """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 604800000000000 AS wk FROM events
+),
+c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id),
+a AS (
+  SELECT DISTINCT e.user_id, c.cohort_wk, e.wk - c.cohort_wk AS offset_wk
+  FROM e JOIN c ON e.user_id = c.user_id
+),
+sz AS (SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_size
+       FROM c GROUP BY cohort_wk)
+SELECT a.cohort_wk, a.offset_wk,
+       CAST(count(*) AS BIGINT) AS n_active,
+       sz.cohort_size,
+       round(CAST(count(*) AS DOUBLE) / CAST(sz.cohort_size AS DOUBLE), 6)
+         AS retention
+FROM a JOIN sz ON a.cohort_wk = sz.cohort_wk
+GROUP BY a.cohort_wk, a.offset_wk, sz.cohort_size
+""",
+    "cohort retention matrix: users grouped by first-activity week, "
+    "fraction still active k weeks later — the product-analytics staple "
+    "behind every retention curve. Weeks are exact integer epoch-nanos "
+    "floor-division buckets (ts div 604800e9), NOT calendar months: "
+    "calendar bucketing is the classic cross-engine trap (zone/DST/month "
+    "length), integer weeks hash-match by construction. Shape: one "
+    "user-keyed min-agg for cohorts, one distinct over (user, offset) — "
+    "both partial-agg'd before their shuffles — then a cohort-sized "
+    "(tiny) size table joined back; the per-user event history never "
+    "needs to fit anywhere, only its distinct week set does",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 604800000000000").alias("wk")
+    )
+    c = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    a = (
+        e.join(c, "user_id")
+        .select("user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("offset_wk"))
+        .distinct()
+    )
+    sz = c.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    return (
+        a.groupBy("cohort_wk", "offset_wk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .join(F.broadcast(sz), "cohort_wk")
+        .select(
+            "cohort_wk",
+            "offset_wk",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("retention"),
+        )
+    )
+
+
+@q(
+    "training_triples",
+    f"""
+WITH qv AS (
+  SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+  FROM embeddings WHERE vec_id < 20
+),
+scored AS (
+  SELECT qv.query_id, qv.qlabel, e.vec_id, e.label,
+         round({_dk_cos('qv.qe', 'e.embedding')}, 6) AS score
+  FROM qv CROSS JOIN embeddings e
+  WHERE e.vec_id <> qv.query_id
+),
+pos AS (
+  SELECT query_id, vec_id AS pos_id, score AS pos_score
+  FROM scored WHERE label = qlabel
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, vec_id ASC) = 1
+),
+neg AS (
+  SELECT query_id, vec_id AS neg_id, score AS neg_score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id ASC) AS BIGINT)
+           AS neg_rank
+  FROM scored WHERE label <> qlabel
+  QUALIFY neg_rank <= 5
+)
+SELECT neg.query_id, pos.pos_id, pos.pos_score,
+       neg.neg_rank, neg.neg_id, neg.neg_score
+FROM neg JOIN pos ON neg.query_id = pos.query_id
+""",
+    "contrastive training-pair generation: for each anchor, the nearest "
+    "SAME-label neighbor as the positive and the 5 nearest "
+    "DIFFERENT-label vectors as hard negatives — the (anchor, positive, "
+    "hard-negative) triples that train embedding models and rerankers "
+    "(the reference's models are consumers of exactly this data). One "
+    "broadcast-anchor score pass feeds both sides; the positive is a "
+    "map-side-combined max(struct) argmax (no sort), negatives go "
+    "through the rank-k window WindowGroupLimit prunes; at corpus scale "
+    "the scored pass swaps for the IVF/PQ searchers with label "
+    "post-filter + overfetch — same downstream contract",
+)
+def q_training_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.vector import cosine_similarity_fixed
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qe"),
+        F.col("label").alias("__ql"),
+    )
+    scored = (
+        emb.join(F.broadcast(qv), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "__ql",
+            "vec_id",
+            "label",
+            F.round(
+                cosine_similarity_fixed("__qe", "embedding", EMB_DIM), 6
+            ).alias("score"),
+        )
+    )
+    pos = (
+        scored.filter(F.col("label") == F.col("__ql"))
+        .groupBy("query_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score").alias("score"),
+                    (-F.col("vec_id")).alias("__nv"),
+                    F.col("vec_id").alias("vec_id"),
+                )
+            ).alias("__b")
+        )
+        .select(
+            "query_id",
+            F.col("__b.vec_id").alias("pos_id"),
+            F.col("__b.score").alias("pos_score"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    neg = (
+        scored.filter(F.col("label") != F.col("__ql"))
+        .withColumn("neg_rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("neg_rank") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("score").alias("neg_score"),
+            "neg_rank",
+        )
+    )
+    return neg.join(F.broadcast(pos), "query_id").select(
+        "query_id", "pos_id", "pos_score", "neg_rank", "neg_id", "neg_score"
+    )
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import (
         duck_cms,
@@ -7315,6 +7478,8 @@ _fill_sketch_oracles()
 # list below is the round-4 snapshot, kept ONLY as the fallback when no
 # driver artifacts are readable (fresh clone without history).
 _DRIVER_PRIORITY: list[str] = [
+    "cohort_retention",
+    "training_triples",
     "association_rules",
     "label_propagation",
     "graph_pagerank",
