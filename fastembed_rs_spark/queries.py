@@ -6830,10 +6830,20 @@ def _fill_graph_pagerank_oracle() -> None:
 _fill_graph_pagerank_oracle()
 
 
+_GRAPH_EDGE2_CTES = """li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+edges AS (SELECT a.i AS a, b.i AS b
+          FROM li a JOIN li b ON a.o = b.o AND a.i < b.i
+          GROUP BY a.i, b.i HAVING count(*) >= 2),
+sym AS (SELECT a AS src, b AS dst FROM edges
+        UNION ALL SELECT b AS src, a AS dst FROM edges),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+        FROM sym GROUP BY src)"""
+
+
 @q(
     "graph_triangles",
     f"""
-WITH {_GRAPH_EDGE_CTES},
+WITH {_GRAPH_EDGE2_CTES},
 o AS (
   SELECT CASE WHEN da.outdeg < db.outdeg
                 OR (da.outdeg = db.outdeg AND e.a < e.b)
@@ -6863,7 +6873,11 @@ corners AS (
 SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
 FROM corners GROUP BY node
 """,
-    "per-node triangle counts over the part co-purchase graph — the local "
+    "per-node triangle counts over the SUPPORTED part co-purchase graph "
+    "(pairs co-occurring in >= 2 orders — the standard noise cut: a single "
+    "chance co-occurrence carries no signal, and without it a uniformly "
+    "random basket corpus densifies toward a complete graph as it grows, "
+    "which no triangle algorithm survives) — the local "
     "clustering signal that separates genuine near-dup/co-occurrence "
     "cliques from chance pair collisions. Degree-ordered enumeration: "
     "edges oriented low→high by (degree, id) so every node's oriented "
@@ -6875,7 +6889,7 @@ FROM corners GROUP BY node
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastembed_rs_spark.operators import graph as G
 
-    edges = G.copurchase_edges(t(spark, sf_dir, "lineitem"))
+    edges = G.copurchase_edges(t(spark, sf_dir, "lineitem"), min_support=2)
     return G.triangle_counts(edges).select("node", "n_triangles")
 
 
