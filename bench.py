@@ -24,6 +24,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "containment_neardup",
+    "grouped_linregress",
+    "reciprocal_nn",
+    "margin_mining",
     "cohort_retention",
     "training_triples",
     "association_rules",

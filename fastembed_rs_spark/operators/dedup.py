@@ -836,3 +836,50 @@ def keep_best_representative(
         score_col,
         (rank == 1).cast("long").alias("keep"),
     )
+
+
+def containment_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    threshold: float = 0.8, round_to: int = 6,
+) -> DataFrame:
+    """Asymmetric near-dup signal: pairs where the SMALLER document's
+    n-gram set is largely contained in the other's —
+    containment = |A∩B| / min(|A|, |B|) ≥ threshold.
+
+    Jaccard misses quote/subset duplication (a paragraph pasted into a 100x
+    longer page scores |A|/|B| ≈ 0.01 Jaccard but containment 1.0); corpus
+    curation drops the contained side. Same inverted-index shape and cost
+    model as ngram_jaccard_pairs (postings self-equi-join, work ~ Σ df²,
+    word n-grams near-unique outside real overlap); for threshold > 0 the
+    zero-overlap pairs the index never produces all score 0 < threshold,
+    so this equals the all-pairs formulation exactly."""
+    from fastembed_rs_spark.operators.fast_text import word_ngram_postings_fast
+
+    sized = word_ngram_postings_fast(df, id_col, text_col, n)
+    a = sized.select(
+        F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__g"
+    )
+    b = sized.select(
+        F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"), "__g"
+    )
+    return (
+        a.join(b, on=[a["__g"] == b["__g"], F.col("id_a") < F.col("id_b")])
+        .groupBy("id_a", "id_b", "__sza", "__szb")
+        .agg(F.count(F.lit(1)).cast("double").alias("__inter"))
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("__inter")
+                / F.least("__sza", "__szb").cast("double"),
+                round_to,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("__sza").cast("long").alias("grams_a"),
+            F.col("__szb").cast("long").alias("grams_b"),
+            "containment",
+        )
+    )

@@ -7441,6 +7441,324 @@ def q_training_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GRAMS_CTE = f"""g AS (
+  SELECT doc_id, lang,
+         list_distinct(CASE WHEN len({duck_tokens('text')}) >= 3 THEN
+           list_transform(generate_series(1, len({duck_tokens('text')}) - 2),
+             i -> concat_ws(' ', {duck_tokens('text')}[i], {duck_tokens('text')}[i+1], {duck_tokens('text')}[i+2]))
+         ELSE [] END) AS grams
+  FROM documents
+)"""
+
+
+@q(
+    "containment_neardup",
+    f"""
+WITH {_GRAMS_CTE}
+SELECT * FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(a.grams) AS BIGINT) AS grams_a,
+         CAST(len(b.grams) AS BIGINT) AS grams_b,
+         round(CASE WHEN least(len(a.grams), len(b.grams)) = 0 THEN 0.0 ELSE
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+           / CAST(least(len(a.grams), len(b.grams)) AS DOUBLE) END, 6)
+           AS containment
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+) WHERE containment >= 0.6
+""",
+    "asymmetric containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ 0.6 "
+    "over word-3-gram sets — catches quote/subset duplication that "
+    "Jaccard structurally misses (a paragraph pasted into a 100x longer "
+    "page is ~0.01 Jaccard but 1.0 containment; curation drops the "
+    "contained side). Same inverted-index shape and Σdf² cost model as "
+    "ngram_jaccard_neardup: postings self-equi-join, zero-overlap pairs "
+    "never materialize, exact for threshold > 0 "
+    "(operators/dedup.py::containment_pairs)",
+)
+def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.dedup import containment_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    return containment_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+
+
+@q(
+    "grouped_linregress",
+    f"""
+WITH f AS (
+  SELECT lang,
+         CAST(len({duck_tokens('text')}) AS BIGINT) AS x,
+         CAST(length(text) AS BIGINT) AS y
+  FROM documents
+),
+m AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM f GROUP BY lang
+)
+SELECT lang, n,
+  round(CASE WHEN (n * sxx - sx * sx) = 0 THEN 0.0 ELSE
+    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+  END, 6) AS slope,
+  round(CASE WHEN (n * sxx - sx * sx) = 0 THEN 0.0 ELSE
+    (CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+    / CAST(n AS DOUBLE)
+  END, 6) AS intercept,
+  round(CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 THEN 0.0 ELSE
+    ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+     * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+  END, 6) AS r2
+FROM m
+""",
+    "per-group closed-form linear regression (chars ~ tokens per "
+    "language): slope, intercept, R² from ONE pass of exact int64 moment "
+    "sums — the distributed 'ML-lite' shape for per-segment trend fits "
+    "that never needs an iterative solver. Degenerate groups (zero x or y "
+    "variance) report 0.0 via an EXACT integer variance check, not a "
+    "float epsilon; the float stages run the same expression tree on "
+    "identically-converted integer moments, so results are bit-identical "
+    "cross-engine before round(6). Same int64-range note as "
+    "feature_correlations applies past ~2e5 docs per group",
+)
+def q_grouped_linregress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    from fastembed_rs_spark.functions.text import tokens
+
+    f = docs.select(
+        "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("x"),
+        F.length("text").cast("long").alias("y"),
+    )
+    m = f.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+
+    def dbl(c: str):
+        return F.col(c).cast("double")
+
+    denx_i = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny_i = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")
+    denx = dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")
+    deny = dbl("n") * dbl("syy") - dbl("sy") * dbl("sy")
+    slope = num / denx
+    return m.select(
+        "lang",
+        "n",
+        F.round(F.when(denx_i == 0, F.lit(0.0)).otherwise(slope), 6).alias("slope"),
+        F.round(
+            F.when(denx_i == 0, F.lit(0.0)).otherwise(
+                (dbl("sy") - slope * dbl("sx")) / dbl("n")
+            ),
+            6,
+        ).alias("intercept"),
+        F.round(
+            F.when((denx_i == 0) | (deny_i == 0), F.lit(0.0)).otherwise(
+                (num * num) / (denx * deny)
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+@q(
+    "reciprocal_nn",
+    f"""
+WITH p AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round({_dk_cos('a.embedding', 'b.embedding')}, 6) AS score
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+pf AS (SELECT * FROM p WHERE score >= 0.2),
+r AS (
+  SELECT src, dst, score,
+         CAST(row_number() OVER (PARTITION BY src
+                                 ORDER BY score DESC, dst ASC) AS BIGINT)
+           AS rnk
+  FROM pf QUALIFY rnk <= 3
+)
+SELECT r1.src AS id_a, r1.dst AS id_b, r1.score,
+       r1.rnk AS rank_ab, r2.rnk AS rank_ba
+FROM r r1 JOIN r r2 ON r1.src = r2.dst AND r1.dst = r2.src
+WHERE r1.src < r1.dst
+""",
+    "reciprocal nearest neighbors: pairs where EACH side ranks the other "
+    "in its top-3 (among candidates with cosine ≥ 0.2) — the "
+    "high-precision mutual-kNN filter that separates true duplicates "
+    "from hub vectors that merely sit near everything (a hub appears in "
+    "many top-k lists but reciprocates few). One blocked-kernel candidate "
+    "pass feeds a per-src rank window (WindowGroupLimit-pruned), then "
+    "mutuality is a self equi-join on the reversed pair; at corpus scale "
+    "the candidate pass swaps for the IVF searcher with overfetch — the "
+    "mutual-join stage is unchanged",
+)
+def q_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.embedding_near_dups_blocked(
+        t(spark, sf_dir, "embeddings"), threshold=0.2
+    )
+    # blocked kernel emits canonical a<b pairs; symmetrize for ranking
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "score"
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "score"
+        )
+    )
+    wr = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    r = (
+        sym.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+    r2 = r.select(
+        F.col("src").alias("dst"),
+        F.col("dst").alias("src"),
+        F.col("rnk").alias("rank_ba"),
+    )
+    return (
+        r.join(r2, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("id_a"),
+            F.col("dst").alias("id_b"),
+            "score",
+            F.col("rnk").alias("rank_ab"),
+            "rank_ba",
+        )
+    )
+
+
+@q(
+    "margin_mining",
+    f"""
+WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+p AS (
+  SELECT a.vec_id AS aid, c.vec_id AS cid,
+         CAST(round({_dk_cos('a.embedding', 'c.embedding')} * 1000000)
+              AS BIGINT) AS si
+  FROM a CROSS JOIN c
+),
+ka AS (
+  SELECT aid, CAST(sum(si) AS BIGINT) AS suma
+  FROM (SELECT aid, si, row_number() OVER (PARTITION BY aid
+              ORDER BY si DESC, cid ASC) AS rn FROM p)
+  WHERE rn <= 4 GROUP BY aid
+),
+kc AS (
+  SELECT cid, CAST(sum(si) AS BIGINT) AS sumc
+  FROM (SELECT cid, si, row_number() OVER (PARTITION BY cid
+              ORDER BY si DESC, aid ASC) AS rn FROM p)
+  WHERE rn <= 4 GROUP BY cid
+),
+m AS (
+  SELECT p.aid, p.cid, p.si,
+         round(CASE WHEN (ka.suma + kc.sumc) <= 0 THEN 0.0 ELSE
+           8.0 * CAST(p.si AS DOUBLE) / CAST(ka.suma + kc.sumc AS DOUBLE)
+         END, 6) AS margin
+  FROM p JOIN ka ON p.aid = ka.aid JOIN kc ON p.cid = kc.cid
+)
+SELECT aid AS anchor_id, cid AS candidate_id,
+       round(CAST(si AS DOUBLE) / 1000000, 6) AS score, margin
+FROM m
+QUALIFY row_number() OVER (PARTITION BY aid
+                           ORDER BY margin DESC, cid ASC) = 1
+""",
+    "margin-based mining (ratio margin, Artetxe & Schwenk 2019 — the "
+    "bitext-mining score behind CCMatrix-style parallel-corpus "
+    "extraction): split vectors into two pools (even/odd ids standing in "
+    "for two languages), score margin(a,c) = cos(a,c) / mean(top-4 "
+    "cos of a, top-4 cos of c) and keep each anchor's best candidate — "
+    "the normalization suppresses hub vectors that score high against "
+    "everything. Scores live in exact integer micro-units so the top-4 "
+    "sums are order-independent (8·si/(Σa+Σc) is one division of exact "
+    "ints — bit-identical cross-engine); both top-4 windows are "
+    "WindowGroupLimit-pruned, and at corpus scale the dense pair pass "
+    "swaps for ANN overfetch per side",
+)
+def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.fast_vector import pairwise_cosine_fast
+
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("aid"), F.col("embedding").alias("__ea")
+    )
+    cand = [
+        (r[0], list(r[1]))
+        for r in emb.filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    # NumPy tile kernel for the dense pool × pool score pass (same kernel
+    # as cluster_medoids / the blocked near-dup path); the scored table
+    # feeds THREE consumers (both top-4 windows and the margin join) so it
+    # is materialized once, repartitioned by anchor for window parallelism
+    p = (
+        pairwise_cosine_fast(
+            a, "aid", "__ea", cand, target_id_name="cid", score_name="__raw"
+        )
+        .repartition(32, "aid")
+        .select(
+            "aid",
+            "cid",
+            F.round(F.col("__raw") * 1000000).cast("long").alias("si"),
+        )
+        .localCheckpoint()
+    )
+    wa = Window.partitionBy("aid").orderBy(F.desc("si"), F.asc("cid"))
+    wc = Window.partitionBy("cid").orderBy(F.desc("si"), F.asc("aid"))
+    ka = (
+        p.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= 4)
+        .groupBy("aid")
+        .agg(F.sum("si").cast("long").alias("suma"))
+    )
+    kc = (
+        p.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= 4)
+        .groupBy("cid")
+        .agg(F.sum("si").cast("long").alias("sumc"))
+    )
+    den = F.col("suma") + F.col("sumc")
+    m = (
+        p.join(F.broadcast(ka), "aid")
+        .join(F.broadcast(kc), "cid")
+        .select(
+            "aid",
+            "cid",
+            "si",
+            F.round(
+                F.when(den <= 0, F.lit(0.0)).otherwise(
+                    F.lit(8.0) * F.col("si").cast("double") / den.cast("double")
+                ),
+                6,
+            ).alias("margin"),
+        )
+    )
+    wm = Window.partitionBy("aid").orderBy(F.desc("margin"), F.asc("cid"))
+    return (
+        m.withColumn("__r", F.row_number().over(wm))
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col("aid").alias("anchor_id"),
+            F.col("cid").alias("candidate_id"),
+            F.round(F.col("si").cast("double") / 1000000, 6).alias("score"),
+            "margin",
+        )
+    )
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import (
         duck_cms,
@@ -7492,6 +7810,10 @@ _fill_sketch_oracles()
 # list below is the round-4 snapshot, kept ONLY as the fallback when no
 # driver artifacts are readable (fresh clone without history).
 _DRIVER_PRIORITY: list[str] = [
+    "containment_neardup",
+    "grouped_linregress",
+    "reciprocal_nn",
+    "margin_mining",
     "cohort_retention",
     "training_triples",
     "association_rules",
