@@ -7384,25 +7384,38 @@ FROM neg JOIN pos ON neg.query_id = pos.query_id
     "post-filter + overfetch — same downstream contract",
 )
 def q_training_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastembed_rs_spark.functions.vector import cosine_similarity_fixed
+    from fastembed_rs_spark.operators.fast_vector import pairwise_cosine_fast
 
     emb = t(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("__qe"),
-        F.col("label").alias("__ql"),
+    anchors = (
+        emb.filter(F.col("vec_id") < 20)
+        .select("vec_id", "embedding", "label")
+        .collect()
     )
+    targets = [(r[0], list(r[1])) for r in anchors]
+    qlabels = spark.createDataFrame(
+        [(r[0], r[2]) for r in anchors], "query_id long, __ql int"
+    )
+    # anchor scoring through the NumPy tile kernel (the expression-chain
+    # cosine measured 3.5s for this 40k-row pass at sf0.1 — codegen does
+    # not love a 64-dim unrolled tree; the kernel is bit-identical, see
+    # the blocked-neardup pin). Materialized once for its two consumers.
     scored = (
-        emb.join(F.broadcast(qv), F.col("vec_id") != F.col("query_id"))
+        pairwise_cosine_fast(
+            emb, "vec_id", "embedding", targets,
+            target_id_name="query_id", score_name="__raw",
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qlabels), "query_id")
+        .join(emb.select("vec_id", "label"), "vec_id")  # AQE broadcasts
         .select(
             "query_id",
             "__ql",
             "vec_id",
             "label",
-            F.round(
-                cosine_similarity_fixed("__qe", "embedding", EMB_DIM), 6
-            ).alias("score"),
+            F.round("__raw", 6).alias("score"),
         )
+        .localCheckpoint()
     )
     pos = (
         scored.filter(F.col("label") == F.col("__ql"))
