@@ -24,6 +24,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "graph_kcore",
+    "psi_drift",
     "containment_neardup",
     "grouped_linregress",
     "reciprocal_nn",

@@ -265,3 +265,39 @@ def propagate_labels(
         )
         labeled = labeled.unionAll(newly).localCheckpoint(eager=False)
     return labeled
+
+
+def kcore(edges: DataFrame, k: int = 2, rounds: int = 4) -> DataFrame:
+    """Bounded-peel k-core: nodes surviving ``rounds`` iterations of
+    "drop every node with degree < k, recompute degrees on the induced
+    subgraph". Returns (node, core_deg) — the density-pruning pass that
+    strips tendrils off candidate-pair graphs before clustering (a chain
+    of pairwise matches is evidence-thin; a 2-core region is mutually
+    corroborated).
+
+    Peeling is idempotent at the fixpoint, so extra rounds past
+    convergence are cheap no-ops on the already-shrunken graph; the fixed
+    bound keeps the plan finite and lets the DuckDB oracle unroll the
+    exact same rounds (convergence on sparse supported graphs is
+    typically 2-3 rounds). Per round: one semi-join of the edge list
+    against the surviving node set per endpoint + one count agg — the
+    edge list shrinks monotonically, and the surviving node set is the
+    small side (broadcastable at any corpus scale where the core is a
+    fraction of the graph)."""
+    sym = _symmetric(edges).localCheckpoint()
+    for _ in range(rounds):
+        keep = (
+            sym.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            .filter(F.col("deg") >= k)
+        )
+        sym = (
+            sym.join(keep.select(F.col("node").alias("src")), "src", "left_semi")
+            .join(keep.select(F.col("node").alias("dst")), "dst", "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+        .filter(F.col("core_deg") >= k)
+    )

@@ -7772,6 +7772,158 @@ def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcore_oracle(k: int, rounds: int) -> str:
+    parts = []
+    prev = "sym"
+    for r in range(1, rounds + 1):
+        parts.append(f"""k{r} AS (
+  SELECT src AS node FROM {prev} GROUP BY src HAVING count(*) >= {k}
+),
+s{r} AS (
+  SELECT s.src, s.dst FROM {prev} s
+  JOIN k{r} x ON s.src = x.node JOIN k{r} y ON s.dst = y.node
+)""")
+        prev = f"s{r}"
+    return (
+        "WITH " + _GRAPH_EDGE2_CTES + ",\n" + ",\n".join(parts)
+        + f"""
+SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+FROM {prev} GROUP BY src HAVING count(*) >= {k}"""
+    )
+
+
+@q(
+    "graph_kcore",
+    _kcore_oracle(k=2, rounds=4),
+    "2-core of the supported co-purchase graph via 4 bounded peel rounds "
+    "(drop degree<2 nodes, recompute on the induced subgraph): the "
+    "density-pruning pass that strips evidence-thin tendrils off a "
+    "candidate-pair graph before clustering — a chain of pairwise matches "
+    "is one bad edge from wrong, a 2-core region is mutually "
+    "corroborated. Peeling is idempotent at the fixpoint so the fixed "
+    "bound (needed for oracle unrolling) just no-ops after convergence; "
+    "per round two left-semi joins against the shrinking survivor set + "
+    "one count agg, edge list monotonically shrinking "
+    "(operators/graph.py::kcore)",
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators import graph as G
+
+    edges = G.copurchase_edges(t(spark, sf_dir, "lineitem"), min_support=2)
+    return G.kcore(edges, k=2, rounds=4).select("node", "core_deg")
+
+
+@q(
+    "psi_drift",
+    """
+WITH b AS (
+  SELECT lang, least(n_chars // 200, 9) AS bucket FROM documents
+),
+langs AS (SELECT DISTINCT lang FROM b WHERE lang <> 'en'),
+grid AS (
+  SELECT langs.lang, g.bucket
+  FROM langs CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bucket) g
+),
+rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rcnt
+       FROM b WHERE lang = 'en' GROUP BY bucket),
+rt AS (SELECT CAST(count(*) AS BIGINT) AS rtot FROM b WHERE lang = 'en'),
+cc AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS ccnt
+       FROM b WHERE lang <> 'en' GROUP BY lang, bucket),
+ct AS (SELECT lang, CAST(count(*) AS BIGINT) AS ctot
+       FROM b WHERE lang <> 'en' GROUP BY lang),
+j AS (
+  SELECT grid.lang, grid.bucket,
+         CAST(coalesce(rc.rcnt, 0) + 1 AS DOUBLE)
+           / CAST(rt.rtot + 10 AS DOUBLE) AS p,
+         CAST(coalesce(cc.ccnt, 0) + 1 AS DOUBLE)
+           / CAST(ct.ctot + 10 AS DOUBLE) AS q
+  FROM grid
+  LEFT JOIN rc ON grid.bucket = rc.bucket
+  LEFT JOIN cc ON grid.lang = cc.lang AND grid.bucket = cc.bucket
+  JOIN ct ON grid.lang = ct.lang
+  CROSS JOIN rt
+),
+terms AS (
+  SELECT lang, bucket, p, q,
+         CAST(round((p - q) * ln(p / q) * 1000000000) AS BIGINT) AS nano
+  FROM j
+)
+SELECT lang, bucket, round(p, 6) AS p_ref, round(q, 6) AS q_cmp,
+       CAST(sum(nano) OVER (PARTITION BY lang) AS BIGINT) AS psi_nano
+FROM terms
+""",
+    "population stability index (PSI) — the production drift metric — of "
+    "the document-length distribution per language vs the 'en' reference: "
+    "10 fixed 200-char buckets, Laplace-smoothed shares, per-bucket "
+    "contribution (p−q)·ln(p/q), and the per-language PSI total "
+    "(>0.2 = retrain/alert in the standard reading). Per-bucket terms "
+    "are converted to exact integer NANO-units before the per-language "
+    "sum, so the only cross-engine float ops are two divisions and one "
+    "ln on identical inputs — the total is never an order-dependent "
+    "float sum. One scan builds the histogram; everything after runs on "
+    "a (langs × 10)-row table of broadcast joins",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    b = docs.select(
+        "lang", F.least(F.expr("n_chars div 200"), F.lit(9)).alias("bucket")
+    )
+    langs = b.filter(F.col("lang") != "en").select("lang").distinct()
+    grid = langs.crossJoin(
+        F.broadcast(
+            b.sparkSession.range(10).select(F.col("id").cast("int").alias("bucket"))
+        )
+    )
+    rc = (
+        b.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("rcnt"))
+    )
+    rt = b.filter(F.col("lang") == "en").agg(
+        F.count(F.lit(1)).cast("long").alias("rtot")
+    )
+    cc = (
+        b.filter(F.col("lang") != "en")
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("ccnt"))
+    )
+    ct = (
+        b.filter(F.col("lang") != "en")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("ctot"))
+    )
+    p = (F.coalesce(F.col("rcnt"), F.lit(0)) + 1).cast("double") / (
+        F.col("rtot") + 10
+    ).cast("double")
+    q_ = (F.coalesce(F.col("ccnt"), F.lit(0)) + 1).cast("double") / (
+        F.col("ctot") + 10
+    ).cast("double")
+    j = (
+        grid.join(F.broadcast(rc), "bucket", "left")
+        .join(F.broadcast(cc), ["lang", "bucket"], "left")
+        .join(F.broadcast(ct), "lang")
+        .crossJoin(F.broadcast(rt))
+        .select("lang", "bucket", p.alias("p"), q_.alias("q"))
+    )
+    terms = j.select(
+        "lang",
+        "bucket",
+        "p",
+        "q",
+        F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")) * 1000000000)
+        .cast("long")
+        .alias("nano"),
+    )
+    wl = Window.partitionBy("lang")
+    return terms.select(
+        "lang",
+        "bucket",
+        F.round("p", 6).alias("p_ref"),
+        F.round("q", 6).alias("q_cmp"),
+        F.sum("nano").over(wl).cast("long").alias("psi_nano"),
+    )
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import (
         duck_cms,
@@ -7823,6 +7975,8 @@ _fill_sketch_oracles()
 # list below is the round-4 snapshot, kept ONLY as the fallback when no
 # driver artifacts are readable (fresh clone without history).
 _DRIVER_PRIORITY: list[str] = [
+    "graph_kcore",
+    "psi_drift",
     "containment_neardup",
     "grouped_linregress",
     "reciprocal_nn",

@@ -259,3 +259,71 @@ def test_association_rules_match_reference(spark):
         assert r["lift"] == pytest.approx(
             pc * n_orders / (item_cnt[a] * item_cnt[b]), abs=1e-6
         )
+
+
+def _kcore_reference(pairs, k=2, rounds=4):
+    sym = {}
+    for a, b in pairs:
+        sym.setdefault(a, set()).add(b)
+        sym.setdefault(b, set()).add(a)
+    nodes = set(sym)
+    for _ in range(rounds):
+        keep = {v for v in nodes if len(sym[v] & nodes) >= k}
+        nodes = keep
+    return {v: len(sym[v] & nodes) for v in nodes
+            if len(sym[v] & nodes) >= k}
+
+
+def test_kcore_strips_tendrils(spark):
+    from fastembed_rs_spark.operators.graph import kcore
+
+    # triangle 1-2-3 with a tail 3-4-5 and an isolated edge 6-7
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (6, 7)]
+    got = {r["node"]: r["core_deg"]
+           for r in kcore(_edges_df(spark, pairs), k=2, rounds=4).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_matches_bounded_peel_reference(spark):
+    from fastembed_rs_spark.operators.graph import kcore
+
+    rng = random.Random(41)
+    nodes = list(range(1, 61))
+    pairs = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(90)})
+    got = {r["node"]: r["core_deg"]
+           for r in kcore(_edges_df(spark, pairs), k=3, rounds=4).collect()}
+    assert got == _kcore_reference(pairs, k=3, rounds=4)
+
+
+def test_psi_drift_matches_python_reference(spark):
+    import math
+
+    from fastembed_rs_spark.queries import QUERIES, t
+
+    out = QUERIES["psi_drift"].spark(spark, SF_DIR).collect()
+    docs = t(spark, SF_DIR, "documents").select("lang", "n_chars").collect()
+    buckets: dict[str, dict[int, int]] = {}
+    for r in docs:
+        b = min(r["n_chars"] // 200, 9)
+        buckets.setdefault(r["lang"], {}).setdefault(b, 0)
+        buckets[r["lang"]][b] += 1
+    ref = buckets.get("en", {})
+    rtot = sum(ref.values())
+    expected = {}
+    for lang, cnts in buckets.items():
+        if lang == "en":
+            continue
+        ctot = sum(cnts.values())
+        nano = 0
+        for b in range(10):
+            p = (ref.get(b, 0) + 1) / (rtot + 10)
+            q = (cnts.get(b, 0) + 1) / (ctot + 10)
+            nano += int(round((p - q) * math.log(p / q) * 1e9))
+        expected[lang] = nano
+    got = {}
+    for r in out:
+        got.setdefault(r["lang"], set()).add(r["psi_nano"])
+        assert 0.0 <= r["p_ref"] <= 1.0 and 0.0 <= r["q_cmp"] <= 1.0
+    assert {k: v.pop() for k, v in got.items()} == expected
+    # every comparison language contributes exactly 10 bucket rows
+    assert len(out) == 10 * len(expected)
