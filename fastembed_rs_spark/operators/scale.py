@@ -214,11 +214,15 @@ def pareto_front_2d(
             .drop("__mx_lt", "__mx_eq")
         )
 
-    first = next(c for c in df.columns if c not in (cost_col, gain_col))
+    # bucket on an id-ish column when one exists (stable under metric
+    # duplicates); a frame of only the two metrics buckets on both
+    first = next(
+        (c for c in df.columns if c not in (cost_col, gain_col)),
+        None,
+    )
+    bkt_src = F.hash(first) if first else F.hash(cost_col, gain_col)
     local = _keep(
-        df.withColumn(
-            "__bkt", F.pmod(F.hash(first), F.lit(prefilter_buckets))
-        ),
+        df.withColumn("__bkt", F.pmod(bkt_src, F.lit(prefilter_buckets))),
         ["__bkt"],
     ).drop("__bkt")
     return _keep(local, [])

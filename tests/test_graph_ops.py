@@ -327,3 +327,15 @@ def test_psi_drift_matches_python_reference(spark):
     assert {k: v.pop() for k, v in got.items()} == expected
     # every comparison language contributes exactly 10 bucket rows
     assert len(out) == 10 * len(expected)
+
+
+def test_pareto_front_works_without_id_column(spark):
+    from fastembed_rs_spark.operators.scale import pareto_front_2d
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 9), (2, 4), (3, 9), (4, 1)], "cost long, gain long"
+    )
+    got = sorted(
+        (r["cost"], r["gain"]) for r in pareto_front_2d(df, "cost", "gain").collect()
+    )
+    assert got == [(1, 5), (2, 9)]
