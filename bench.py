@@ -24,6 +24,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "robust_value_outliers",
+    "event_transitions",
+    "join_size_estimate",
     "graph_kcore",
     "psi_drift",
     "containment_neardup",
