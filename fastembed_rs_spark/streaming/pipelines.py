@@ -368,3 +368,105 @@ def drift_against_reference(
             "is_drifted", F.coalesce(F.col("drift_z") > tau, F.lit(False))
         )
     )
+
+
+def psi_histogram_registers(
+    docs: DataFrame,
+    len_col: str = "n_chars",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    bucket_width: int = 200,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Streaming PSI drift monitor, register stage: per tumbling window,
+    the fixed-bucket length histogram (w, bucket, cnt) — the streaming
+    counterpart of the batch ``psi_drift`` catalog query.
+
+    A histogram COUNT is the canonical mergeable register: state is
+    bounded by n_buckets × open windows however large the stream, evicted
+    at the watermark. Buckets use the same exact integer floor-division
+    edges as the batch query (``len div width``, capped), so a streamed
+    window finalized against a reference equals the batch PSI over the
+    same rows — pinned by test. Finalize with ``psi_against_reference``.
+    """
+    b = docs.select(
+        F.col(ts_col),
+        F.least(
+            F.expr(f"{len_col} div {bucket_width}"), F.lit(n_buckets - 1)
+        ).alias("bucket"),
+    )
+    return (
+        b.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def psi_against_reference(
+    regs: DataFrame,
+    reference: DataFrame,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """(w, bucket, cnt) histogram registers + a published reference
+    histogram (bucket, ref_cnt) → one row per window: the population
+    stability index in exact integer nano-units (same Laplace smoothing
+    and (p−q)·ln(p/q) per-bucket terms as the batch ``psi_drift`` query;
+    the per-window total is an integer sum, never an order-dependent
+    float fold) plus the standard >0.2 alert flag.
+
+    The reference histogram is tiny (n_buckets rows) — broadcast; empty
+    buckets on either side are restored via the window × bucket grid so
+    smoothing sees all ``n_buckets`` cells exactly like the batch query.
+    """
+    # grid/wtot derive from regs, so the joins below are self-joins —
+    # rename the grid's columns to fresh names to avoid attribute conflicts
+    grid = (
+        regs.select(F.col("w").alias("__gw"))
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                regs.sparkSession.range(n_buckets).select(
+                    F.col("id").cast("int").alias("__gb")
+                )
+            )
+        )
+    )
+    wtot = regs.groupBy("w").agg(F.sum("cnt").cast("long").alias("wtot")).select(
+        F.col("w").alias("__tw"), "wtot"
+    )
+    rtot = reference.agg(F.sum("ref_cnt").cast("long").alias("rtot"))
+    p = (F.coalesce(F.col("ref_cnt"), F.lit(0)) + 1).cast("double") / (
+        F.col("rtot") + n_buckets
+    ).cast("double")
+    q = (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double") / (
+        F.col("wtot") + n_buckets
+    ).cast("double")
+    terms = (
+        grid.join(
+            regs,
+            (F.col("__gw") == F.col("w")) & (F.col("__gb") == F.col("bucket")),
+            "left",
+        )
+        .join(
+            F.broadcast(reference), F.col("__gb") == reference["bucket"], "left"
+        )
+        .join(F.broadcast(wtot), F.col("__gw") == F.col("__tw"))
+        .crossJoin(F.broadcast(rtot))
+        .select(
+            F.col("__gw").alias("w"),
+            F.round((p - q) * F.log(p / q) * 1000000000)
+            .cast("long")
+            .alias("nano"),
+        )
+    )
+    return (
+        terms.groupBy("w")
+        .agg(F.sum("nano").cast("long").alias("psi_nano"))
+        .select(
+            "w",
+            "psi_nano",
+            F.round(F.col("psi_nano").cast("double") / 1e9, 6).alias("psi"),
+            (F.col("psi_nano") > 200_000_000).cast("int").alias("drifted"),
+        )
+    )

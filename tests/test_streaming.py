@@ -562,3 +562,71 @@ def test_embedding_drift_stream_matches_batch(spark, stream_dir):
         .filter("is_drifted").collect()
     }
     assert flagged == {0, 1}
+
+
+def test_psi_stream_matches_batch_reference(spark, stream_dir):
+    """Streamed per-window histogram registers + reference finalize == the
+    batch PSI formula over the same rows; the deliberately shifted window
+    crosses the 0.2 alert threshold, the in-distribution one does not."""
+    import math
+    import random
+
+    from fastembed_rs_spark.streaming.pipelines import (
+        psi_against_reference,
+        psi_histogram_registers,
+    )
+
+    rng = random.Random(53)
+    base = 1704067200  # 2024-01-01 00:00 UTC
+    rows = []
+    for i in range(800):
+        hour = i % 2
+        # hour 0 matches the reference distribution; hour 1 shifts long
+        n_chars = rng.randrange(0, 800) if hour == 0 else rng.randrange(1200, 2000)
+        rows.append((i, base + hour * 3600 + rng.randrange(3600), n_chars))
+    df = spark.createDataFrame(rows, "doc_id long, ts_s long, n_chars int").select(
+        "doc_id",
+        F.to_timestamp(F.col("ts_s").cast("timestamp")).alias("ts"),
+        "n_chars",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(stream_dir + "/psi")
+
+    ref_hist = [0] * 10
+    for _ in range(1000):
+        ref_hist[min(rng.randrange(0, 800) // 200, 9)] += 1
+    reference = spark.createDataFrame(
+        [(b, c) for b, c in enumerate(ref_hist)], "bucket int, ref_cnt long"
+    )
+
+    src = spark.readStream.schema(df.schema).parquet(stream_dir + "/psi")
+    regs = psi_histogram_registers(src, window="1 hour")
+    q = (
+        regs.writeStream.format("memory").queryName("psi_regs")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    out = {
+        r["w"]["start"].hour: r
+        for r in psi_against_reference(spark.table("psi_regs"), reference).collect()
+    }
+    assert set(out) == {0, 1}
+
+    # python twin of the batch psi_drift integer-nano formula
+    def psi_nano(window_hour):
+        cnts = [0] * 10
+        for i, (_, ts_s, n_chars) in enumerate(rows):
+            if (ts_s - base) // 3600 == window_hour:
+                cnts[min(n_chars // 200, 9)] += 1
+        wtot, rtot = sum(cnts), sum(ref_hist)
+        nano = 0
+        for b in range(10):
+            p = (ref_hist[b] + 1) / (rtot + 10)
+            q_ = (cnts[b] + 1) / (wtot + 10)
+            nano += int(round((p - q_) * math.log(p / q_) * 1e9))
+        return nano
+
+    for hour in (0, 1):
+        assert out[hour]["psi_nano"] == psi_nano(hour)
+    assert out[0]["drifted"] == 0 and out[0]["psi"] < 0.05
+    assert out[1]["drifted"] == 1 and out[1]["psi"] > 0.2
