@@ -339,3 +339,37 @@ def test_pareto_front_works_without_id_column(spark):
         (r["cost"], r["gain"]) for r in pareto_front_2d(df, "cost", "gain").collect()
     )
     assert got == [(1, 5), (2, 9)]
+
+
+def test_pagerank_equivariant_under_node_relabeling(spark):
+    """Ranks depend only on graph structure: relabeling node ids (which
+    changes every hash partition assignment) permutes rank_units exactly —
+    integer fixed-point means not even a last-ulp float wobble is allowed."""
+    from fastembed_rs_spark.operators.graph import pagerank_fixedpoint
+
+    rng = random.Random(59)
+    nodes = list(range(1, 31))
+    pairs = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(80)})
+    # ORDER-REVERSING map: also flips every pair's a<b canonical form
+    relabel = lambda x: 1_000_003 - x * 7919  # noqa: E731
+    mapped = [tuple(sorted((relabel(a), relabel(b)))) for a, b in pairs]
+    r1 = {r["node"]: r["rank_units"]
+          for r in pagerank_fixedpoint(_edges_df(spark, pairs)).collect()}
+    r2 = {r["node"]: r["rank_units"]
+          for r in pagerank_fixedpoint(_edges_df(spark, mapped)).collect()}
+    assert r2 == {relabel(n): u for n, u in r1.items()}
+
+
+def test_triangle_counts_equivariant_under_node_relabeling(spark):
+    from fastembed_rs_spark.operators.graph import triangle_counts
+
+    rng = random.Random(61)
+    nodes = list(range(1, 26))
+    pairs = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(90)})
+    relabel = lambda x: 7 + x * 13  # noqa: E731
+    mapped = [tuple(sorted((relabel(a), relabel(b)))) for a, b in pairs]
+    t1 = {r["node"]: r["n_triangles"]
+          for r in triangle_counts(_edges_df(spark, pairs)).collect()}
+    t2 = {r["node"]: r["n_triangles"]
+          for r in triangle_counts(_edges_df(spark, mapped)).collect()}
+    assert t2 == {relabel(n): c for n, c in t1.items()}
