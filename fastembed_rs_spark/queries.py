@@ -7716,7 +7716,12 @@ def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NumPy tile kernel for the dense pool × pool score pass (same kernel
     # as cluster_medoids / the blocked near-dup path); the scored table
     # feeds THREE consumers (both top-4 windows and the margin join) so it
-    # is materialized once, repartitioned by anchor for window parallelism
+    # is materialized once, repartitioned by anchor for window parallelism.
+    # persist(), NOT localCheckpoint: the pair table is |A|x|C| rows and
+    # checkpoint blocks are lineage-free — one eviction under memory
+    # pressure is fatal (observed at the 10k x 10k sf1 proof: block-manager
+    # FileNotFound). persist keeps lineage so a dropped block just
+    # recomputes its partition.
     p = (
         pairwise_cosine_fast(
             a, "aid", "__ea", cand, target_id_name="cid", score_name="__raw"
@@ -7727,7 +7732,7 @@ def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cid",
             F.round(F.col("__raw") * 1000000).cast("long").alias("si"),
         )
-        .localCheckpoint()
+        .persist()
     )
     wa = Window.partitionBy("aid").orderBy(F.desc("si"), F.asc("cid"))
     wc = Window.partitionBy("cid").orderBy(F.desc("si"), F.asc("aid"))
