@@ -48,7 +48,7 @@ PYTHON_OK = {
     "sparse_dot_topk", "hybrid_rrf_topk",
     "kmv_distinct", "hll_distinct", "hll_distinct_per_lang",
     "cluster_medoids", "feature_correlations",
-    "containment_neardup", "reciprocal_nn",
+    "containment_neardup", "reciprocal_nn", "margin_mining",
 }
 
 _PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
