@@ -24,6 +24,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "split_leakage_report",
+    "quality_percent_rank",
     "robust_value_outliers",
     "event_transitions",
     "join_size_estimate",

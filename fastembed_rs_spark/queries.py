@@ -8166,6 +8166,119 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_CASE_SQL = f"""CASE
+  WHEN (({duck_token_hash("CAST(doc_id AS VARCHAR) || '#split'")}
+         * 2654435761) % 4294967296) * 1000 // 4294967296 < 800 THEN 'train'
+  WHEN (({duck_token_hash("CAST(doc_id AS VARCHAR) || '#split'")}
+         * 2654435761) % 4294967296) * 1000 // 4294967296 < 900 THEN 'val'
+  ELSE 'test' END"""
+
+
+@q(
+    "split_leakage_report",
+    f"""
+WITH {_GRAMS_CTE},
+p AS (
+  SELECT * FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CASE WHEN (len(a.grams) = 0 AND len(b.grams) = 0) THEN 0.0 ELSE
+             CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (CAST(len(a.grams) AS DOUBLE) + CAST(len(b.grams) AS DOUBLE)
+                - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)) END, 6)
+             AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.5
+),
+s AS (SELECT doc_id, {_SPLIT_CASE_SQL} AS split FROM documents)
+SELECT least(sa.split, sb.split) AS split_a,
+       greatest(sa.split, sb.split) AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaking
+FROM p JOIN s sa ON p.id_a = sa.doc_id JOIN s sb ON p.id_b = sb.doc_id
+GROUP BY least(sa.split, sb.split), greatest(sa.split, sb.split)
+""",
+    "train/val/test LEAKAGE AUDIT at the NEAR-DUP level: every jaccard "
+    "≥ 0.5 near-duplicate pair, grouped by the (deterministic 80/10/10 "
+    "stratified_split) splits its two sides landed in — a cross-split "
+    "pair means an eval document has a training-set near-duplicate, the "
+    "contamination that silently inflates benchmark numbers (exact-dup "
+    "leakage alone misses paraphrase/boilerplate near-dups, which is why "
+    "the audit runs on the near-dup pair generator, not fingerprints). "
+    "Pairs come from the same adaptive bucketed generator as "
+    "jaccard_adaptive_neardup (never all-pairs); split labels are pure "
+    "hash codegen joined onto the pair table by id; output is one row "
+    "per split pair with total and cross-split ('leaking') counts",
+)
+def q_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import token_hash
+    from fastembed_rs_spark.operators.dedup import jaccard_pairs_adaptive
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_adaptive(docs, "doc_id", "text", n=3, threshold=0.5)
+    hh = token_hash(F.concat(F.col("doc_id").cast("string"), F.lit("#split")))
+    bkt = F.expr("((__sg_h * 2654435761) % 4294967296) * 1000 div 4294967296")
+    split = (
+        F.when(bkt < 800, F.lit("train"))
+        .when(bkt < 900, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    s = docs.select("doc_id").withColumn("__sg_h", hh).select(
+        "doc_id", split.alias("split")
+    )
+    sa = s.select(F.col("doc_id").alias("id_a"), F.col("split").alias("__sa"))
+    sb = s.select(F.col("doc_id").alias("id_b"), F.col("split").alias("__sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("__sa", "__sb").alias("split_a"),
+            F.greatest("__sa", "__sb").alias("split_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("__sa") != F.col("__sb"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_leaking"),
+        )
+    )
+
+
+@q(
+    "quality_percent_rank",
+    f"""
+WITH RECURSIVE {_duck_quality_ctes(", lang", keep="", alias="quality")}
+SELECT doc_id, lang, quality,
+       round(percent_rank() OVER (PARTITION BY lang ORDER BY quality), 6)
+         AS pr
+FROM qual
+""",
+    "per-language quantile normalization of the quality score: "
+    "percent_rank within each language — the calibration step that makes "
+    "quality thresholds comparable across sub-corpora whose raw score "
+    "distributions differ (a 0.55 in one language's distribution is a "
+    "0.9 in another's; mixing on raw scores skews the blend). Rank-based, "
+    "so it needs no distribution assumption; percent_rank = "
+    "(rank−1)/(n−1) is an exact integer ratio over quality values that "
+    "are themselves rounded BEFORE ranking (the catalog's standing "
+    "determinism rule), and the per-language sort is the one shuffle",
+)
+def q_quality_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.fast_text import text_stat_counts_fast
+
+    docs = t(spark, sf_dir, "documents")
+    counts = text_stat_counts_fast(docs, "doc_id", "text", keep_cols=("lang",))
+    q_ = counts.select(
+        "doc_id",
+        "lang",
+        F.round(TS.quality_score_from_counts(), 6).alias("quality"),
+    )
+    w = Window.partitionBy("lang").orderBy("quality")
+    return q_.select(
+        "doc_id", "lang", "quality", F.round(F.percent_rank().over(w), 6).alias("pr")
+    )
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import (
         duck_cms,
@@ -8217,6 +8330,8 @@ _fill_sketch_oracles()
 # list below is the round-4 snapshot, kept ONLY as the fallback when no
 # driver artifacts are readable (fresh clone without history).
 _DRIVER_PRIORITY: list[str] = [
+    "split_leakage_report",
+    "quality_percent_rank",
     "robust_value_outliers",
     "event_transitions",
     "join_size_estimate",

@@ -49,6 +49,7 @@ PYTHON_OK = {
     "kmv_distinct", "hll_distinct", "hll_distinct_per_lang",
     "cluster_medoids", "feature_correlations",
     "containment_neardup", "reciprocal_nn", "margin_mining",
+    "quality_percent_rank",
 }
 
 _PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",

@@ -87,3 +87,40 @@ def test_join_size_estimate_is_accurate_and_consistent(spark):
     assert r["est_overlap"] == pytest.approx(
         r["actual_overlap"], rel=0.2
     )
+
+
+def test_split_leakage_report_consistency(spark):
+    from fastembed_rs_spark.queries import QUERIES
+
+    out = QUERIES["split_leakage_report"].spark(spark, SF_DIR).collect()
+    assert out
+    valid = {"train", "val", "test"}
+    total = 0
+    for r in out:
+        assert r["split_a"] in valid and r["split_b"] in valid
+        assert r["split_a"] <= r["split_b"]
+        if r["split_a"] == r["split_b"]:
+            assert r["n_leaking"] == 0
+        else:
+            assert r["n_leaking"] == r["n_pairs"]
+        total += r["n_pairs"]
+    n_pairs = QUERIES["jaccard_adaptive_neardup"].spark(spark, SF_DIR).count()
+    assert total == n_pairs  # every near-dup pair lands in exactly one cell
+
+
+def test_quality_percent_rank_matches_reference(spark):
+    from fastembed_rs_spark.queries import QUERIES
+
+    out = QUERIES["quality_percent_rank"].spark(spark, SF_DIR).collect()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append((r["quality"], r["doc_id"], r["pr"]))
+    for rows in by_lang.values():
+        qs = sorted(q for q, _, _ in rows)
+        n = len(qs)
+        for q, _, pr in rows:
+            # percent_rank = (min-rank - 1) / (n - 1)
+            expected = 0.0 if n == 1 else qs.index(q) / (n - 1)
+            assert pr == pytest.approx(expected, abs=1e-6)
+        assert min(pr for _, _, pr in rows) == 0.0
+        assert max(pr for _, _, pr in rows) <= 1.0
