@@ -39,6 +39,7 @@ HEADLINE = [
     "training_triples",
     "association_rules",
     "label_propagation",
+    "label_propagation_bounded",
     "graph_pagerank",
     "graph_triangles",
     "pareto_front",

@@ -21,7 +21,7 @@ joins.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fastembed_rs_spark.functions.text import (
@@ -654,6 +654,7 @@ def simhash_near_pairs(
 def embedding_near_dups_blocked(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95, round_to: int = 6, n_blocks: int = 8,
+    per_node_top_k: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold via block-pair matrix products.
 
@@ -672,6 +673,21 @@ def embedding_near_dups_blocked(
     threshold filter happen Spark-side (NumPy would bankers-round); the tile
     only pre-filters with a one-ulp-of-round_to margin.
 
+    ``per_node_top_k=k`` (opt-in) bounds the edge set to the union-kNN
+    graph: a pair survives iff it ranks ≤ k among EITHER endpoint's
+    partners (rounded score desc, partner id asc — the same deterministic
+    rank downstream consumers use). Without it the output is quadratic per
+    duplicate cluster — the pair table, not the scoring, becomes the 100 TB
+    bottleneck for threshold-graph consumers (reciprocal_nn,
+    label_propagation). The cap is enforced in two phases: each tile
+    pre-prunes to partners with raw score ≥ (its k-th best in-tile raw) −
+    2·10^-round_to (a provable superset of the exact rounded top-k: a raw
+    gap > 10^-round_to forces a rounded gap, so anything exactly kept
+    survives the band — see test_per_node_cap_parity), bounding the
+    emitted pairs to n·B·k-ish BEFORE the shuffle; then one exact
+    rounded-score window finishes. Exact for any k: at k ≥ max degree the
+    output equals the uncapped pair set.
+
     Scale: choose B ≈ sqrt(2·cluster parallelism) so tiles fill the cluster;
     tile memory is 2·(n/B)·d·8 bytes + the (n/B)² score matrix per task.
     """
@@ -679,6 +695,8 @@ def embedding_near_dups_blocked(
 
     spark = emb.sparkSession
     margin = threshold - 10.0 ** (-round_to)
+    cap = per_node_top_k
+    cap_tol = 2 * 10.0 ** (-round_to)
     src = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -727,14 +745,34 @@ def embedding_near_dups_blocked(
             cos = np.where(denom == 0.0, 0.0, dots / denom)
         ids_a, ids_b = ids[ia], ids[ib]
         aa, bb = np.meshgrid(ids_a, ids_b, indexing="ij")
+
+        def row_band(M, mask):
+            # True where raw >= (k-th largest masked raw in the row) − tol:
+            # the in-tile pre-prune band that provably contains every
+            # partner the exact rounded top-k window keeps downstream
+            vals = np.where(mask, M, -np.inf)
+            if vals.shape[1] <= cap:
+                return mask
+            kth = -np.partition(-vals, cap - 1, axis=1)[:, cap - 1 : cap]
+            return mask & (M >= kth - cap_tol)
+
         if pa == pb:
             # upper triangle of the self-tile
             keep = (aa < bb) & (cos >= margin)
+            if cap is not None:
+                # a node's in-tile partners live in its row AND its column;
+                # cos is exactly symmetric here (A == B), so band the
+                # symmetrized mask and keep an edge either endpoint keeps
+                sym = (aa != bb) & (cos >= margin)
+                rk = row_band(cos, sym)
+                keep &= rk | rk.T
             lo, hi = aa[keep], bb[keep]
         else:
             # cross tile holds each pair exactly once; order ids on output
             # (cosine is symmetric term-by-term, so the score side doesn't matter)
             keep = cos >= margin
+            if cap is not None:
+                keep &= row_band(cos, keep) | row_band(cos.T, keep.T).T
             lo = np.minimum(aa[keep], bb[keep])
             hi = np.maximum(aa[keep], bb[keep])
         return pd.DataFrame({"id_a": lo, "id_b": hi, "score": cos[keep]})
@@ -742,10 +780,39 @@ def embedding_near_dups_blocked(
     tiles = replicated.groupBy("pair_a", "pair_b").applyInPandas(
         score_tile, schema="id_a long, id_b long, score double"
     )
-    return (
+    res = (
         tiles.withColumn("score", F.round("score", round_to))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
+    )
+    if cap is None:
+        return res
+    # exact union-kNN cap on the (already tile-pre-pruned, so ≤ n·B·k-ish)
+    # candidate set: one explode symmetrizes without a second tile pass,
+    # the rank window runs on rounded scores with the deterministic
+    # (score desc, partner asc) tie rule, and a pair survives when either
+    # endpoint ranks it ≤ k; the groupBy dedups pairs kept by both sides
+    # (scores are identical, max is the value)
+    sym = res.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+            )
+        ).alias("__e"),
+        "score",
+    ).select("__e.src", "__e.dst", "score")
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        sym.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= cap)
+        .select(
+            F.least("src", "dst").alias("id_a"),
+            F.greatest("src", "dst").alias("id_b"),
+            "score",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("score").alias("score"))
     )
 
 

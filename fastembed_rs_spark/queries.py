@@ -1736,14 +1736,20 @@ def q_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 7. Model-runtime queries (pandas-UDF path; rows-only driver check)
 # ===========================================================================
 
-def _ivf_trained_oracle(
-    k: int, iters: int, nq: int, nprobe: int, topk: int,
-    dim: int = EMB_DIM, seed: int = 42,
-) -> str:
-    """Replay of ``train_ivf_centroids`` + assign + probe as chained CTEs
-    (one CTE pair per Lloyd's iteration): seeded deterministic init via the
-    shared rolling hash, raw-cosine argmax assignment (bit-identical fold
-    order on both engines), means rounded to 9 decimals per iteration."""
+def _ivf_train_ctes(
+    k: int, iters: int, dim: int = EMB_DIM, seed: int = 42,
+) -> tuple[str, str]:
+    """Chained-CTE replay of ``operators.topk.train_ivf_centroids`` over the
+    embeddings table: seeded deterministic init via the shared rolling hash,
+    raw-cosine argmax assignment per Lloyd's iteration (bit-identical fold
+    order on both engines), means rounded to 9 decimals per iteration.
+
+    Returns ``(cte_sql, final_centroid_cte_name)`` — the SQL opens its own
+    ``WITH`` and also defines ``pts`` (vec_id, v double-list) and ``dims``;
+    callers append further CTEs with a leading comma. Shared by every oracle
+    whose Spark side trains k-means centroids (ann_ivf_trained,
+    cluster_medoids, margin_mining) so the replay semantics are pinned once.
+    """
     h = duck_token_hash(f"(vec_id::VARCHAR || '#ivf{seed}')")
     parts = [f"""
 WITH pts AS (
@@ -1771,6 +1777,17 @@ c{it} AS (
   ) GROUP BY centroid_id
 )""")
         prev = f"c{it}"
+    return "".join(parts), prev
+
+
+def _ivf_trained_oracle(
+    k: int, iters: int, nq: int, nprobe: int, topk: int,
+    dim: int = EMB_DIM, seed: int = 42,
+) -> str:
+    """Trained-centroid replay (``_ivf_train_ctes``) + final assign + probe
+    + within-bucket exact top-k — the full ``ann_ivf_trained`` pipeline."""
+    ctes, prev = _ivf_train_ctes(k, iters, dim=dim, seed=seed)
+    parts = [ctes]
     parts.append(f""",
 assign AS (
   SELECT p.vec_id, p.v AS embedding, c.centroid_id,
@@ -6948,17 +6965,16 @@ def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CM_TRAIN_CTES, _CM_CENT = _ivf_train_ctes(k=8, iters=3)
+
 @q(
     "cluster_medoids",
-    f"""
-WITH cent AS (
-  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0
-),
+    f"""{_CM_TRAIN_CTES},
 assign AS (
-  SELECT e.vec_id, c.centroid_id,
-         round({_dk_cos('e.embedding', 'c.ce')}, 6) AS cscore
-  FROM embeddings e CROSS JOIN cent c
-  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+  SELECT p.vec_id, CAST(c.centroid_id AS BIGINT) AS centroid_id,
+         round({_dk_cos('p.v', 'c.cv')}, 6) AS cscore
+  FROM pts p CROSS JOIN {_CM_CENT} c
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id
                              ORDER BY cscore DESC, c.centroid_id ASC) = 1
 )
 SELECT centroid_id, vec_id AS medoid_id, cscore AS medoid_score,
@@ -6967,26 +6983,30 @@ FROM assign
 QUALIFY row_number() OVER (PARTITION BY centroid_id
                            ORDER BY cscore DESC, vec_id ASC) = 1
 """,
-    "cluster prototype selection: per IVF bucket (same deterministic "
-    "1-in-50 coarse centroids as ann_ivf_topk) the member closest to the "
-    "centroid + bucket size — the curation primitive behind "
-    "prototype-per-cluster corpus summaries and SemDeDup representative "
-    "picking. Both argmaxes are max(struct(score, -id, ...)) hash "
-    "aggregations with map-side partial combine (nothing is sorted, the "
-    "shuffle carries one pre-reduced row per key per map partition); "
-    "centroid scoring reuses the NumPy tile kernel, scores rounded to 6 "
-    "BEFORE the argmax so tie semantics match the oracle windows exactly",
+    "cluster prototype selection: per trained-IVF bucket (k=8 Lloyd's "
+    "centroids via operators.topk.train_ivf_centroids — constant-size "
+    "driver state; the oracle replays training as chained CTEs exactly "
+    "like ann_ivf_trained) the member closest to the centroid + bucket "
+    "size — the curation primitive behind prototype-per-cluster corpus "
+    "summaries and SemDeDup representative picking. Both argmaxes are "
+    "max(struct(score, -id, ...)) hash aggregations with map-side partial "
+    "combine (nothing is sorted, the shuffle carries one pre-reduced row "
+    "per key per map partition); centroid scoring reuses the NumPy tile "
+    "kernel, scores rounded to 6 BEFORE the argmax so tie semantics match "
+    "the oracle windows exactly",
 )
 def q_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastembed_rs_spark.operators.fast_vector import pairwise_cosine_fast
+    from fastembed_rs_spark.operators.topk import train_ivf_centroids
 
     emb = t(spark, sf_dir, "embeddings")
-    rows = (
-        emb.filter(F.col("vec_id") % 50 == 0)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    targets = [(r[0], list(r[1])) for r in rows]
+    # k trained centroids collected to the driver: CONSTANT size by
+    # construction (k=8), unlike the former 1-in-50 modulo sample whose
+    # driver footprint grew linearly with the corpus
+    targets = [
+        (r[0], list(r[1]))
+        for r in train_ivf_centroids(emb, k=8, iters=3).collect()
+    ]
     scored = pairwise_cosine_fast(
         emb, "vec_id", "embedding", targets,
         target_id_name="centroid_id", score_name="__raw",
@@ -7260,6 +7280,73 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .spark(spark, sf_dir)
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     )
+    seeds = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("node"), "label"
+    )
+    out = propagate_labels(edges, seeds, rounds=2)
+    truth = emb.select(
+        F.col("vec_id").alias("node"), F.col("label").cast("long").alias("__t")
+    )
+    return out.join(truth, "node").select(
+        "node",
+        F.col("label").alias("label_pred"),
+        "round_labeled",
+        F.when(F.col("label") == F.col("__t"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("correct"),
+    )
+
+
+@q(
+    "label_propagation_bounded",
+    f"""
+WITH edges0 AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_dk_cos('a.embedding', 'b.embedding')}, 6) AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  ) WHERE score >= 0.4
+),
+sym0 AS (SELECT id_a AS src, id_b AS dst, score FROM edges0
+         UNION ALL SELECT id_b, id_a, score FROM edges0),
+edges AS (
+  SELECT DISTINCT least(src, dst) AS id_a, greatest(src, dst) AS id_b
+  FROM (SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY score DESC, dst ASC) AS rnk
+        FROM sym0)
+  WHERE rnk <= 8
+),
+sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL SELECT id_b AS src, id_a AS dst FROM edges),
+l0 AS (SELECT vec_id AS node, CAST(label AS BIGINT) AS label,
+              CAST(0 AS BIGINT) AS round_labeled
+       FROM embeddings WHERE vec_id % 10 = 0),
+{_lp_round_sql(1)},
+{_lp_round_sql(2)}
+SELECT l2.node, l2.label AS label_pred, l2.round_labeled,
+       CAST(CASE WHEN l2.label = CAST(e.label AS BIGINT) THEN 1 ELSE 0 END
+            AS BIGINT) AS correct
+FROM l2 JOIN embeddings e ON l2.node = e.vec_id
+""",
+    "label_propagation on the BOUNDED edge set (the 100 TB input shape): "
+    "the cosine≥0.4 near-dup graph grows quadratically per duplicate "
+    "cluster, so the edge generator caps each node to its top-8 partners "
+    "(union-kNN: an edge survives when EITHER endpoint ranks it ≤ 8 by "
+    "rounded score, ties to the lower partner id) INSIDE the tile kernel "
+    "— the pair table is n·B·k-bounded before any shuffle "
+    "(dedup.py::embedding_near_dups_blocked per_node_top_k). Propagation "
+    "itself is unchanged: fill-only majority over labeled neighbors, 2 "
+    "rounds, monotone labeled set — same accuracy-audit output columns",
+)
+def q_label_propagation_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.graph import propagate_labels
+
+    emb = t(spark, sf_dir, "embeddings")
+    edges = D.embedding_near_dups_blocked(
+        emb, threshold=0.4, per_node_top_k=8
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     seeds = emb.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("node"), "label"
     )
@@ -7618,8 +7705,14 @@ WHERE r1.src < r1.dst
     "mutual-join stage is unchanged",
 )
 def q_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per_node_top_k=3 bounds the candidate pair table to the union-3NN
+    # graph INSIDE the tile kernel (n·B·3-ish rows instead of quadratic
+    # per dup-cluster) — provably output-identical here: every src's true
+    # top-3 partners survive the cap, extra partners kept via the other
+    # side only rank ≥ 4, and mutuality needs rank ≤ 3 on BOTH sides
+    # (tests/test_mining_ops.py pins capped == brute-force full semantics)
     pairs = D.embedding_near_dups_blocked(
-        t(spark, sf_dir, "embeddings"), threshold=0.2
+        t(spark, sf_dir, "embeddings"), threshold=0.2, per_node_top_k=3
     )
     # blocked kernel emits canonical a<b pairs; symmetrize for ranking
     sym = pairs.select(
@@ -7652,16 +7745,31 @@ def q_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MM_TRAIN_CTES, _MM_CENT = _ivf_train_ctes(k=8, iters=3)
+
 @q(
     "margin_mining",
-    f"""
-WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
-c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+    f"""{_MM_TRAIN_CTES},
+probes AS (
+  SELECT p.vec_id, c.centroid_id,
+         row_number() OVER (PARTITION BY p.vec_id
+                            ORDER BY round({_dk_cos('p.v', 'c.cv')}, 6) DESC,
+                                     c.centroid_id ASC) AS rnk
+  FROM pts p CROSS JOIN {_MM_CENT} c
+  QUALIFY rnk <= 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS aid, c.vec_id AS cid
+  FROM probes a JOIN probes c ON a.centroid_id = c.centroid_id
+  WHERE a.vec_id % 2 = 0 AND c.vec_id % 2 = 1
+    AND (a.rnk = 1 OR c.rnk = 1)
+),
 p AS (
-  SELECT a.vec_id AS aid, c.vec_id AS cid,
-         CAST(round({_dk_cos('a.embedding', 'c.embedding')} * 1000000)
+  SELECT cand.aid, cand.cid,
+         CAST(round({_dk_cos('ea.v', 'ec.v')} * 1000000)
               AS BIGINT) AS si
-  FROM a CROSS JOIN c
+  FROM cand JOIN pts ea ON cand.aid = ea.vec_id
+            JOIN pts ec ON cand.cid = ec.vec_id
 ),
 ka AS (
   SELECT aid, CAST(sum(si) AS BIGINT) AS suma
@@ -7691,47 +7799,83 @@ QUALIFY row_number() OVER (PARTITION BY aid
     "margin-based mining (ratio margin, Artetxe & Schwenk 2019 — the "
     "bitext-mining score behind CCMatrix-style parallel-corpus "
     "extraction): split vectors into two pools (even/odd ids standing in "
-    "for two languages), score margin(a,c) = cos(a,c) / mean(top-4 "
-    "cos of a, top-4 cos of c) and keep each anchor's best candidate — "
-    "the normalization suppresses hub vectors that score high against "
+    "for two languages), generate candidate pairs DISTRIBUTED via a "
+    "trained-IVF overfetch (k=8 Lloyd's centroids, each vector probes its "
+    "top-2 buckets; a pair is a candidate when either side's ASSIGNED "
+    "bucket is among the other's probes — a shuffle equi-join on bucket "
+    "id, never all-pairs and never a driver collect), then score "
+    "margin(a,c) = cos(a,c) / mean(top-4 cos of a, top-4 cos of c) over "
+    "the candidate set and keep each anchor's best candidate — the "
+    "normalization suppresses hub vectors that score high against "
     "everything. Scores live in exact integer micro-units so the top-4 "
     "sums are order-independent (8·si/(Σa+Σc) is one division of exact "
     "ints — bit-identical cross-engine); both top-4 windows are "
-    "WindowGroupLimit-pruned, and at corpus scale the dense pair pass "
-    "swaps for ANN overfetch per side",
+    "WindowGroupLimit-pruned; the oracle replays centroid training as "
+    "chained CTEs exactly like ann_ivf_trained",
 )
 def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastembed_rs_spark.operators.fast_vector import pairwise_cosine_fast
+    from fastembed_rs_spark.operators.topk import train_ivf_centroids
 
-    emb = t(spark, sf_dir, "embeddings")
-    a = emb.filter(F.col("vec_id") % 2 == 0).select(
-        F.col("vec_id").alias("aid"), F.col("embedding").alias("__ea")
-    )
-    cand = [
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # constant-size driver state: k=8 trained centroids (the former shape —
+    # collecting the whole odd pool into the task closure — grew linearly
+    # with the corpus: the textbook driver-OOM at 100x)
+    targets = [
         (r[0], list(r[1]))
-        for r in emb.filter(F.col("vec_id") % 2 == 1)
-        .select("vec_id", "embedding")
-        .collect()
+        for r in train_ivf_centroids(emb, k=8, iters=3).collect()
     ]
-    # NumPy tile kernel for the dense pool × pool score pass (same kernel
-    # as cluster_medoids / the blocked near-dup path); the scored table
-    # feeds THREE consumers (both top-4 windows and the margin join) so it
-    # is materialized once, repartitioned by anchor for window parallelism.
-    # persist(), NOT localCheckpoint: the pair table is |A|x|C| rows and
-    # checkpoint blocks are lineage-free — one eviction under memory
-    # pressure is fatal (observed at the 10k x 10k sf1 proof: block-manager
-    # FileNotFound). persist keeps lineage so a dropped block just
-    # recomputes its partition.
-    p = (
+    probes = (
         pairwise_cosine_fast(
-            a, "aid", "__ea", cand, target_id_name="cid", score_name="__raw"
+            emb, "vec_id", "embedding", targets,
+            target_id_name="centroid_id", score_name="__p",
         )
-        .repartition(32, "aid")
+        .select("vec_id", "centroid_id", F.round("__p", 6).alias("__ps"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("__ps"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 2)
+        .join(emb, "vec_id")
+    )
+    pa = probes.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("aid"), F.col("embedding").alias("__ea"),
+        "centroid_id", F.col("rnk").alias("__ra"),
+    )
+    pc = probes.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("__ec"),
+        "centroid_id", F.col("rnk").alias("__rc"),
+    )
+    # candidate pair when a probes c's assigned bucket OR c probes a's
+    # assigned bucket (assignment = probe rank 1) — the symmetric IVF
+    # overfetch; equi-join on centroid_id keeps the shuffle bucket-local
+    scored = (
+        pa.join(pc.filter(F.col("__rc") == 1), "centroid_id")
+        .unionByName(pa.filter(F.col("__ra") == 1).join(pc, "centroid_id"))
         .select(
             "aid",
             "cid",
-            F.round(F.col("__raw") * 1000000).cast("long").alias("si"),
+            F.round(cosine_similarity("__ea", "__ec") * 1000000)
+            .cast("long")
+            .alias("si"),
         )
+    )
+    # dedup pairs found in both directions (si is bit-identical either way,
+    # so max == the value); the scored table feeds THREE consumers (both
+    # top-4 windows and the margin join) so it is materialized once,
+    # repartitioned by anchor for window parallelism. persist(), NOT
+    # localCheckpoint: checkpoint blocks are lineage-free — one eviction
+    # under memory pressure is fatal (observed on a 100M-row pair table at
+    # the sf1 proof: block-manager FileNotFound). persist keeps lineage so
+    # a dropped block just recomputes its partition.
+    p = (
+        scored.groupBy("aid", "cid")
+        .agg(F.max("si").alias("si"))
+        .repartition(32, "aid")
         .persist()
     )
     wa = Window.partitionBy("aid").orderBy(F.desc("si"), F.asc("cid"))
@@ -8330,6 +8474,7 @@ _fill_sketch_oracles()
 # list below is the round-4 snapshot, kept ONLY as the fallback when no
 # driver artifacts are readable (fresh clone without history).
 _DRIVER_PRIORITY: list[str] = [
+    "label_propagation_bounded",
     "split_leakage_report",
     "quality_percent_rank",
     "robust_value_outliers",
@@ -8491,12 +8636,10 @@ def _last_driver_round() -> dict[str, int]:
 #: CORRECTNESS round — sorted ahead of even never-seen queries so the
 #: driver's ~50-row window re-verifies them THIS round. Refresh per round.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "crossmodal_similarity",          # r6: hash towers + shared sparse dot
-    "returned_items_top_customers",   # r6: integer ten-thousandths money sum
-    "top_supplier_revenue",           # r6: integer ten-thousandths money sum
-    "text_quality",                   # r6: oracle on shared stats CTE builder
-    "corpus_curation",                # r6: oracle on shared quality CTE builder
-    "quality_classifier",             # r6: oracle features from shared m CTE
+    "margin_mining",       # r7: distributed trained-IVF overfetch candidates
+    "cluster_medoids",     # r7: trained centroids (constant driver state)
+    "reciprocal_nn",       # r7: per_node_top_k=3 bounded edge generator
+    "label_propagation_bounded",  # r7: NEW — capped-edge LP variant
 )
 
 

@@ -142,6 +142,7 @@ def test_pareto_front_matches_quadratic_reference(spark):
 def test_cluster_medoids_are_bucket_argmax(spark):
     import numpy as np
 
+    from fastembed_rs_spark.operators.topk import train_ivf_centroids
     from fastembed_rs_spark.queries import QUERIES, t
 
     out = {
@@ -152,7 +153,15 @@ def test_cluster_medoids_are_bucket_argmax(spark):
         r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
         for r in t(spark, SF_DIR, "embeddings").collect()
     }
-    cents = {i: v for i, v in emb.items() if i % 50 == 0}
+    # r7: centroids are trained (k=8 Lloyd's — constant driver state), not
+    # a corpus-proportional 1-in-50 sample; trust the (separately pinned)
+    # trainer and verify the assignment + medoid argmax downstream of it
+    cents = {
+        r["centroid_id"]: np.asarray(r["centroid_vec"], dtype=np.float64)
+        for r in train_ivf_centroids(
+            t(spark, SF_DIR, "embeddings"), k=8, iters=3
+        ).collect()
+    }
 
     def cos(a, b):
         na, nb = np.linalg.norm(a), np.linalg.norm(b)

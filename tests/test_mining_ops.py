@@ -119,37 +119,76 @@ def test_reciprocal_nn_matches_bruteforce(spark):
 
 
 def test_margin_mining_matches_bruteforce(spark):
-    from fastembed_rs_spark.queries import QUERIES
+    """NumPy replay of the r7 distributed shape: candidate pairs from the
+    symmetric trained-IVF overfetch (top-2 probes per vector, pair kept
+    when either side's rank-1 bucket is among the other's probes), then
+    ratio margins over the candidate set. Trusts the (separately pinned)
+    k-means trainer; everything downstream is verified brute-force."""
+    from fastembed_rs_spark.operators.topk import train_ivf_centroids
+    from fastembed_rs_spark.queries import QUERIES, t
 
     emb = _load_emb(spark)
+    cents = {
+        r["centroid_id"]: np.asarray(r["centroid_vec"], dtype=np.float64)
+        for r in train_ivf_centroids(
+            t(spark, SF_DIR, "embeddings"), k=8, iters=3
+        ).collect()
+    }
+
+    def probes(v):
+        ranked = sorted(
+            ((_cos6(v, cv), -cid) for cid, cv in cents.items()), reverse=True
+        )
+        return [-nc for _, nc in ranked[:2]]  # [assigned, second probe]
+
+    pr = {vid: probes(v) for vid, v in emb.items()}
     anchors = sorted(v for v in emb if v % 2 == 0)
-    cands = sorted(v for v in emb if v % 2 == 1)
+    pool = sorted(v for v in emb if v % 2 == 1)
+    cand = {
+        (a, c)
+        for a in anchors
+        for c in pool
+        if pr[c][0] in pr[a] or pr[a][0] in pr[c]
+    }
+
     def raw(a, c):
         va, vc = emb[a], emb[c]
         na, nc = np.linalg.norm(va), np.linalg.norm(vc)
         return 0.0 if na == 0 or nc == 0 else float(va @ vc / (na * nc))
 
-    si = {
-        (a, c): int(round(raw(a, c) * 1_000_000))
-        for a in anchors for c in cands
-    }
+    si = {(a, c): int(round(raw(a, c) * 1_000_000)) for (a, c) in cand}
     suma = {
-        a: sum(sorted((si[(a, c)] for c in cands), reverse=True)[:4])
-        for a in anchors
+        a: sum(
+            s for s, _ in sorted(
+                ((si[(a, c)], -c) for (aa, c) in cand if aa == a),
+                reverse=True,
+            )[:4]
+        )
+        for a in {a for a, _ in cand}
     }
     sumc = {
-        c: sum(sorted((si[(a, c)] for a in anchors), reverse=True)[:4])
-        for c in cands
+        c: sum(
+            s for s, _ in sorted(
+                ((si[(a, c)], -a) for (a, cc) in cand if cc == c),
+                reverse=True,
+            )[:4]
+        )
+        for c in {c for _, c in cand}
     }
     out = {r["anchor_id"]: r for r in
            QUERIES["margin_mining"].spark(spark, SF_DIR).collect()}
-    assert set(out) == set(anchors)
-    for a in anchors:
+    assert set(out) == {a for a, _ in cand}
+    # candidate set must be a strict subset of the dense pool x pool grid
+    # (the whole point of the overfetch), yet every anchor keeps a row
+    assert len(cand) < len(anchors) * len(pool)
+    for a in out:
         margins = {}
-        for c in cands:
+        for (aa, c) in cand:
+            if aa != a:
+                continue
             den = suma[a] + sumc[c]
             margins[c] = 0.0 if den <= 0 else round(8.0 * si[(a, c)] / den, 6)
-        best = max(cands, key=lambda c: (margins[c], -c))
+        best = max(margins, key=lambda c: (margins[c], -c))
         r = out[a]
         assert r["candidate_id"] == best
         assert r["margin"] == pytest.approx(margins[best], abs=1e-9)

@@ -89,6 +89,50 @@ def test_blocked_neardup_handles_zero_vectors(spark):
     assert got == {(2, 3): 1.0}
 
 
+def test_per_node_cap_parity_at_large_k(spark, emb):
+    # k ≥ max degree → the union-kNN cap is a no-op: identical pair set
+    base = D.embedding_near_dups_blocked(emb, threshold=0.1, n_blocks=4).collect()
+    capped = D.embedding_near_dups_blocked(
+        emb, threshold=0.1, n_blocks=4, per_node_top_k=10**6
+    ).collect()
+    assert len(base) > 0
+    assert sorted(map(tuple, base)) == sorted(map(tuple, capped))
+
+
+def test_per_node_cap_matches_bruteforce_union_knn(spark, emb):
+    """Capped output == brute-force union-kNN graph on rounded scores:
+    edge kept iff it ranks ≤ k among EITHER endpoint's thresholded
+    partners (score desc, partner id asc) — exercises both the in-tile
+    band pre-prune and the exact Spark-side window."""
+    k, thr = 3, 0.1
+    cos = np.zeros((N, N))
+    for i in range(N):
+        for j in range(N):
+            ni, nj = np.linalg.norm(CORPUS[i]), np.linalg.norm(CORPUS[j])
+            cos[i, j] = round(float(CORPUS[i] @ CORPUS[j] / (ni * nj)), 6)
+    partners = {
+        i: sorted(
+            ((cos[i, j], -j) for j in range(N) if j != i and cos[i, j] >= thr),
+            reverse=True,
+        )[:k]
+        for i in range(N)
+    }
+    want = set()
+    for i, tops in partners.items():
+        for s, nj in tops:
+            want.add((min(i, -nj), max(i, -nj)))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_near_dups_blocked(
+            emb, threshold=thr, n_blocks=4, per_node_top_k=k
+        ).collect()
+    }
+    assert got == want
+    # the cap must actually bound: strictly fewer pairs than uncapped
+    full = D.embedding_near_dups_blocked(emb, threshold=thr, n_blocks=4).count()
+    assert len(got) < full
+
+
 def test_opq_rotation_is_orthonormal_and_preserves_search():
     R = pq.opq_rotation(DIM, seed=7)
     assert np.allclose(R @ R.T, np.eye(DIM), atol=1e-12)
