@@ -7852,17 +7852,21 @@ def q_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # candidate pair when a probes c's assigned bucket OR c probes a's
     # assigned bucket (assignment = probe rank 1) — the symmetric IVF
-    # overfetch; equi-join on centroid_id keeps the shuffle bucket-local
-    scored = (
-        pa.join(pc.filter(F.col("__rc") == 1), "centroid_id")
-        .unionByName(pa.filter(F.col("__ra") == 1).join(pc, "centroid_id"))
-        .select(
-            "aid",
-            "cid",
-            F.round(cosine_similarity("__ea", "__ec") * 1000000)
-            .cast("long")
-            .alias("si"),
-        )
+    # overfetch; equi-join on centroid_id keeps the shuffle bucket-local.
+    # Pair scoring runs through the row-pair NumPy kernel (bit-identical
+    # fold order): the interpreted HOF cosine cost 376s on the sf1
+    # fixture's 50M-row candidate table, the kernel seconds
+    from fastembed_rs_spark.operators.fast_vector import rowpair_cosine_fast
+
+    pairs = pa.join(pc.filter(F.col("__rc") == 1), "centroid_id").unionByName(
+        pa.filter(F.col("__ra") == 1).join(pc, "centroid_id")
+    )
+    scored = rowpair_cosine_fast(
+        pairs, "__ea", "__ec", keep=["aid", "cid"], score_name="__raw"
+    ).select(
+        "aid",
+        "cid",
+        F.round(F.col("__raw") * 1000000).cast("long").alias("si"),
     )
     # dedup pairs found in both directions (si is bit-identical either way,
     # so max == the value); the scored table feeds THREE consumers (both
