@@ -82,13 +82,21 @@ def split_subvectors(
 
 def sample_pq_codebooks(
     corpus: DataFrame, id_col: str, vec_col: str, m: int, dsub: int, every: int,
+    id_bound: int | None = None,
 ) -> DataFrame:
     """Deterministic codebooks: every ``every``-th vector (id % every == 0)
     contributes its m subvectors, code_id = source id. SQL-mirrorable, so the
     full PQ pipeline gets a DuckDB oracle; swap in ``train_pq_codebooks`` for
     quality at the same plan shape.
+
+    Pass ``id_bound`` to cap the sample to ids below it — CONSTANT-size
+    codebooks (the faiss 2^nbits shape): without it the books are
+    corpus/every rows and the corpus × codebook encode scan grows
+    quadratically with the corpus.
     Returns (subspace int, code_id, code_vec array<double>)."""
     sampled = corpus.filter(F.col(id_col) % every == 0)
+    if id_bound is not None:
+        sampled = sampled.filter(F.col(id_col) < id_bound)
     return split_subvectors(sampled, id_col, vec_col, m, dsub, out_id="code_id").select(
         "subspace", "code_id", F.col("subvec").alias("code_vec")
     )
@@ -394,6 +402,7 @@ def ivf_pq_topk(
 def rq_encode(
     corpus: DataFrame, id_col: str, vec_col: str, dim: int,
     every1: int = 50, every2: int = 37, round_to: int = 6,
+    id_bound: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Two-level residual quantization (the RQ shape faiss calls
     ResidualQuantizer, level count 2): level-1 codebook = every
@@ -404,13 +413,20 @@ def rq_encode(
     like sample_pq_codebooks. Returns (codes(id, c1_id, c2_id), books1,
     books2) with books as (code_id, code_vec array<double>).
 
-    Scale shape: both codebooks are O(corpus/every) rows of dim doubles —
-    broadcast constants; encoding is two broadcast nested-loop argmins
-    (one corpus scan each, no shuffle); the codes table the search scans
-    carries TWO ints per vector instead of dim floats."""
+    Scale shape: pass ``id_bound`` to cap each codebook to sample ids below
+    it — CONSTANT-size codebooks like faiss's 2^nbits codes per level.
+    Without it the codebooks are corpus/every rows, so the encode scans
+    (corpus × codebook) grow QUADRATICALLY with the corpus (the sf1 proof
+    measured 20x/10x before the bound). With constant books encoding is
+    two broadcast nested-loop argmins (one corpus scan each, no shuffle);
+    the codes table the search scans carries TWO ints per vector instead
+    of dim floats."""
     v = _to_double(vec_col)
     base = corpus.select(F.col(id_col), v.alias("__v"))
-    b1 = base.filter(F.col(id_col) % every1 == 0).select(
+    bound = (
+        (F.col(id_col) < id_bound) if id_bound is not None else F.lit(True)
+    )
+    b1 = base.filter((F.col(id_col) % every1 == 0) & bound).select(
         F.col(id_col).alias("c1_id"), F.col("__v").alias("c1_vec")
     )
     w1 = Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("c1_id"))
@@ -424,7 +440,7 @@ def rq_encode(
             F.zip_with("__v", "c1_vec", lambda x, y: x - y).alias("__r"),
         )
     )
-    b2 = a1.filter(F.col(id_col) % every2 == 0).select(
+    b2 = a1.filter((F.col(id_col) % every2 == 0) & bound).select(
         F.col(id_col).alias("c2_id"), F.col("__r").alias("c2_vec")
     )
     w2 = Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("c2_id"))

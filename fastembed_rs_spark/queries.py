@@ -263,9 +263,23 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dups_blocked(t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+#: sample id bound for ANN codebooks / coarse-centroid samples: modulo
+#: samples take only ids below this, so centroid and code counts are
+#: CONSTANT (the faiss shape — k centroids / 2^nbits codes are fixed at
+#: index build, not corpus-proportional) and the corpus × books scoring
+#: scans stay LINEAR in the corpus. A no-op at the driver SFs (every
+#: vec_id < 2048 there) — the bound exists for the 10x+ regimes, where
+#: unbounded books made encode/assign quadratic (sf1 proof: 20x/10x on
+#: RQ, 14x/10x on IVF-PQ before bounding). NOT applied to the bucketed
+#: dedup/outlier family (semantic_dedup etc.), whose 1-in-50 centroid
+#: DENSITY is what keeps bucket sizes — and the within-bucket pair work —
+#: constant per row.
+_ANN_ID_BOUND = 2048
+
 _IVF_ORACLE = f"""
 WITH cent AS (
-  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0
+  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+  WHERE vec_id % 50 = 0 AND vec_id < {_ANN_ID_BOUND}
 ),
 assign AS (
   SELECT e.vec_id, e.embedding, c.centroid_id,
@@ -294,12 +308,17 @@ QUALIFY rank <= 5
 @q(
     "ann_ivf_topk",
     _IVF_ORACLE,
-    "IVF-style ANN: bucket corpus by nearest of 1-in-50 coarse centroids, probe 3 buckets "
-    "(beyond-reference scale path for top-k)",
+    "IVF-style ANN: bucket corpus by nearest coarse centroid (deterministic "
+    "1-in-50 sample CAPPED to a fixed id bound — constant centroid count "
+    "like a faiss coarse quantizer, so assignment stays linear in the "
+    "corpus and the driver-collected centroid set is constant), probe 3 "
+    "buckets (beyond-reference scale path for top-k)",
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+    centroids = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < _ANN_ID_BOUND)
+    ).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
     )
     bucketed = assign_ivf_buckets_fast(emb, centroids)
@@ -323,7 +342,7 @@ cb AS (
   SELECT s.subspace, e.vec_id AS code_id,
          {_PQ_SLICE.format(dsub=_PQ_DSUB, v='e.embedding')} AS code_vec
   FROM embeddings e CROSS JOIN subs s
-  WHERE e.vec_id % {_PQ_EVERY} = 0
+  WHERE e.vec_id % {_PQ_EVERY} = 0 AND e.vec_id < {_ANN_ID_BOUND}
 ),
 sv AS (
   SELECT e.vec_id, s.subspace,
@@ -363,7 +382,9 @@ QUALIFY rank <= 10
 @q(
     "ann_pq_adc_topk",
     _PQ_ORACLE,
-    "product-quantization ANN: 8x8 subvector codebooks (deterministic 1-in-125 sample), "
+    "product-quantization ANN: 8x8 subvector codebooks (deterministic "
+    "1-in-125 sample capped to a fixed id bound — CONSTANT book size like "
+    "faiss's 2^nbits, keeping the corpus × codebook encode scan linear), "
     "L2 encoding, asymmetric-distance top-10 via broadcast LUT join "
     "(compressed-domain scale path; Jégou et al. 2011)",
 )
@@ -372,7 +393,8 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     books = pq.sample_pq_codebooks(
-        emb, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB, every=_PQ_EVERY
+        emb, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB, every=_PQ_EVERY,
+        id_bound=_ANN_ID_BOUND,
     )
     codes = pq.pq_encode(emb, books, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB)
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -384,7 +406,8 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_PQ_ORACLE = f"""
 WITH cent AS (
-  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id % 50 = 0
+  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+  WHERE vec_id % 50 = 0 AND vec_id < {_ANN_ID_BOUND}
 ),
 assign AS (
   SELECT e.vec_id, c.centroid_id,
@@ -404,7 +427,7 @@ cb AS (
   SELECT s.subspace, e.vec_id AS code_id,
          {_PQ_SLICE.format(dsub=_PQ_DSUB, v='e.embedding')} AS code_vec
   FROM embeddings e CROSS JOIN subs s
-  WHERE e.vec_id % {_PQ_EVERY} = 0
+  WHERE e.vec_id % {_PQ_EVERY} = 0 AND e.vec_id < {_ANN_ID_BOUND}
 ),
 sv AS (
   SELECT e.vec_id, s.subspace,
@@ -460,12 +483,15 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastembed_rs_spark.operators import pq
 
     emb = t(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % 50 == 0).select(
+    centroids = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < _ANN_ID_BOUND)
+    ).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
     )
     bucketed = assign_ivf_buckets_fast(emb, centroids)
     books = pq.sample_pq_codebooks(
-        emb, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB, every=_PQ_EVERY
+        emb, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB, every=_PQ_EVERY,
+        id_bound=_ANN_ID_BOUND,
     )
     codes = pq.pq_encode(emb, books, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB)
     codes_bucketed = codes.join(bucketed.select("vec_id", "centroid_id"), "vec_id")
@@ -6200,6 +6226,11 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RQ_E1, _RQ_E2 = 50, 37
+#: RQ codebooks share the ANN sample id bound (see _ANN_ID_BOUND): each
+#: level holds ≤ bound/every codes — constant like faiss's 2^nbits —
+#: keeping the (corpus × codebook) encode scan linear in the corpus
+#: (unbounded books measured 20x/10x at the sf1 proof)
+_RQ_ID_BOUND = _ANN_ID_BOUND
 
 
 def _dk_sqdist(a: str, b: str) -> str:
@@ -6216,7 +6247,7 @@ def _dk_sqdist(a: str, b: str) -> str:
 WITH b1 AS (
   SELECT vec_id AS c1_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c1_vec
-  FROM embeddings WHERE vec_id % {_RQ_E1} = 0
+  FROM embeddings WHERE vec_id % {_RQ_E1} = 0 AND vec_id < {_RQ_ID_BOUND}
 ),
 ev AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -6234,7 +6265,8 @@ resid AS (
                         i -> v[i] - c1_vec[i]) AS r
   FROM a1
 ),
-b2 AS (SELECT vec_id AS c2_id, r AS c2_vec FROM resid WHERE vec_id % {_RQ_E2} = 0),
+b2 AS (SELECT vec_id AS c2_id, r AS c2_vec FROM resid
+       WHERE vec_id % {_RQ_E2} = 0 AND vec_id < {_RQ_ID_BOUND}),
 a2 AS (
   SELECT resid.vec_id, resid.c1_id, b.c2_id,
          round({_dk_sqdist('resid.r', 'b.c2_vec')}, 6) AS d2
@@ -6270,18 +6302,21 @@ FROM scored QUALIFY rank <= 10
     "to PQ subspace codes): L1 codebook quantizes the vector, L2 codebook "
     "quantizes what L1 missed, score = dot(q, c1) + dot(q, c2) — two LUT "
     "lookups and one add per candidate, the scan never touches a full "
-    "vector. Both codebooks are corpus/every samples (deterministic, "
-    "SQL-mirrorable like sample_pq_codebooks): broadcast constants; "
-    "encoding is two broadcast argmin scans, no shuffle; the searched "
-    "codes table is TWO ints per vector. operators/pq.py::rq_encode / "
-    "rq_adc_topk",
+    "vector. Both codebooks are deterministic samples CAPPED to a fixed "
+    "id bound (≤ bound/every codes per level — constant like faiss's "
+    "2^nbits, so the corpus × codebook encode scan stays LINEAR in the "
+    "corpus; SQL-mirrorable like sample_pq_codebooks): broadcast "
+    "constants; encoding is two broadcast argmin scans, no shuffle; the "
+    "searched codes table is TWO ints per vector. "
+    "operators/pq.py::rq_encode / rq_adc_topk",
 )
 def q_ann_rq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastembed_rs_spark.operators import pq
 
     emb = t(spark, sf_dir, "embeddings")
     codes, b1, b2 = pq.rq_encode(
-        emb, "vec_id", "embedding", dim=EMB_DIM, every1=_RQ_E1, every2=_RQ_E2
+        emb, "vec_id", "embedding", dim=EMB_DIM, every1=_RQ_E1, every2=_RQ_E2,
+        id_bound=_RQ_ID_BOUND,
     )
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -8644,6 +8679,10 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "cluster_medoids",     # r7: trained centroids (constant driver state)
     "reciprocal_nn",       # r7: per_node_top_k=3 bounded edge generator
     "label_propagation_bounded",  # r7: NEW — capped-edge LP variant
+    "ann_rq_adc_topk",     # r7: constant-size codebooks via id_bound
+    "ann_ivf_topk",        # r7: id-bounded (constant) coarse centroids
+    "ann_pq_adc_topk",     # r7: id-bounded (constant) PQ codebooks
+    "ann_ivf_pq_topk",     # r7: id-bounded centroids + codebooks
 )
 
 

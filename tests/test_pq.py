@@ -254,3 +254,27 @@ def test_rq_residual_refinement_improves_reconstruction(spark):
         q = vecs[r["query_id"]]
         exp = round(round(float(q @ c1[a]), 6) + round(float(q @ c2[b]), 6), 6)
         assert abs(r["score"] - exp) < 1e-9
+
+
+def test_rq_id_bound_caps_codebooks_and_is_noop_below_bound(spark):
+    """id_bound caps each codebook to sample ids below it (constant-size
+    books, the faiss 2^nbits shape that keeps the encode scan linear),
+    and a bound above every id is a no-op."""
+    from fastembed_rs_spark.operators.pq import rq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    codes, b1, b2 = rq_encode(
+        emb, "vec_id", "embedding", dim=64, every1=50, every2=37,
+        id_bound=200,
+    )
+    assert {r["c1_id"] for r in b1.collect()} == {0, 50, 100, 150}
+    assert {r["c2_id"] for r in b2.collect()} == {0, 37, 74, 111, 148, 185}
+    assert codes.count() == emb.count()  # every vector still encoded
+    free_codes, fb1, fb2 = rq_encode(emb, "vec_id", "embedding", dim=64)
+    hi_codes, hb1, hb2 = rq_encode(
+        emb, "vec_id", "embedding", dim=64, id_bound=10**9
+    )
+    assert hb1.count() == fb1.count() and hb2.count() == fb2.count()
+    assert sorted(map(tuple, hi_codes.collect())) == sorted(
+        map(tuple, free_codes.collect())
+    )
