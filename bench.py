@@ -24,6 +24,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "tokenizer_fertility",
+    "soft_dedup_weights",
+    "leakage_safe_split",
+    "ann_recall_eval",
     "split_leakage_report",
     "quality_percent_rank",
     "robust_value_outliers",

@@ -8462,6 +8462,329 @@ def q_quality_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "tokenizer_fertility",
+    f"""
+WITH per AS (
+  SELECT lang, source,
+         CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS BIGINT) AS bpe,
+         CAST(len({duck_tokens('text')}) AS BIGINT) AS words,
+         CAST(n_chars AS BIGINT) AS chars
+  FROM documents
+)
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(words) AS BIGINT) AS n_words,
+       CAST(sum(chars) AS BIGINT) AS n_chars,
+       CASE WHEN CAST(sum(words) AS BIGINT) = 0 THEN 0
+            ELSE CAST(sum(bpe) AS BIGINT) * 10000 // CAST(sum(words) AS BIGINT)
+       END AS fertility_tenk,
+       CASE WHEN CAST(sum(bpe) AS BIGINT) = 0 THEN 0
+            ELSE CAST(sum(chars) AS BIGINT) * 10000 // CAST(sum(bpe) AS BIGINT)
+       END AS chars_per_token_tenk
+FROM per GROUP BY lang, source
+""",
+    "tokenizer-evaluation fertility table: per (lang, source) sub-corpus, "
+    "subword fertility (BPE-ish regex tokens per whitespace word, integer "
+    "ten-thousandths) and compression (chars per subword token) — the two "
+    "numbers that decide whether a tokenizer under- or over-segments a "
+    "language before committing a 100 TB tokenization run (a lang whose "
+    "fertility is 2x the corpus median doubles its effective training "
+    "cost per character). One narrow scan + one partial-aggregated "
+    "groupBy; all ratios are integer floor-division on exact BIGINT sums "
+    "so both engines hash identically",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        "source",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), F.lit(0)))
+        .cast("long").alias("bpe"),
+        F.size(tokens("text")).cast("long").alias("words"),
+        F.col("n_chars").cast("long").alias("chars"),
+    )
+    agg = per.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("bpe").cast("long").alias("n_bpe_tokens"),
+        F.sum("words").cast("long").alias("n_words"),
+        F.sum("chars").cast("long").alias("n_chars"),
+    )
+    return agg.select(
+        "lang", "source", "n_docs", "n_bpe_tokens", "n_words", "n_chars",
+        F.when(F.col("n_words") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("n_bpe_tokens * 10000 div n_words"))
+        .alias("fertility_tenk"),
+        F.when(F.col("n_bpe_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("n_chars * 10000 div n_bpe_tokens"))
+        .alias("chars_per_token_tenk"),
+    )
+
+
+@q(
+    "soft_dedup_weights",
+    f"""
+WITH RECURSIVE edges AS ({_EDGE_SQL}),
+sym AS (SELECT id_a AS a, id_b AS b FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY component),
+cs AS (SELECT comp.node, sizes.cluster_size
+       FROM comp JOIN sizes ON comp.component = sizes.component),
+w AS (
+  SELECT coalesce(e.label, '__none') AS label,
+         coalesce(cs.cluster_size, 1) AS csz
+  FROM embeddings e LEFT JOIN cs ON e.vec_id = cs.node
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(sum(10000 // csz) AS BIGINT) AS effective_size_tenk
+FROM w GROUP BY label
+""",
+    "SoftDeDup-style soft deduplication: instead of DROPPING near-dups, "
+    "weight every document by 1/|near-dup cluster| so a cluster of k "
+    "copies contributes exactly one document's worth of sampling mass — "
+    "the gentler alternative to dedup_keep_best when duplicates carry "
+    "signal (recency, source diversity). Clusters come from the SAME "
+    "bucketed embedding near-dup generator + connected components as "
+    "neardup_components (never all-pairs); singletons never enter the "
+    "pair machinery and default to weight 1 via a LEFT join. Weights are "
+    "integer ten-thousandths (10000 div cluster_size) so the per-label "
+    "effective-corpus-size sums hash identically cross-engine",
+)
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.components import (
+        component_summary,
+        connected_components,
+    )
+
+    edges = QUERIES["embedding_neardup"].spark(spark, sf_dir).select("id_a", "id_b")
+    cs = component_summary(connected_components(edges)).select(
+        F.col("node").alias("vec_id"), "cluster_size"
+    )
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    w = emb.join(cs, "vec_id", "left").select(
+        F.coalesce("label", F.lit("__none")).alias("label"),
+        F.coalesce("cluster_size", F.lit(1).cast("long")).alias("csz"),
+    )
+    return w.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("csz") > 1, 1).otherwise(0)).cast("long")
+        .alias("n_dup_docs"),
+        F.sum(F.expr("10000 div csz")).cast("long").alias("effective_size_tenk"),
+    )
+
+
+_GSPLIT_CASE_SQL = f"""CASE
+  WHEN (({duck_token_hash("CAST(rep AS VARCHAR) || '#gsplit'")}
+         * 2654435761) % 4294967296) * 1000 // 4294967296 < 800 THEN 'train'
+  WHEN (({duck_token_hash("CAST(rep AS VARCHAR) || '#gsplit'")}
+         * 2654435761) % 4294967296) * 1000 // 4294967296 < 900 THEN 'val'
+  ELSE 'test' END"""
+
+
+@q(
+    "leakage_safe_split",
+    f"""
+WITH RECURSIVE {_GRAMS_CTE},
+p AS (
+  SELECT * FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CASE WHEN (len(a.grams) = 0 AND len(b.grams) = 0) THEN 0.0 ELSE
+             CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (CAST(len(a.grams) AS DOUBLE) + CAST(len(b.grams) AS DOUBLE)
+                - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)) END, 6)
+             AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.5
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM p
+        UNION SELECT id_b, id_a FROM p),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s2.b, reach.r FROM reach JOIN sym s2 ON s2.a = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+reps AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+s AS (SELECT doc_id, rep, {_GSPLIT_CASE_SQL} AS split FROM reps),
+doc_agg AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT rep) AS BIGINT) AS n_groups
+  FROM s GROUP BY split
+),
+pair_agg AS (
+  SELECT least(sa.split, sb.split) AS split,
+         CAST(count(*) AS BIGINT) AS n_dup_pairs,
+         CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_leaking
+  FROM p JOIN s sa ON p.id_a = sa.doc_id JOIN s sb ON p.id_b = sb.doc_id
+  GROUP BY least(sa.split, sb.split)
+)
+SELECT d.split, d.n_docs, d.n_groups,
+       coalesce(pa.n_dup_pairs, 0) AS n_dup_pairs,
+       coalesce(pa.n_leaking, 0) AS n_leaking
+FROM doc_agg d LEFT JOIN pair_agg pa ON d.split = pa.split
+""",
+    "leakage-SAFE train/val/test split: split assignment is keyed on the "
+    "near-dup COMPONENT representative (min doc_id of the connected "
+    "component over the same jaccard >= 0.5 adaptive pair generator the "
+    "audit query uses), not the document id — every member of a near-dup "
+    "cluster lands in the same split BY CONSTRUCTION, so n_leaking is "
+    "structurally zero (still computed honestly on both engines, not "
+    "asserted). This is the FIX for what split_leakage_report measures: "
+    "contaminated eval splits. Singleton docs (the vast majority) never "
+    "enter the pair machinery — rep falls back to their own id via a "
+    "LEFT join, so the extra cost over a naive hash split is only the "
+    "dup-pair CC, which dedup already computes. Split hash is the "
+    "engine-shared rolling hash on the rep id (80/10/10)",
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import token_hash
+    from fastembed_rs_spark.operators.components import connected_components
+    from fastembed_rs_spark.operators.dedup import jaccard_pairs_adaptive
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_adaptive(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+    reps = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("rep")
+    )
+    hh = token_hash(F.concat(F.col("rep").cast("string"), F.lit("#gsplit")))
+    bkt = F.expr("((__sg_h * 2654435761) % 4294967296) * 1000 div 4294967296")
+    split = (
+        F.when(bkt < 800, F.lit("train"))
+        .when(bkt < 900, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    s = reps.withColumn("__sg_h", hh).select(
+        "doc_id", "rep", split.alias("split")
+    )
+    doc_agg = s.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("rep").cast("long").alias("n_groups"),
+    )
+    sa = s.select(F.col("doc_id").alias("id_a"), F.col("split").alias("__sa"))
+    sb = s.select(F.col("doc_id").alias("id_b"), F.col("split").alias("__sb"))
+    pair_agg = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(F.least("__sa", "__sb").alias("split"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+            F.sum(F.when(F.col("__sa") != F.col("__sb"), 1).otherwise(0))
+            .cast("long").alias("n_leaking"),
+        )
+    )
+    return doc_agg.join(pair_agg, "split", "left").select(
+        "split", "n_docs", "n_groups",
+        F.coalesce("n_dup_pairs", F.lit(0).cast("long")).alias("n_dup_pairs"),
+        F.coalesce("n_leaking", F.lit(0).cast("long")).alias("n_leaking"),
+    )
+
+
+def _ann_recall_oracle(
+    k: int, iters: int, nq: int, nprobe: int, topk: int,
+    dim: int = EMB_DIM, seed: int = 42,
+) -> str:
+    """Trained-IVF replay (``_ivf_train_ctes``) + probe top-k AND the
+    brute-force ground-truth top-k, joined per probe query — recall@k of
+    the approximate index, measured inside the engine."""
+    ctes, prev = _ivf_train_ctes(k, iters, dim=dim, seed=seed)
+    return ctes + f""",
+assign AS (
+  SELECT p.vec_id, p.v AS embedding, c.centroid_id,
+         round({_dk_cos('p.v', 'c.cv')}, 6) AS cscore
+  FROM pts p CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY cscore DESC, c.centroid_id ASC) = 1
+),
+qv AS (SELECT vec_id AS query_id, v AS qe FROM pts WHERE vec_id < {nq}),
+probes AS (
+  SELECT qv.query_id, qv.qe, c.centroid_id,
+         round({_dk_cos('qv.qe', 'c.cv')}, 6) AS pscore
+  FROM qv CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (PARTITION BY qv.query_id ORDER BY pscore DESC, c.centroid_id ASC) <= {nprobe}
+),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, a.vec_id, round({_dk_cos('p.qe', 'a.embedding')}, 6) AS score
+    FROM probes p JOIN assign a ON p.centroid_id = a.centroid_id
+  ) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) <= {topk}
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT qv.query_id, p.vec_id, round({_dk_cos('qv.qe', 'p.v')}, 6) AS score
+    FROM qv CROSS JOIN pts p
+  ) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) <= {topk}
+),
+hits AS (
+  SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM truth t JOIN approx a ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+  GROUP BY t.query_id
+)
+SELECT q.query_id, CAST({topk} AS BIGINT) AS n_true,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) * 100 // {topk} AS recall_pct
+FROM (SELECT DISTINCT query_id FROM qv) q
+LEFT JOIN hits h ON q.query_id = h.query_id"""
+
+
+@q(
+    "ann_recall_eval",
+    _ann_recall_oracle(k=8, iters=3, nq=20, nprobe=2, topk=10),
+    "index-quality evaluation INSIDE the engine: recall@10 of the "
+    "k-means-trained IVF index (nprobe=2) against brute-force ground "
+    "truth, per probe query — the measurement you sample-run on a 100 TB "
+    "index after every build/retrain to decide whether nprobe/k need "
+    "retuning, here as a first-class catalog query (ANN_RECALL.md holds "
+    "the offline ladder; this is the online spot-check). Ground truth is "
+    "exact top-10 over a 20-query probe set (probe count is the knob "
+    "that bounds the brute-force side at scale); both sides use the "
+    "rounded-score/vec_id tie order so the hit join is deterministic "
+    "cross-engine",
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.topk import train_ivf_centroids
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb, k=8, iters=3).localCheckpoint()
+    bucketed = assign_ivf_buckets_fast(emb, centroids)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = ivf_top_k(
+        queries, bucketed, centroids, k=10, nprobe=2, round_to=6
+    ).select("query_id", "vec_id")
+    truth = cosine_top_k(queries, emb, k=10, round_to=6).select(
+        "query_id", "vec_id"
+    )
+    hits = truth.join(approx, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    base = queries.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.lit(10).cast("long").alias("n_true"),
+        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+        F.expr("coalesce(n_hits, 0) * 100 div 10").cast("long").alias("recall_pct"),
+    )
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import (
         duck_cms,
@@ -8513,6 +8836,10 @@ _fill_sketch_oracles()
 # list below is the round-4 snapshot, kept ONLY as the fallback when no
 # driver artifacts are readable (fresh clone without history).
 _DRIVER_PRIORITY: list[str] = [
+    "tokenizer_fertility",
+    "soft_dedup_weights",
+    "leakage_safe_split",
+    "ann_recall_eval",
     "label_propagation_bounded",
     "split_leakage_report",
     "quality_percent_rank",

@@ -50,6 +50,8 @@ PYTHON_OK = {
     "cluster_medoids", "feature_correlations",
     "containment_neardup", "reciprocal_nn", "margin_mining",
     "quality_percent_rank",
+    "ann_recall_eval",  # trained-IVF probe + brute-force truth: both sides
+                        # score through the NumPy cosine kernel by design
 }
 
 _PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",

@@ -377,3 +377,91 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, catalog):
     vy = sum((y - my) ** 2 for y in ys)
     if vx > 0 and vy > 0:
         assert cov / (vx * vy) ** 0.5 > 0.5
+
+
+def test_tokenizer_fertility_consistency(spark, catalog):
+    """Group rows must tile the corpus exactly (sums equal the per-doc
+    token-count query's totals) and every ratio column must be the exact
+    integer floor of its BIGINT sums — the cross-engine determinism
+    contract."""
+    out = catalog["tokenizer_fertility"].spark(spark, SF).collect()
+    assert out
+    per_doc = catalog["bpe_token_count"].spark(spark, SF).collect()
+    assert sum(r["n_bpe_tokens"] for r in out) == sum(
+        r["n_bpe_tokens"] for r in per_doc
+    )
+    assert sum(r["n_words"] for r in out) == sum(
+        r["n_ws_tokens"] for r in per_doc
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    assert sum(r["n_chars"] for r in out) == (
+        docs.agg(F.sum("n_chars")).collect()[0][0]
+    )
+    for r in out:
+        if r["n_words"]:
+            assert r["fertility_tenk"] == r["n_bpe_tokens"] * 10000 // r["n_words"]
+        if r["n_bpe_tokens"]:
+            assert (
+                r["chars_per_token_tenk"]
+                == r["n_chars"] * 10000 // r["n_bpe_tokens"]
+            )
+
+
+def test_soft_dedup_weights_mass_conservation(spark, catalog):
+    """Every document appears exactly once; a cluster of size k contributes
+    k * (10000 div k) effective mass and singletons contribute 10000 — the
+    totals must reconcile against the components query."""
+    out = catalog["soft_dedup_weights"].spark(spark, SF).collect()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n_corpus = emb.count()
+    assert sum(r["n_docs"] for r in out) == n_corpus
+    comp = catalog["neardup_components"].spark(spark, SF).collect()
+    n_clustered = len(comp)
+    assert sum(r["n_dup_docs"] for r in out) == n_clustered
+    expected_mass = (n_corpus - n_clustered) * 10000 + sum(
+        10000 // r["cluster_size"] for r in comp
+    )
+    assert sum(r["effective_size_tenk"] for r in out) == expected_mass
+    for r in out:
+        assert r["effective_size_tenk"] <= r["n_docs"] * 10000
+        if r["n_dup_docs"] == 0:
+            assert r["effective_size_tenk"] == r["n_docs"] * 10000
+
+
+def test_leakage_safe_split_no_cross_pairs(spark, catalog):
+    """The whole point: zero near-dup pairs straddle splits, every doc is
+    assigned exactly once, pair totals reconcile with the generator, and
+    ratios stay near 80/10/10."""
+    from fastembed_rs_spark.operators.dedup import jaccard_pairs_adaptive
+
+    out = {r["split"]: r for r in catalog["leakage_safe_split"].spark(spark, SF).collect()}
+    assert set(out) == {"train", "val", "test"}
+    assert all(r["n_leaking"] == 0 for r in out.values())
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert sum(r["n_docs"] for r in out.values()) == docs.count()
+    n_pairs = jaccard_pairs_adaptive(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    ).count()
+    assert sum(r["n_dup_pairs"] for r in out.values()) == n_pairs
+    total = sum(r["n_docs"] for r in out.values())
+    assert 0.7 < out["train"]["n_docs"] / total < 0.9
+    assert out["val"]["n_docs"] / total < 0.2
+    assert out["test"]["n_docs"] / total < 0.2
+    for r in out.values():
+        assert r["n_groups"] <= r["n_docs"]
+
+
+def test_ann_recall_eval_bounds_and_exactness(spark, catalog):
+    """One row per probe, hits bounded by k, recall_pct is the exact
+    integer ratio, and the trained index clears a floor that a broken
+    probe/assign path could not (random 2-of-8 buckets would land ~0.25)."""
+    out = catalog["ann_recall_eval"].spark(spark, SF).collect()
+    assert len(out) == 20
+    assert {r["query_id"] for r in out} == set(range(20))
+    for r in out:
+        assert r["n_true"] == 10
+        assert 0 <= r["n_hits"] <= 10
+        assert r["recall_pct"] == r["n_hits"] * 100 // 10
+    mean_recall = sum(r["n_hits"] for r in out) / (10 * len(out))
+    assert mean_recall > 0.4
