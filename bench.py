@@ -24,6 +24,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "dedup_threshold_sweep",
+    "embedding_bucket_drift",
     "tokenizer_fertility",
     "soft_dedup_weights",
     "leakage_safe_split",

@@ -8785,6 +8785,231 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "dedup_threshold_sweep",
+    f"""
+WITH p AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_dk_cos('a.embedding', 'b.embedding')}, 6) AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  ) WHERE score >= 0.2
+),
+p2 AS (SELECT id_a, id_b, CAST(round(score * 1000000) AS BIGINT) AS sm FROM p),
+ts AS (SELECT unnest(generate_series(2, 9)) AS t),
+pair_ct AS (
+  SELECT ts.t, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM ts JOIN p2 ON p2.sm >= ts.t * 100000 GROUP BY ts.t
+),
+sym AS (SELECT id_a AS node, sm FROM p2 UNION ALL SELECT id_b, sm FROM p2),
+doc_ct AS (
+  SELECT ts.t, CAST(count(DISTINCT s.node) AS BIGINT) AS n_docs
+  FROM ts JOIN sym s ON s.sm >= ts.t * 100000 GROUP BY ts.t
+),
+deg AS (
+  SELECT ts.t, s.node, CAST(count(*) AS BIGINT) AS d
+  FROM ts JOIN sym s ON s.sm >= ts.t * 100000 GROUP BY ts.t, s.node
+),
+deg_max AS (SELECT t, max(d) AS max_degree FROM deg GROUP BY t)
+SELECT CAST(ts.t AS BIGINT) AS threshold_tenths,
+       coalesce(pair_ct.n_pairs, 0) AS n_pairs,
+       coalesce(doc_ct.n_docs, 0) AS n_docs,
+       coalesce(deg_max.max_degree, 0) AS max_degree
+FROM ts LEFT JOIN pair_ct ON ts.t = pair_ct.t
+LEFT JOIN doc_ct ON ts.t = doc_ct.t
+LEFT JOIN deg_max ON ts.t = deg_max.t
+""",
+    "dedup threshold calibration sweep: pair count, documents touched, "
+    "and max node degree (hub / giant-cluster proxy) at every candidate "
+    "cosine threshold 0.2..0.9 — the table you read BEFORE committing a "
+    "100 TB dedup run to one tau (too low: the threshold graph grows a "
+    "giant component and dedup eats the corpus; too high: dup clusters "
+    "survive). ONE bucketed candidate-pair pass at the loosest threshold "
+    "feeds every row: scores become exact integer micro-units, bucket = "
+    "sm div 100000 (so 'score >= t/10' is an exact integer comparison, "
+    "never a float-boundary trap), and the per-threshold aggregates are "
+    "suffix-sums over the 8-bucket histograms — no per-threshold rescan. "
+    "The per-(node,bucket) suffix table is the only n-sized intermediate; "
+    "everything after is 8-row arithmetic",
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = D.embedding_near_dups_blocked(emb, threshold=0.2)
+    p2 = pairs.select(
+        "id_a", "id_b",
+        F.expr("CAST(round(score * 1000000) AS BIGINT)").alias("sm"),
+    )
+    b = p2.select(
+        "id_a", "id_b",
+        F.least(F.expr("sm div 100000"), F.lit(9).cast("long")).alias("bucket"),
+    ).persist()
+    grid = spark.range(2, 10).select(F.col("id").alias("t"))
+    pair_hist = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    pair_ct = (
+        grid.join(pair_hist, pair_hist["bucket"] >= grid["t"])
+        .groupBy("t").agg(F.sum("n").cast("long").alias("n_pairs"))
+    )
+    sym = b.select(F.col("id_a").alias("node"), "bucket").unionAll(
+        b.select(F.col("id_b").alias("node"), "bucket")
+    )
+    node_max = sym.groupBy("node").agg(F.max("bucket").alias("mb"))
+    doc_hist = node_max.groupBy("mb").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    doc_ct = (
+        grid.join(doc_hist, doc_hist["mb"] >= grid["t"])
+        .groupBy("t").agg(F.sum("n").cast("long").alias("n_docs"))
+    )
+    nb = sym.groupBy("node", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = (
+        Window.partitionBy("node")
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    suffix = nb.select("node", "bucket", F.sum("c").over(w).alias("deg"))
+    bucket_max = suffix.groupBy("bucket").agg(F.max("deg").alias("mdeg"))
+    deg_max = (
+        grid.join(bucket_max, bucket_max["bucket"] >= grid["t"])
+        .groupBy("t").agg(F.max("mdeg").cast("long").alias("max_degree"))
+    )
+    out = (
+        grid.join(pair_ct, "t", "left")
+        .join(doc_ct, "t", "left")
+        .join(deg_max, "t", "left")
+        .select(
+            F.col("t").cast("long").alias("threshold_tenths"),
+            F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0).cast("long")).alias("n_docs"),
+            F.coalesce("max_degree", F.lit(0).cast("long")).alias("max_degree"),
+        )
+    )
+    return out
+
+
+def _bucket_drift_oracle(k: int, iters: int, dim: int = EMB_DIM) -> str:
+    """Trained-IVF assign replay + per-label PSI of bucket occupancy vs the
+    whole-corpus bucket mix (same Laplace/nano-unit math as psi_drift)."""
+    ctes, prev = _ivf_train_ctes(k, iters, dim=dim)
+    return ctes + f""",
+assign AS (
+  SELECT p.vec_id, c.centroid_id,
+         round({_dk_cos('p.v', 'c.cv')}, 6) AS cscore
+  FROM pts p CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY cscore DESC, c.centroid_id ASC) = 1
+),
+b AS (
+  SELECT coalesce(e.label, '__none') AS label, a.centroid_id AS bucket
+  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
+),
+labels AS (SELECT DISTINCT label FROM b),
+grid AS (
+  SELECT labels.label, g.bucket
+  FROM labels CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS bucket) g
+),
+rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rcnt FROM b GROUP BY bucket),
+rt AS (SELECT CAST(count(*) AS BIGINT) AS rtot FROM b),
+cc AS (SELECT label, bucket, CAST(count(*) AS BIGINT) AS ccnt
+       FROM b GROUP BY label, bucket),
+ct AS (SELECT label, CAST(count(*) AS BIGINT) AS ctot FROM b GROUP BY label),
+j AS (
+  SELECT grid.label, grid.bucket,
+         CAST(coalesce(rc.rcnt, 0) + 1 AS DOUBLE)
+           / CAST(rt.rtot + {k} AS DOUBLE) AS p,
+         CAST(coalesce(cc.ccnt, 0) + 1 AS DOUBLE)
+           / CAST(ct.ctot + {k} AS DOUBLE) AS q
+  FROM grid
+  LEFT JOIN rc ON grid.bucket = rc.bucket
+  LEFT JOIN cc ON grid.label = cc.label AND grid.bucket = cc.bucket
+  JOIN ct ON grid.label = ct.label
+  CROSS JOIN rt
+),
+terms AS (
+  SELECT label, bucket, p, q,
+         CAST(round((p - q) * ln(p / q) * 1000000000) AS BIGINT) AS nano
+  FROM j
+)
+SELECT label, CAST(bucket AS BIGINT) AS bucket,
+       round(p, 6) AS p_ref, round(q, 6) AS q_cmp,
+       CAST(sum(nano) OVER (PARTITION BY label) AS BIGINT) AS psi_nano
+FROM terms"""
+
+
+@q(
+    "embedding_bucket_drift",
+    _bucket_drift_oracle(k=8, iters=3),
+    "EMBEDDING-SPACE drift monitor: PSI of trained-IVF bucket occupancy "
+    "per label vs the whole-corpus bucket mix — psi_drift watches a "
+    "scalar's histogram, this watches where each slice actually lives in "
+    "embedding space (a new crawl whose vectors pile into two buckets "
+    "has drifted even when its length/quality scalars look unchanged — "
+    "and it degrades ANN recall for exactly that slice, so this is also "
+    "the 'retrain the index?' signal). The k-bucket histogram is the "
+    "constant-size sufficient statistic: one train + one kernel assign "
+    "pass over the corpus, then all PSI math runs on a labels x k grid "
+    "of broadcast joins; per-bucket terms become exact integer "
+    "nano-units before the per-label window sum (no order-dependent "
+    "float accumulation)",
+)
+def q_embedding_bucket_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.topk import train_ivf_centroids
+
+    k = 8
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb, k=k, iters=3).localCheckpoint()
+    assigned = assign_ivf_buckets_fast(emb, centroids)
+    b = assigned.select(
+        F.coalesce("label", F.lit("__none")).alias("label"),
+        F.col("centroid_id").alias("bucket"),
+    )
+    labels = b.select("label").distinct()
+    grid = labels.crossJoin(
+        F.broadcast(
+            spark.range(k).select(F.col("id").cast("int").alias("bucket"))
+        )
+    )
+    rc = b.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("rcnt"))
+    rt = b.agg(F.count(F.lit(1)).cast("long").alias("rtot"))
+    cc = b.groupBy("label", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("ccnt")
+    )
+    ct = b.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("ctot"))
+    j = (
+        grid.join(F.broadcast(rc), "bucket", "left")
+        .join(F.broadcast(cc), ["label", "bucket"], "left")
+        .join(F.broadcast(ct), "label")
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "label", "bucket",
+            (
+                (F.coalesce("rcnt", F.lit(0)) + 1).cast("double")
+                / (F.col("rtot") + k).cast("double")
+            ).alias("p"),
+            (
+                (F.coalesce("ccnt", F.lit(0)) + 1).cast("double")
+                / (F.col("ctot") + k).cast("double")
+            ).alias("q"),
+        )
+    )
+    terms = j.select(
+        "label", "bucket", "p", "q",
+        F.expr(
+            "CAST(round((p - q) * ln(p / q) * 1000000000) AS BIGINT)"
+        ).alias("nano"),
+    )
+    wl = Window.partitionBy("label")
+    return terms.select(
+        "label",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.round("p", 6).alias("p_ref"),
+        F.round("q", 6).alias("q_cmp"),
+        F.sum("nano").over(wl).cast("long").alias("psi_nano"),
+    )
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import (
         duck_cms,
@@ -8836,6 +9061,8 @@ _fill_sketch_oracles()
 # list below is the round-4 snapshot, kept ONLY as the fallback when no
 # driver artifacts are readable (fresh clone without history).
 _DRIVER_PRIORITY: list[str] = [
+    "dedup_threshold_sweep",
+    "embedding_bucket_drift",
     "tokenizer_fertility",
     "soft_dedup_weights",
     "leakage_safe_split",

@@ -52,6 +52,8 @@ PYTHON_OK = {
     "quality_percent_rank",
     "ann_recall_eval",  # trained-IVF probe + brute-force truth: both sides
                         # score through the NumPy cosine kernel by design
+    "dedup_threshold_sweep",   # candidate pairs from the blocked tile kernel
+    "embedding_bucket_drift",  # kernel assign pass over the corpus
 }
 
 _PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",

@@ -465,3 +465,55 @@ def test_ann_recall_eval_bounds_and_exactness(spark, catalog):
         assert r["recall_pct"] == r["n_hits"] * 100 // 10
     mean_recall = sum(r["n_hits"] for r in out) / (10 * len(out))
     assert mean_recall > 0.4
+
+
+def test_dedup_threshold_sweep_monotone_and_reconciles(spark, catalog):
+    """Rows must be monotone non-increasing as tau rises (suffix-sums of
+    one histogram), and the tau=0.4 row must reconcile exactly with the
+    embedding_neardup pair table the dedup family is built on."""
+    out = {r["threshold_tenths"]: r
+           for r in catalog["dedup_threshold_sweep"].spark(spark, SF).collect()}
+    assert set(out) == set(range(2, 10))
+    for col in ("n_pairs", "n_docs", "max_degree"):
+        vals = [out[t][col] for t in range(2, 10)]
+        assert all(a >= b for a, b in zip(vals, vals[1:])), (col, vals)
+    pairs = catalog["embedding_neardup"].spark(spark, SF).collect()
+    assert out[4]["n_pairs"] == len(pairs)
+    nodes = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert out[4]["n_docs"] == len(nodes)
+    deg: dict[int, int] = {}
+    for r in pairs:
+        deg[r["id_a"]] = deg.get(r["id_a"], 0) + 1
+        deg[r["id_b"]] = deg.get(r["id_b"], 0) + 1
+    assert out[4]["max_degree"] == (max(deg.values()) if deg else 0)
+
+
+def test_embedding_bucket_drift_psi_semantics(spark, catalog):
+    """Shares must be Laplace-smoothed bucket occupancies that sum to ~1
+    per label, psi_nano must equal the recomputed term sum, and a label
+    whose mix matches the corpus mix must score lower than a concentrated
+    one (PSI's whole point)."""
+    import math
+
+    rows = catalog["embedding_bucket_drift"].spark(spark, SF).collect()
+    by_label: dict[str, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r)
+    for label, rs in by_label.items():
+        assert len(rs) == 8
+        assert abs(sum(r["q_cmp"] for r in rs) - 1.0) < 1e-3
+        assert abs(sum(r["p_ref"] for r in rs) - 1.0) < 1e-3
+        psi = {r["psi_nano"] for r in rs}
+        assert len(psi) == 1  # window sum is constant per label
+        # each term (p-q)*ln(p/q) is >= 0 (signs agree), so the total can
+        # only dip below zero by the per-term nano rounding (8 * 0.5)
+        assert psi.pop() >= -8
+        total = sum(
+            round((r["p_ref"] - r["q_cmp"])
+                  * math.log(r["p_ref"] / r["q_cmp"]) * 1e9)
+            for r in rs
+        )
+        # recomputation from the 6-decimal ROUNDED p/q drifts up to
+        # ~|ln(p/q)| * 5e-7 * 1e9 nano per term vs the exact-p/q sum the
+        # query uses — a loose absolute bound on values of order 1e7+
+        assert abs(total - rs[0]["psi_nano"]) < 20000
