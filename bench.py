@@ -24,6 +24,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "cross_source_contamination",
+    "duplicate_cluster_profile",
     "dedup_threshold_sweep",
     "embedding_bucket_drift",
     "tokenizer_fertility",

@@ -110,3 +110,66 @@ def query_ivf_index(
         vec_col=manifest["vec_col"],
         dim=manifest["dim"],
     )
+
+
+def append_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    check_ids: bool = False,
+) -> int:
+    """Append a batch to a persisted index WITHOUT retraining: assign the
+    new vectors to the EXISTING centroids (one kernel scan over the batch
+    — the index corpus is never read), append them into the hive bucket
+    directories, and bump the manifest count. Returns the appended count.
+
+    This is the production ingest path: crawls arrive daily, centroids
+    are retrained rarely (when ``ann_recall_eval`` / ``embedding_bucket_
+    drift`` say so — drifted batches pile into few buckets and recall
+    sags), and an append must cost O(batch), not O(index). The write is
+    ``mode=append`` + ``partitionBy``: only the touched bucket
+    directories gain files, existing files are never rewritten, and
+    dynamic partition pruning on the probe join keeps working because
+    the layout is unchanged (pinned by test).
+
+    ``check_ids=True`` anti-joins the batch against the existing ids —
+    one narrow column scan of the index, so opt-in; at serving scale
+    keep ids unique upstream or maintain a Bloom sidecar instead.
+
+    Schema guard: the batch's vector dim must match the manifest's (a
+    mixed-dim index would poison every downstream kernel scan).
+    """
+    spark = new_vectors.sparkSession
+    manifest = spark.read.parquet(f"{path}/manifest").first().asDict()
+    id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    bad = new_vectors.filter(
+        F.size(F.col(vec_col)) != F.lit(int(manifest["dim"]))
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"append_ivf_index: batch contains vectors whose dim != "
+            f"manifest dim {manifest['dim']}"
+        )
+    if check_ids:
+        existing = spark.read.parquet(f"{path}/corpus").select(id_col)
+        new_vectors = new_vectors.join(existing, id_col, "left_anti")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    assigned = assign_ivf_buckets_fast(
+        new_vectors, centroids, id_col=id_col, vec_col=vec_col
+    )
+    n_new = assigned.count()
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/corpus")
+    )
+    spark.createDataFrame(
+        [(
+            manifest["k"], manifest["dim"], manifest["iters"],
+            manifest["seed"], manifest["n_vectors"] + n_new,
+            id_col, vec_col,
+        )],
+        "k int, dim int, iters int, seed int, n_vectors long, "
+        "id_col string, vec_col string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
+    return n_new

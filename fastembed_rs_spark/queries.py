@@ -9010,6 +9010,155 @@ def q_embedding_bucket_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "cross_source_contamination",
+    f"""
+WITH {_GRAMS_CTE},
+p AS (
+  SELECT * FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CASE WHEN least(len(a.grams), len(b.grams)) = 0 THEN 0.0 ELSE
+             CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / CAST(least(len(a.grams), len(b.grams)) AS DOUBLE) END, 6)
+             AS containment
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+  ) WHERE containment >= 0.6
+),
+pm AS (
+  SELECT p.id_a, p.id_b,
+         CAST(round(p.containment * 1000000) AS BIGINT) AS cmicro,
+         least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM p
+  JOIN documents da ON p.id_a = da.doc_id
+  JOIN documents db ON p.id_b = db.doc_id
+)
+SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN source_a <> source_b THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross,
+       CAST(sum(cmicro) AS BIGINT) // CAST(count(*) AS BIGINT)
+         AS mean_containment_micro
+FROM pm GROUP BY source_a, source_b
+""",
+    "cross-source contamination matrix: containment >= 0.6 near-dup "
+    "pairs grouped by the (source_a, source_b) pair of corpora they "
+    "connect — the audit that finds one source quoting/mirroring "
+    "another (benchmark pages inside a crawl, wiki mirrors, syndicated "
+    "boilerplate) BEFORE both sides are sampled into a training mix as "
+    "'independent' data. Asymmetric containment is the right signal "
+    "(the benchmark page is tiny next to the crawl page that embeds "
+    "it; Jaccard would score it ~0). Pairs come from the same "
+    "inverted-index postings join as containment_neardup (never "
+    "all-pairs, zero-overlap pairs never materialize); the mean is "
+    "integer micro-units floor-divided by the count so no "
+    "order-dependent float sum crosses engines",
+)
+def q_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.dedup import containment_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = containment_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    src = docs.select("doc_id", "source")
+    pm = (
+        pairs.select(
+            "id_a", "id_b",
+            F.expr("CAST(round(containment * 1000000) AS BIGINT)").alias("cmicro"),
+        )
+        .join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("__sa")),
+            "id_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("__sb")),
+            "id_b",
+        )
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+            "cmicro",
+        )
+    )
+    return pm.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("source_a") != F.col("source_b"), 1).otherwise(0)
+        ).cast("long").alias("n_cross"),
+        F.expr(
+            "CAST(sum(cmicro) AS BIGINT) div CAST(count(*) AS BIGINT)"
+        ).alias("mean_containment_micro"),
+    )
+
+
+@q(
+    "duplicate_cluster_profile",
+    f"""
+WITH RECURSIVE {_GRAMS_CTE},
+p AS (
+  SELECT * FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CASE WHEN (len(a.grams) = 0 AND len(b.grams) = 0) THEN 0.0 ELSE
+             CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (CAST(len(a.grams) AS DOUBLE) + CAST(len(b.grams) AS DOUBLE)
+                - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)) END, 6)
+             AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+  ) WHERE jaccard >= 0.5
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM p
+        UNION SELECT id_b, id_a FROM p),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s2.b, reach.r FROM reach JOIN sym s2 ON s2.a = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT comp.component,
+       CAST(count(*) AS BIGINT) AS cluster_size,
+       CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+       CAST(min(d.n_chars) AS BIGINT) AS min_chars,
+       CAST(max(d.n_chars) AS BIGINT) AS max_chars
+FROM comp JOIN documents d ON comp.node = d.doc_id
+GROUP BY comp.component
+""",
+    "duplicate-cluster profile: the 'what am I about to delete' report "
+    "read between computing near-dup clusters and running the "
+    "destructive keep-one pass at corpus scale — per cluster (keyed by "
+    "its min-doc_id representative): size, how many languages and "
+    "sources it spans, and its length range. A cluster spanning many "
+    "sources is boilerplate/syndication (safe to collapse); one "
+    "spanning languages flags a broken near-dup threshold or "
+    "translations (maybe keep); a huge length range means the "
+    "keep-best policy should prefer the long side. Clusters come from "
+    "the same adaptive jaccard generator + min-label CC the dedup "
+    "family shares; the profile is one join to the docs table + one "
+    "grouped agg over cluster members only (singletons never appear)",
+)
+def q_duplicate_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.components import connected_components
+    from fastembed_rs_spark.operators.dedup import jaccard_pairs_adaptive
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_adaptive(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+    return (
+        comp.join(docs.select("doc_id", "lang", "source", "n_chars"), "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import (
         duck_cms,
@@ -9061,6 +9210,8 @@ _fill_sketch_oracles()
 # list below is the round-4 snapshot, kept ONLY as the fallback when no
 # driver artifacts are readable (fresh clone without history).
 _DRIVER_PRIORITY: list[str] = [
+    "cross_source_contamination",
+    "duplicate_cluster_profile",
     "dedup_threshold_sweep",
     "embedding_bucket_drift",
     "tokenizer_fertility",

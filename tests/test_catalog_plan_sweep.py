@@ -54,6 +54,9 @@ PYTHON_OK = {
                         # score through the NumPy cosine kernel by design
     "dedup_threshold_sweep",   # candidate pairs from the blocked tile kernel
     "embedding_bucket_drift",  # kernel assign pass over the corpus
+    "cross_source_contamination",  # containment postings join scores
+                                   # through the same kernel as
+                                   # containment_neardup
 }
 
 _PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",

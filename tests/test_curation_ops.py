@@ -517,3 +517,68 @@ def test_embedding_bucket_drift_psi_semantics(spark, catalog):
         # ~|ln(p/q)| * 5e-7 * 1e9 nano per term vs the exact-p/q sum the
         # query uses — a loose absolute bound on values of order 1e7+
         assert abs(total - rs[0]["psi_nano"]) < 20000
+
+
+def test_cross_source_contamination_reconciles(spark, catalog):
+    """Every containment pair lands in exactly one (source_a, source_b)
+    cell, cross-cells count all their pairs as cross, diagonal cells none,
+    and the micro-unit mean stays within the threshold..1.0 band."""
+    pairs = catalog["containment_neardup"].spark(spark, SF).collect()
+    out = catalog["cross_source_contamination"].spark(spark, SF).collect()
+    assert sum(r["n_pairs"] for r in out) == len(pairs)
+    src = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "source").collect()
+    }
+    cells: dict[tuple, int] = {}
+    for p in pairs:
+        a, b = sorted((src[p["id_a"]], src[p["id_b"]]))
+        cells[(a, b)] = cells.get((a, b), 0) + 1
+    assert {(r["source_a"], r["source_b"]): r["n_pairs"] for r in out} == cells
+    for r in out:
+        assert r["source_a"] <= r["source_b"]
+        expected_cross = r["n_pairs"] if r["source_a"] != r["source_b"] else 0
+        assert r["n_cross"] == expected_cross
+        assert 600000 <= r["mean_containment_micro"] <= 1000000
+
+
+def test_duplicate_cluster_profile_matches_union_find(spark, catalog):
+    """Clusters must be the transitive closure of the jaccard pair set
+    (python union-find reference), keyed by min member id, with exact
+    member-attribute aggregates."""
+    from fastembed_rs_spark.operators.dedup import jaccard_pairs_adaptive
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = jaccard_pairs_adaptive(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    ).select("id_a", "id_b").collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        ra, rb = find(p["id_a"]), find(p["id_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members: dict[int, list[int]] = {}
+    for node in parent:
+        members.setdefault(find(node), []).append(node)
+    attrs = {
+        r["doc_id"]: r
+        for r in docs.select("doc_id", "lang", "source", "n_chars").collect()
+    }
+    out = {r["component"]: r
+           for r in catalog["duplicate_cluster_profile"].spark(spark, SF).collect()}
+    assert set(out) == {min(ms) for ms in members.values()}
+    for rep, ms in members.items():
+        r = out[min(ms)]
+        assert r["cluster_size"] == len(ms) >= 2
+        assert r["n_langs"] == len({attrs[m]["lang"] for m in ms})
+        assert r["n_sources"] == len({attrs[m]["source"] for m in ms})
+        assert r["min_chars"] == min(attrs[m]["n_chars"] for m in ms)
+        assert r["max_chars"] == max(attrs[m]["n_chars"] for m in ms)

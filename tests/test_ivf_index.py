@@ -81,3 +81,73 @@ def test_query_scan_is_dynamically_pruned(spark, index_path):
     df = query_ivf_index(spark, index_path, _queries(spark), k=5, nprobe=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_append_ivf_index_no_retrain(spark):
+    """Append must assign against the EXISTING centroids (centroids file
+    untouched), land new rows in exactly the buckets a fresh assign would
+    pick, bump the manifest count, and keep queries seeing the union."""
+    from fastembed_rs_spark.operators.ivf_index import append_ivf_index
+
+    d = tempfile.mkdtemp(prefix="ivf_append_")
+    try:
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        base = emb.filter(F.col("vec_id") % 5 != 0)
+        batch = emb.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+        )
+        build_ivf_index(base, d, k=8, iters=2)
+        cent_before = sorted(
+            map(tuple, spark.read.parquet(f"{d}/centroids").collect())
+        )
+        n = append_ivf_index(batch, d)
+        assert n == batch.count()
+        corpus, centroids, manifest = load_ivf_index(spark, d)
+        assert sorted(map(tuple, centroids.collect())) == cent_before
+        assert manifest["n_vectors"] == base.count() + n == corpus.count()
+        # appended rows sit in the bucket the existing centroids assign
+        expected = {
+            r["vec_id"]: r["centroid_id"]
+            for r in assign_ivf_buckets_fast(
+                batch, spark.read.parquet(f"{d}/centroids")
+            ).collect()
+        }
+        got = {
+            r["vec_id"]: r["centroid_id"]
+            for r in corpus.filter(F.col("vec_id") >= 1000000).collect()
+        }
+        assert got == expected
+        # a query whose vector was appended finds itself at rank 1
+        probe = batch.limit(1).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        top = query_ivf_index(spark, d, probe, k=1, nprobe=2).collect()
+        assert top and top[0]["vec_id"] == top[0]["query_id"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_append_ivf_index_guards(spark):
+    """Dim-mismatched batches are rejected; check_ids drops id collisions."""
+    from fastembed_rs_spark.operators.ivf_index import append_ivf_index
+
+    d = tempfile.mkdtemp(prefix="ivf_guard_")
+    try:
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        build_ivf_index(emb, d, k=4, iters=1)
+        bad = emb.limit(3).select(
+            (F.col("vec_id") + 9000000).alias("vec_id"),
+            F.slice("embedding", 1, 7).alias("embedding"),
+            "label",
+        )
+        with pytest.raises(ValueError, match="dim"):
+            append_ivf_index(bad, d)
+        dup = emb.limit(10)  # ids already in the index
+        assert append_ivf_index(dup, d, check_ids=True) == 0
+        assert (
+            spark.read.parquet(f"{d}/manifest").first()["n_vectors"]
+            == emb.count()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
