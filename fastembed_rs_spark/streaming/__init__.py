@@ -12,6 +12,7 @@ from fastembed_rs_spark.streaming.pipelines import (  # noqa: F401
     embedding_drift_registers,
     embed_stream,
     embed_to_parquet_stream,
+    index_ingest_stream,
     kmv_quantile_store_stream,
     sessionize_stream,
     windowed_event_counts,

@@ -470,3 +470,46 @@ def psi_against_reference(
             (F.col("psi_nano") > 200_000_000).cast("int").alias("drifted"),
         )
     )
+
+
+def index_ingest_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    dedupe_ids: bool = True,
+):
+    """Continuous ANN-index ingest: per micro-batch, append the batch's
+    vectors into a persisted IVF index via
+    ``operators.ivf_index.append_ivf_index`` — assignment runs against the
+    EXISTING centroids (one kernel scan over the batch, the index corpus
+    is never read), new rows land as appended files in their hive bucket
+    directories, and the manifest count advances. The index stays
+    queryable (and dynamic-partition-prunable) throughout; retraining is a
+    separate, rare batch decision driven by ``ann_recall_eval`` /
+    ``embedding_bucket_drift``.
+
+    Exactly-once-by-id: ``foreachBatch`` is at-least-once — a crash
+    between the corpus append and the checkpoint commit replays the
+    batch. ``dedupe_ids=True`` anti-joins each batch against the ids
+    already in the index, so a replay (or an upstream duplicate) appends
+    nothing. That re-reads the index's id column per batch; at serving
+    scale swap it for a Bloom-filter sidecar updated in the same sink
+    (the ``operators.bloom`` primitive), trading a rare false-drop-never /
+    false-keep-possible for the O(index) scan.
+
+    Returns the started StreamingQuery; caller owns stop/await. The index
+    at ``index_path`` must already exist (``build_ivf_index``): streams
+    append, they never train — training on a half-arrived stream would
+    bake a skewed codebook into every later probe.
+    """
+    from fastembed_rs_spark.operators.ivf_index import append_ivf_index
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_ivf_index(batch_df, index_path, check_ids=dedupe_ids)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

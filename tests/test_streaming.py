@@ -630,3 +630,60 @@ def test_psi_stream_matches_batch_reference(spark, stream_dir):
         assert out[hour]["psi_nano"] == psi_nano(hour)
     assert out[0]["drifted"] == 0 and out[0]["psi"] < 0.05
     assert out[1]["drifted"] == 1 and out[1]["psi"] > 0.2
+
+
+def test_index_ingest_stream_appends_and_dedupes(spark, stream_dir):
+    """Streamed vector batches land in the persisted IVF index with
+    existing-centroid assignment, the index answers queries for appended
+    ids, and a second run (restart + id overlap) appends only novelty."""
+    import os
+
+    from fastembed_rs_spark.operators.ivf_index import (
+        build_ivf_index,
+        load_ivf_index,
+        query_ivf_index,
+    )
+    from fastembed_rs_spark.streaming import index_ingest_stream
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 400)
+    idx = os.path.join(stream_dir, "ivf")
+    src = os.path.join(stream_dir, "vecs")
+    ckpt = os.path.join(stream_dir, "ckpt")
+    build_ivf_index(base, idx, k=8, iters=2)
+    cent_before = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/centroids").collect())
+    )
+
+    batch1 = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    schema = batch1.schema
+    q = index_ingest_stream(
+        spark.readStream.schema(schema).parquet(src), idx, ckpt
+    )
+    q.awaitTermination(120); q.stop()
+    corpus, _, manifest = load_ivf_index(spark, idx)
+    assert manifest["n_vectors"] == corpus.count() == 450
+
+    # second run: 10 replayed ids + 50 novel ones in a new file
+    emb.filter((F.col("vec_id") >= 440) & (F.col("vec_id") < 500)) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q2 = index_ingest_stream(
+        spark.readStream.schema(schema).parquet(src), idx, ckpt
+    )
+    q2.awaitTermination(120); q2.stop()
+    corpus, centroids, manifest = load_ivf_index(spark, idx)
+    assert manifest["n_vectors"] == corpus.count() == 500
+    ids = [r["vec_id"] for r in corpus.select("vec_id").collect()]
+    assert len(ids) == len(set(ids))  # the 440..449 overlap was dropped
+    # centroids were never retrained by the stream
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{idx}/centroids").collect())
+    ) == cent_before
+    # a streamed-in vector is findable (top-1 = itself)
+    probe = emb.filter(F.col("vec_id") == 470).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    top = query_ivf_index(spark, idx, probe, k=1, nprobe=2).collect()
+    assert top and top[0]["vec_id"] == 470
