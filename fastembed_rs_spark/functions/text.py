@@ -91,6 +91,43 @@ def duck_token_hash(s: str) -> str:
     ).format(s=s, base=HASH_BASE, mod=HASH_MOD)
 
 
+#: Fibonacci multiplicative mix + permille bucketing shared by every
+#: deterministic keyed split/sample in the engine (operators.scale.
+#: hash_sample, stratified_split, the leakage split pair, deterministic_
+#: sample's oracle). The constants are LOAD-BEARING for cross-engine hash
+#: parity — one definition, referenced everywhere.
+SPLIT_MIX = 2654435761
+SPLIT_MOD = 4294967296
+
+
+def split_80_10_10(hash_col_name: str) -> Column:
+    """80/10/10 train/val/test split column from an engine-shared rolling
+    hash column (by NAME — the expression is pure int64 codegen: mix,
+    mod, permille via integer div, two compares)."""
+    bkt = F.expr(
+        f"(({hash_col_name} * {SPLIT_MIX}) % {SPLIT_MOD})"
+        f" * 1000 div {SPLIT_MOD}"
+    )
+    return (
+        F.when(bkt < 800, F.lit("train"))
+        .when(bkt < 900, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def duck_split_80_10_10(key_sql: str) -> str:
+    """DuckDB mirror of ``split_80_10_10`` over a key EXPRESSION (the
+    rolling hash is built in here via ``duck_token_hash``)."""
+    b = (
+        f"(({duck_token_hash(key_sql)} * {SPLIT_MIX}) % {SPLIT_MOD})"
+        f" * 1000 // {SPLIT_MOD}"
+    )
+    return (
+        f"CASE WHEN {b} < 800 THEN 'train' "
+        f"WHEN {b} < 900 THEN 'val' ELSE 'test' END"
+    )
+
+
 def duck_char_shingles(s: str, k: int = 3) -> str:
     return (
         f"CASE WHEN length(lower({s})) >= {k} THEN "

@@ -67,11 +67,48 @@ def build_ivf_index(
     spark = corpus.sparkSession
     dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
     n = corpus.count()
+    _write_manifest(spark, path, (k, int(dim), iters, seed, n, id_col, vec_col))
+
+
+def _write_manifest(spark: SparkSession, path: str, row: tuple) -> None:
+    """Write the 1-row manifest via write-to-temp + FS rename so a crash
+    never leaves a torn manifest: a plain ``mode=overwrite`` DELETES the
+    old manifest before the new one is committed, and a crash in that
+    window bricks the index (``load_ivf_index`` would raise on the missing
+    file). With the temp+rename protocol every crash window leaves either
+    the old manifest, or the completed temp that ``_read_manifest``
+    recovers on next load. Rename is atomic on HDFS/posix, best-effort on
+    object stores — where a conditional-put manifest service replaces
+    this file, same contract."""
+    tmp = f"{path}/manifest_tmp"
     spark.createDataFrame(
-        [(k, int(dim), iters, seed, n, id_col, vec_col)],
+        [row],
         "k int, dim int, iters int, seed int, n_vectors long, "
         "id_col string, vec_col string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(conf)
+    dst = hpath(f"{path}/manifest")
+    if fs.exists(dst):
+        fs.delete(dst, True)
+    fs.rename(hpath(tmp), dst)
+
+
+def _read_manifest(spark: SparkSession, path: str) -> dict:
+    """Read the manifest, recovering from a crash between the delete and
+    rename of ``_write_manifest`` (manifest absent, completed temp
+    present → finish the rename)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(conf)
+    dst = hpath(f"{path}/manifest")
+    tmp = hpath(f"{path}/manifest_tmp")
+    if not fs.exists(dst) and fs.exists(tmp):
+        fs.rename(tmp, dst)
+    return spark.read.parquet(f"{path}/manifest").first().asDict()
 
 
 def load_ivf_index(
@@ -80,7 +117,7 @@ def load_ivf_index(
     """(bucketed corpus, centroids, manifest dict). The corpus DataFrame's
     ``centroid_id`` is the hive partition column — filters and probe joins
     on it prune directories."""
-    manifest = spark.read.parquet(f"{path}/manifest").first().asDict()
+    manifest = _read_manifest(spark, path)
     corpus = spark.read.parquet(f"{path}/corpus")
     centroids = spark.read.parquet(f"{path}/centroids")
     return corpus, centroids, manifest
@@ -131,15 +168,16 @@ def append_ivf_index(
     dynamic partition pruning on the probe join keeps working because
     the layout is unchanged (pinned by test).
 
-    ``check_ids=True`` anti-joins the batch against the existing ids —
-    one narrow column scan of the index, so opt-in; at serving scale
-    keep ids unique upstream or maintain a Bloom sidecar instead.
+    ``check_ids=True`` drops intra-batch duplicate ids, then anti-joins
+    the batch against the existing ids — one narrow column scan of the
+    index, so opt-in; at serving scale keep ids unique upstream or
+    maintain a Bloom sidecar instead.
 
     Schema guard: the batch's vector dim must match the manifest's (a
     mixed-dim index would poison every downstream kernel scan).
     """
     spark = new_vectors.sparkSession
-    manifest = spark.read.parquet(f"{path}/manifest").first().asDict()
+    manifest = _read_manifest(spark, path)
     id_col, vec_col = manifest["id_col"], manifest["vec_col"]
     bad = new_vectors.filter(
         F.size(F.col(vec_col)) != F.lit(int(manifest["dim"]))
@@ -150,26 +188,36 @@ def append_ivf_index(
             f"manifest dim {manifest['dim']}"
         )
     if check_ids:
+        # intra-batch duplicates first (the disk anti-join can't see them:
+        # two same-id rows in one batch both survive a left_anti against
+        # the corpus), then novelty vs everything already on disk
+        new_vectors = new_vectors.dropDuplicates([id_col])
         existing = spark.read.parquet(f"{path}/corpus").select(id_col)
         new_vectors = new_vectors.join(existing, id_col, "left_anti")
     centroids = spark.read.parquet(f"{path}/centroids")
     assigned = assign_ivf_buckets_fast(
         new_vectors, centroids, id_col=id_col, vec_col=vec_col
-    )
+    ).persist()  # count + write below would otherwise each run the full
+    #              assign scan (and the check_ids anti-join) twice
     n_new = assigned.count()
-    (
-        assigned.repartition("centroid_id")
-        .write.mode("append")
-        .partitionBy("centroid_id")
-        .parquet(f"{path}/corpus")
-    )
-    spark.createDataFrame(
-        [(
+    if n_new:
+        (
+            assigned.repartition("centroid_id")
+            .write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(f"{path}/corpus")
+        )
+    assigned.unpersist()
+    # manifest count is RECOUNTED from the corpus (parquet footer metadata,
+    # no data read), not old-count + n_new: a crash between the corpus
+    # append and the manifest write self-heals on the next append instead
+    # of desyncing forever
+    n_total = spark.read.parquet(f"{path}/corpus").count()
+    _write_manifest(
+        spark, path,
+        (
             manifest["k"], manifest["dim"], manifest["iters"],
-            manifest["seed"], manifest["n_vectors"] + n_new,
-            id_col, vec_col,
-        )],
-        "k int, dim int, iters int, seed int, n_vectors long, "
-        "id_col string, vec_col string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
+            manifest["seed"], n_total, id_col, vec_col,
+        ),
+    )
     return n_new

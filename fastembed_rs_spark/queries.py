@@ -24,8 +24,10 @@ from pyspark.sql import functions as F
 from fastembed_rs_spark.functions.text import (
     HASH_MOD,
     duck_doc_fingerprint,
+    duck_split_80_10_10,
     duck_token_hash,
     duck_tokens,
+    split_80_10_10,
 )
 from fastembed_rs_spark.functions.vector import cosine_similarity, dot
 from fastembed_rs_spark.operators import dedup as D
@@ -1849,7 +1851,7 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastembed_rs_spark.operators.topk import train_ivf_centroids
 
     emb = t(spark, sf_dir, "embeddings")
-    centroids = train_ivf_centroids(emb, k=8, iters=3).localCheckpoint()
+    centroids = train_ivf_centroids(emb, k=8, iters=3)
     bucketed = assign_ivf_buckets_fast(emb, centroids)
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -6176,18 +6178,10 @@ def q_group_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "stratified_split",
     f"""
-WITH b AS (
+WITH s AS (
   SELECT doc_id, source,
-         (({duck_token_hash("CAST(doc_id AS VARCHAR) || '#split'")}
-           * 2654435761) % 4294967296) * 1000 // 4294967296 AS bkt
+         {duck_split_80_10_10("CAST(doc_id AS VARCHAR) || '#split'")} AS split
   FROM documents
-),
-s AS (
-  SELECT doc_id, source,
-         CASE WHEN bkt < 800 THEN 'train'
-              WHEN bkt < 900 THEN 'val'
-              ELSE 'test' END AS split
-  FROM b
 )
 SELECT source, split, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(doc_id) AS BIGINT) AS id_checksum
@@ -6206,17 +6200,9 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     hh = token_hash(F.concat(F.col("doc_id").cast("string"), F.lit("#split")))
-    # exact int64 math end-to-end (div, not /): same Fibonacci mix as
-    # operators.scale.hash_sample and the _DET_SAMPLE oracle
-    bkt = F.expr("((__sg_h * 2654435761) % 4294967296) * 1000 div 4294967296")
-    split = (
-        F.when(bkt < 800, F.lit("train"))
-        .when(bkt < 900, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return (
         docs.withColumn("__sg_h", hh)
-        .select("doc_id", "source", split.alias("split"))
+        .select("doc_id", "source", split_80_10_10("__sg_h").alias("split"))
         .groupBy("source", "split")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -7000,15 +6986,19 @@ def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CM_TRAIN_CTES, _CM_CENT = _ivf_train_ctes(k=8, iters=3)
+#: the ONE k=8/iters=3 training replay every trained-centroid oracle
+#: shares (cluster_medoids, margin_mining, and the ann_recall/bucket-
+#: drift builders call _ivf_train_ctes with the same args) — a single
+#: constant makes 'these oracles replay the SAME training' explicit
+_TRAIN8_CTES, _TRAIN8_CENT = _ivf_train_ctes(k=8, iters=3)
 
 @q(
     "cluster_medoids",
-    f"""{_CM_TRAIN_CTES},
+    f"""{_TRAIN8_CTES},
 assign AS (
   SELECT p.vec_id, CAST(c.centroid_id AS BIGINT) AS centroid_id,
          round({_dk_cos('p.v', 'c.cv')}, 6) AS cscore
-  FROM pts p CROSS JOIN {_CM_CENT} c
+  FROM pts p CROSS JOIN {_TRAIN8_CENT} c
   QUALIFY row_number() OVER (PARTITION BY p.vec_id
                              ORDER BY cscore DESC, c.centroid_id ASC) = 1
 )
@@ -7278,6 +7268,32 @@ n{k} AS (
 l{k} AS (SELECT * FROM l{k - 1} UNION ALL SELECT * FROM n{k})"""
 
 
+def _lp_audit(spark: SparkSession, sf_dir: str, edges) -> DataFrame:
+    """Shared body of the two label-propagation queries: 10% modulo seed
+    set, 2 fill-only majority rounds over the given edge table, then the
+    held-out correctness audit columns — the queries differ ONLY in how
+    the edge table is generated (full threshold graph vs per-node-capped)."""
+    from fastembed_rs_spark.operators.graph import propagate_labels
+
+    emb = t(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("node"), "label"
+    )
+    out = propagate_labels(edges, seeds, rounds=2)
+    truth = emb.select(
+        F.col("vec_id").alias("node"), F.col("label").cast("long").alias("__t")
+    )
+    return out.join(truth, "node").select(
+        "node",
+        F.col("label").alias("label_pred"),
+        "round_labeled",
+        F.when(F.col("label") == F.col("__t"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("correct"),
+    )
+
+
 @q(
     "label_propagation",
     f"""
@@ -7307,30 +7323,12 @@ FROM l2 JOIN embeddings e ON l2.node = e.vec_id
     "truth — the accuracy audit rides the same scan",
 )
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastembed_rs_spark.operators.graph import propagate_labels
-
-    emb = t(spark, sf_dir, "embeddings")
     edges = (
         QUERIES["embedding_neardup"]
         .spark(spark, sf_dir)
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     )
-    seeds = emb.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("node"), "label"
-    )
-    out = propagate_labels(edges, seeds, rounds=2)
-    truth = emb.select(
-        F.col("vec_id").alias("node"), F.col("label").cast("long").alias("__t")
-    )
-    return out.join(truth, "node").select(
-        "node",
-        F.col("label").alias("label_pred"),
-        "round_labeled",
-        F.when(F.col("label") == F.col("__t"), 1)
-        .otherwise(0)
-        .cast("long")
-        .alias("correct"),
-    )
+    return _lp_audit(spark, sf_dir, edges)
 
 
 @q(
@@ -7376,28 +7374,10 @@ FROM l2 JOIN embeddings e ON l2.node = e.vec_id
     "rounds, monotone labeled set — same accuracy-audit output columns",
 )
 def q_label_propagation_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastembed_rs_spark.operators.graph import propagate_labels
-
-    emb = t(spark, sf_dir, "embeddings")
     edges = D.embedding_near_dups_blocked(
-        emb, threshold=0.4, per_node_top_k=8
+        t(spark, sf_dir, "embeddings"), threshold=0.4, per_node_top_k=8
     ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    seeds = emb.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("node"), "label"
-    )
-    out = propagate_labels(edges, seeds, rounds=2)
-    truth = emb.select(
-        F.col("vec_id").alias("node"), F.col("label").cast("long").alias("__t")
-    )
-    return out.join(truth, "node").select(
-        "node",
-        F.col("label").alias("label_pred"),
-        "round_labeled",
-        F.when(F.col("label") == F.col("__t"), 1)
-        .otherwise(0)
-        .cast("long")
-        .alias("correct"),
-    )
+    return _lp_audit(spark, sf_dir, edges)
 
 
 @q(
@@ -7780,17 +7760,16 @@ def q_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MM_TRAIN_CTES, _MM_CENT = _ivf_train_ctes(k=8, iters=3)
 
 @q(
     "margin_mining",
-    f"""{_MM_TRAIN_CTES},
+    f"""{_TRAIN8_CTES},
 probes AS (
   SELECT p.vec_id, c.centroid_id,
          row_number() OVER (PARTITION BY p.vec_id
                             ORDER BY round({_dk_cos('p.v', 'c.cv')}, 6) DESC,
                                      c.centroid_id ASC) AS rnk
-  FROM pts p CROSS JOIN {_MM_CENT} c
+  FROM pts p CROSS JOIN {_TRAIN8_CENT} c
   QUALIFY rnk <= 2
 ),
 cand AS (
@@ -8349,12 +8328,7 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPLIT_CASE_SQL = f"""CASE
-  WHEN (({duck_token_hash("CAST(doc_id AS VARCHAR) || '#split'")}
-         * 2654435761) % 4294967296) * 1000 // 4294967296 < 800 THEN 'train'
-  WHEN (({duck_token_hash("CAST(doc_id AS VARCHAR) || '#split'")}
-         * 2654435761) % 4294967296) * 1000 // 4294967296 < 900 THEN 'val'
-  ELSE 'test' END"""
+_SPLIT_CASE_SQL = duck_split_80_10_10("CAST(doc_id AS VARCHAR) || '#split'")
 
 
 @q(
@@ -8400,14 +8374,8 @@ def q_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     pairs = jaccard_pairs_adaptive(docs, "doc_id", "text", n=3, threshold=0.5)
     hh = token_hash(F.concat(F.col("doc_id").cast("string"), F.lit("#split")))
-    bkt = F.expr("((__sg_h * 2654435761) % 4294967296) * 1000 div 4294967296")
-    split = (
-        F.when(bkt < 800, F.lit("train"))
-        .when(bkt < 900, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     s = docs.select("doc_id").withColumn("__sg_h", hh).select(
-        "doc_id", split.alias("split")
+        "doc_id", split_80_10_10("__sg_h").alias("split")
     )
     sa = s.select(F.col("doc_id").alias("id_a"), F.col("split").alias("__sa"))
     sb = s.select(F.col("doc_id").alias("id_b"), F.col("split").alias("__sb"))
@@ -8587,12 +8555,7 @@ def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GSPLIT_CASE_SQL = f"""CASE
-  WHEN (({duck_token_hash("CAST(rep AS VARCHAR) || '#gsplit'")}
-         * 2654435761) % 4294967296) * 1000 // 4294967296 < 800 THEN 'train'
-  WHEN (({duck_token_hash("CAST(rep AS VARCHAR) || '#gsplit'")}
-         * 2654435761) % 4294967296) * 1000 // 4294967296 < 900 THEN 'val'
-  ELSE 'test' END"""
+_GSPLIT_CASE_SQL = duck_split_80_10_10("CAST(rep AS VARCHAR) || '#gsplit'")
 
 
 @q(
@@ -8672,14 +8635,8 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.coalesce("component", "doc_id").alias("rep")
     )
     hh = token_hash(F.concat(F.col("rep").cast("string"), F.lit("#gsplit")))
-    bkt = F.expr("((__sg_h * 2654435761) % 4294967296) * 1000 div 4294967296")
-    split = (
-        F.when(bkt < 800, F.lit("train"))
-        .when(bkt < 900, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     s = reps.withColumn("__sg_h", hh).select(
-        "doc_id", "rep", split.alias("split")
+        "doc_id", "rep", split_80_10_10("__sg_h").alias("split")
     )
     doc_agg = s.groupBy("split").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -8768,7 +8725,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastembed_rs_spark.operators.topk import train_ivf_centroids
 
     emb = t(spark, sf_dir, "embeddings")
-    centroids = train_ivf_centroids(emb, k=8, iters=3).localCheckpoint()
+    centroids = train_ivf_centroids(emb, k=8, iters=3)
     bucketed = assign_ivf_buckets_fast(emb, centroids)
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -8841,35 +8798,40 @@ LEFT JOIN deg_max ON ts.t = deg_max.t
 def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     pairs = D.embedding_near_dups_blocked(emb, threshold=0.2)
-    p2 = pairs.select(
+    b = pairs.select(
         "id_a", "id_b",
-        F.expr("CAST(round(score * 1000000) AS BIGINT)").alias("sm"),
+        F.least(
+            F.expr("CAST(round(score * 1000000) AS BIGINT) div 100000"),
+            F.lit(9).cast("long"),
+        ).alias("bucket"),
     )
-    b = p2.select(
-        "id_a", "id_b",
-        F.least(F.expr("sm div 100000"), F.lit(9).cast("long")).alias("bucket"),
-    ).persist()
+    # the big pair table is consumed EXACTLY ONCE, into the per-(node,
+    # bucket) count table nb (≤ n·8 rows) — every sweep statistic below
+    # derives from nb, so no persist of the pair table is needed:
+    #   pairs per bucket = Σ_node nb.c / 2 (each pair contributes its
+    #   bucket under BOTH endpoints in sym), docs per tau = nodes whose
+    #   max bucket ≥ tau, degree at tau = per-node suffix-sum of nb.c
+    sym = b.select(F.col("id_a").alias("node"), "bucket").unionAll(
+        b.select(F.col("id_b").alias("node"), "bucket")
+    )
+    nb = sym.groupBy("node", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint()  # small by construction; scanned by 3 branches
     grid = spark.range(2, 10).select(F.col("id").alias("t"))
-    pair_hist = b.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    pair_hist = nb.groupBy("bucket").agg(
+        F.expr("sum(c) div 2").alias("n")  # Σc is even: 2 endpoints/pair
     )
     pair_ct = (
         grid.join(pair_hist, pair_hist["bucket"] >= grid["t"])
         .groupBy("t").agg(F.sum("n").cast("long").alias("n_pairs"))
     )
-    sym = b.select(F.col("id_a").alias("node"), "bucket").unionAll(
-        b.select(F.col("id_b").alias("node"), "bucket")
-    )
-    node_max = sym.groupBy("node").agg(F.max("bucket").alias("mb"))
+    node_max = nb.groupBy("node").agg(F.max("bucket").alias("mb"))
     doc_hist = node_max.groupBy("mb").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
     doc_ct = (
         grid.join(doc_hist, doc_hist["mb"] >= grid["t"])
         .groupBy("t").agg(F.sum("n").cast("long").alias("n_docs"))
-    )
-    nb = sym.groupBy("node", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
     )
     w = (
         Window.partitionBy("node")
@@ -8965,7 +8927,7 @@ def q_embedding_bucket_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 8
     emb = t(spark, sf_dir, "embeddings")
-    centroids = train_ivf_centroids(emb, k=k, iters=3).localCheckpoint()
+    centroids = train_ivf_centroids(emb, k=k, iters=3)
     assigned = assign_ivf_buckets_fast(emb, centroids)
     b = assigned.select(
         F.coalesce("label", F.lit("__none")).alias("label"),
@@ -9396,6 +9358,10 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "ann_ivf_topk",        # r7: id-bounded (constant) coarse centroids
     "ann_pq_adc_topk",     # r7: id-bounded (constant) PQ codebooks
     "ann_ivf_pq_topk",     # r7: id-bounded centroids + codebooks
+    "ann_ivf_trained",     # r7: train rewrite + vestigial checkpoint drop
+    "stratified_split",    # r7: shared split_80_10_10 builder (both sides)
+    "split_leakage_report",  # r7: shared split builder
+    "label_propagation",   # r7: shared _lp_audit body
 )
 
 

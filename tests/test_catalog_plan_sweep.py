@@ -52,7 +52,6 @@ PYTHON_OK = {
     "quality_percent_rank",
     "ann_recall_eval",  # trained-IVF probe + brute-force truth: both sides
                         # score through the NumPy cosine kernel by design
-    "dedup_threshold_sweep",   # candidate pairs from the blocked tile kernel
     "embedding_bucket_drift",  # kernel assign pass over the corpus
     "cross_source_contamination",  # containment postings join scores
                                    # through the same kernel as

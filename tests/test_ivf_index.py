@@ -151,3 +151,61 @@ def test_append_ivf_index_guards(spark):
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_append_ivf_index_intra_batch_duplicates(spark):
+    """check_ids must also collapse duplicate ids WITHIN one batch — the
+    disk anti-join alone would pass both copies through."""
+    from fastembed_rs_spark.operators.ivf_index import append_ivf_index
+
+    d = tempfile.mkdtemp(prefix="ivf_dup_")
+    try:
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        build_ivf_index(emb.filter(F.col("vec_id") < 100), d, k=4, iters=1)
+        one = emb.filter(F.col("vec_id") == 200).select(
+            (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+        )
+        batch = one.unionAll(one)  # same id twice in one batch
+        assert append_ivf_index(batch, d, check_ids=True) == 1
+        corpus = spark.read.parquet(f"{d}/corpus")
+        assert corpus.filter(F.col("vec_id") == 1200).count() == 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_append_manifest_self_heals_and_recovers(spark):
+    """The manifest count is recounted from the corpus (a pre-desynced
+    manifest heals on the next append), and a crash between the manifest
+    delete and rename (manifest gone, completed temp present) is repaired
+    on the next load."""
+    import os
+
+    from fastembed_rs_spark.operators.ivf_index import (
+        _read_manifest,
+        _write_manifest,
+        append_ivf_index,
+    )
+
+    d = tempfile.mkdtemp(prefix="ivf_heal_")
+    try:
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        build_ivf_index(emb.filter(F.col("vec_id") < 100), d, k=4, iters=1)
+        # simulate the crash-desync: manifest says 90 while corpus has 100
+        m = _read_manifest(spark, d)
+        _write_manifest(
+            spark, d,
+            (m["k"], m["dim"], m["iters"], m["seed"], 90,
+             m["id_col"], m["vec_col"]),
+        )
+        batch = emb.filter(
+            (F.col("vec_id") >= 100) & (F.col("vec_id") < 110)
+        )
+        append_ivf_index(batch, d)
+        corpus, _, manifest = load_ivf_index(spark, d)
+        assert manifest["n_vectors"] == corpus.count() == 110  # healed
+        # simulate the torn-rename crash: manifest deleted, temp complete
+        os.rename(os.path.join(d, "manifest"), os.path.join(d, "manifest_tmp"))
+        assert _read_manifest(spark, d)["n_vectors"] == 110  # recovered
+        assert os.path.isdir(os.path.join(d, "manifest"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
