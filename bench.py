@@ -24,6 +24,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "ann_probe_sweep",
+    "pq_reconstruction_error",
+    "minhash_band_curve",
     "cross_source_contamination",
     "duplicate_cluster_profile",
     "dedup_threshold_sweep",

@@ -171,7 +171,7 @@ def train_pq_codebooks(
 
 def pq_encode(
     corpus: DataFrame, codebooks: DataFrame, id_col: str, vec_col: str,
-    m: int, dsub: int, round_to: int = 6,
+    m: int, dsub: int, round_to: int = 6, keep_error: bool = False,
 ) -> DataFrame:
     """Assign every (vector, subspace) to its nearest codebook entry by L2.
 
@@ -181,6 +181,11 @@ def pq_encode(
     reproducible across engines. Returns the compressed corpus
     (id, subspace int, code_id) — the table a 100 TB deployment persists
     (bucketed by subspace·code for IVF-ADC pruning) instead of raw vectors.
+
+    ``keep_error=True`` appends the winning squared L2 distance as ``d2``
+    (the per-subvector reconstruction error) — the argmin already computed
+    it, so exposing it is free; feeds ``pq_reconstruction_error``-style
+    codebook-QA reports without a second scan.
     """
     sv = split_subvectors(corpus, id_col, vec_col, m, dsub)
     scored = sv.join(F.broadcast(codebooks), on="subspace").select(
@@ -190,11 +195,14 @@ def pq_encode(
     # argmin as min(struct(d2, code_id)): hash aggregation with map-side
     # combine (no sort, one pre-reduced row per group per map partition);
     # struct ordering = smallest distance, ties to lowest code_id
-    return (
+    best = (
         scored.groupBy(id_col, "subspace")
         .agg(F.min(F.struct("__d2", "code_id")).alias("__best"))
-        .select(id_col, "subspace", F.col("__best.code_id").alias("code_id"))
     )
+    cols = [F.col(id_col), F.col("subspace"), F.col("__best.code_id").alias("code_id")]
+    if keep_error:
+        cols.append(F.col("__best.__d2").alias("d2"))
+    return best.select(*cols)
 
 
 def pq_adc_topk(

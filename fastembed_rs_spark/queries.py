@@ -507,24 +507,19 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "score", "rank")
 
 
-def _pq_trained_oracle(
-    m: int, dsub: int, k: int, iters: int, nq: int, topk: int, seed: int = 42,
-    rescore_factor: int | None = None,
-) -> str:
-    """Replay of ``pq.train_pq_codebooks`` + encode + ADC as chained CTEs:
-    iterations are fixed and seeded, init orders by the shared rolling hash,
-    and per-iteration means are rounded to 9 decimals on both engines, so
-    Lloyd's is DuckDB-expressible. ``rescore_factor`` appends the
-    ``pq.pq_adc_rescore_topk`` tier: shortlist topk·factor by ADC score,
-    exact-cosine rescore of only that shortlist, re-rank to topk."""
+def _pq_train_enc_ctes(
+    m: int, dsub: int, k: int, iters: int, seed: int = 42,
+) -> tuple[str, str]:
+    """Chained-CTE replay of ``pq.train_pq_codebooks`` + ``pq.pq_encode``,
+    ending in ``enc`` (vec_id, subspace, code_id, d2 rounded to 6) with
+    ``sv`` (per-vector subvectors) also in scope. Returns
+    ``(cte_sql, final_codebook_cte_name)``; callers append further CTEs
+    with a leading comma. Shared by the trained-PQ searcher oracles and
+    ``pq_reconstruction_error`` so the training replay is pinned once."""
     h = duck_token_hash(f"(sv.vec_id::VARCHAR || '#pq{seed}')")
     sq = (
         "coalesce(list_sum(list_transform(generate_series(1, {dsub}), "
         "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 0.0)"
-    )
-    dot = (
-        "coalesce(list_sum(list_transform(generate_series(1, {dsub}), "
-        "i -> {a}[i] * {b}[i])), 0.0)"
     )
     parts = [f"""
 WITH subs AS (SELECT unnest(generate_series(0, {m - 1})) AS subspace),
@@ -560,14 +555,34 @@ c{it} AS (
 )""")
         prev = f"c{it}"
     enc_d2 = sq.format(dsub=dsub, a="sv.subvec", b="c.code_vec")
-    lut_dot = dot.format(dsub=dsub, a="q.qsubvec", b="c.code_vec")
     parts.append(f""",
 enc AS (
   SELECT sv.vec_id, sv.subspace, c.code_id, round({enc_d2}, 6) AS d2
   FROM sv JOIN {prev} c ON sv.subspace = c.subspace
   QUALIFY row_number() OVER (PARTITION BY sv.vec_id, sv.subspace
                              ORDER BY d2 ASC, c.code_id ASC) = 1
-),
+)""")
+    return "".join(parts), prev
+
+
+def _pq_trained_oracle(
+    m: int, dsub: int, k: int, iters: int, nq: int, topk: int, seed: int = 42,
+    rescore_factor: int | None = None,
+) -> str:
+    """Replay of ``pq.train_pq_codebooks`` + encode + ADC as chained CTEs:
+    iterations are fixed and seeded, init orders by the shared rolling hash,
+    and per-iteration means are rounded to 9 decimals on both engines, so
+    Lloyd's is DuckDB-expressible. ``rescore_factor`` appends the
+    ``pq.pq_adc_rescore_topk`` tier: shortlist topk·factor by ADC score,
+    exact-cosine rescore of only that shortlist, re-rank to topk."""
+    dot = (
+        "coalesce(list_sum(list_transform(generate_series(1, {dsub}), "
+        "i -> {a}[i] * {b}[i])), 0.0)"
+    )
+    ctes, prev = _pq_train_enc_ctes(m, dsub, k, iters, seed=seed)
+    lut_dot = dot.format(dsub=dsub, a="q.qsubvec", b="c.code_vec")
+    parts = [ctes]
+    parts.append(f""",
 qsub AS (SELECT vec_id AS query_id, subspace, subvec AS qsubvec FROM sv WHERE vec_id < {nq}),
 lut AS (
   SELECT q.query_id, q.subspace, c.code_id, round({lut_dot}, 6) AS pdot
@@ -834,7 +849,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints_fast(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-def _minhash_oracle() -> str:
+def _minhash_cand_ctes() -> str:
+    """MinHash(16) + LSH(4×4) candidate generation + exact-Jaccard verify
+    as chained CTEs, ending in ``verified`` (id_a, id_b, jaccard rounded 6,
+    unthresholded). Shared by ``minhash_lsh_neardup`` (threshold filter) and
+    ``minhash_band_curve`` (S-curve planning over the measured pairs) so the
+    candidate semantics are pinned once."""
     sig_cols = ",\n    ".join(
         f"MIN((hs * {a} + {b}) % {HASH_MOD}) AS mh_{i}"
         for i, (a, b) in enumerate(D.MINHASH_COEFFS)
@@ -873,7 +893,11 @@ verified AS (
   FROM cand
   JOIN (SELECT doc_id, ss AS sa FROM shingle_sets) A ON cand.id_a = A.doc_id
   JOIN (SELECT doc_id, ss AS sb FROM shingle_sets) B ON cand.id_b = B.doc_id
-)
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""{_minhash_cand_ctes()}
 SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.2
 """
 
@@ -9129,6 +9153,323 @@ def q_duplicate_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _probe_sweep_oracle(
+    k: int, iters: int, nq: int, topk: int, dim: int = EMB_DIM,
+) -> str:
+    """Trained-IVF replay + the full probe-rank table (every query ×
+    every centroid, ranked), then recall/cost at every nprobe as
+    suffix-sums over the per-rank histograms — the ann_recall_eval
+    measurement at ALL nprobe settings out of one pass."""
+    ctes, prev = _ivf_train_ctes(k, iters, dim=dim)
+    return ctes + f""",
+assign AS (
+  SELECT p.vec_id, c.centroid_id,
+         round({_dk_cos('p.v', 'c.cv')}, 6) AS cscore
+  FROM pts p CROSS JOIN {prev} c
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY cscore DESC, c.centroid_id ASC) = 1
+),
+sizes AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS bsize
+          FROM assign GROUP BY centroid_id),
+qv AS (SELECT vec_id AS query_id, v AS qe FROM pts WHERE vec_id < {nq}),
+pr AS (
+  SELECT qv.query_id, c.centroid_id,
+         row_number() OVER (PARTITION BY qv.query_id
+                            ORDER BY round({_dk_cos('qv.qe', 'c.cv')}, 6) DESC,
+                                     c.centroid_id ASC) AS pr
+  FROM qv CROSS JOIN {prev} c
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT qv.query_id, p.vec_id, round({_dk_cos('qv.qe', 'p.v')}, 6) AS score
+    FROM qv CROSS JOIN pts p
+  ) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) <= {topk}
+),
+tr AS (
+  SELECT p.pr FROM truth t
+  JOIN assign a ON t.vec_id = a.vec_id
+  JOIN pr p ON p.query_id = t.query_id AND p.centroid_id = a.centroid_id
+),
+hit_hist AS (SELECT pr, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY pr),
+cost_hist AS (
+  SELECT p.pr, CAST(sum(s.bsize) AS BIGINT) AS s
+  FROM pr p JOIN sizes s ON p.centroid_id = s.centroid_id GROUP BY p.pr
+),
+grid AS (SELECT CAST(unnest(generate_series(1, {k})) AS BIGINT) AS nprobe)
+SELECT g.nprobe,
+       coalesce(h.n, 0) AS n_hits,
+       coalesce(h.n, 0) * 1000000 // {nq * topk} AS recall_micro,
+       coalesce(cc.s, 0) AS total_candidates,
+       coalesce(cc.s, 0) // {nq} AS avg_candidates
+FROM grid g
+LEFT JOIN (SELECT g2.nprobe, CAST(sum(hh.c) AS BIGINT) AS n
+           FROM grid g2 JOIN hit_hist hh ON hh.pr <= g2.nprobe
+           GROUP BY g2.nprobe) h ON g.nprobe = h.nprobe
+LEFT JOIN (SELECT g3.nprobe, CAST(sum(ch.s) AS BIGINT) AS s
+           FROM grid g3 JOIN cost_hist ch ON ch.pr <= g3.nprobe
+           GROUP BY g3.nprobe) cc ON g.nprobe = cc.nprobe"""
+
+
+@q(
+    "ann_probe_sweep",
+    _probe_sweep_oracle(k=8, iters=3, nq=20, topk=10),
+    "nprobe calibration sweep: recall@10 AND candidate-scan cost of the "
+    "trained IVF index at EVERY nprobe 1..k, out of ONE assignment pass — "
+    "the recall/latency frontier you read before pinning the serving "
+    "nprobe on a 100 TB index (ann_recall_eval spot-checks one setting; "
+    "this prices all of them). The trick mirrors dedup_threshold_sweep: "
+    "rank all k centroids once per probe query, locate each true "
+    "neighbor's bucket on that ranking, and every per-nprobe stat becomes "
+    "a suffix-sum over two k-row histograms (hits-at-rank, bucket-size-"
+    "at-rank) — no per-nprobe re-search, so the sweep costs the same as "
+    "a single evaluation. recall_micro/avg_candidates are integer "
+    "floor-divisions — exact cross-engine",
+)
+def q_ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.topk import cosine_top_k, train_ivf_centroids
+
+    k, nq, topk = 8, 20, 10
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb, k=k, iters=3)
+    assigned = assign_ivf_buckets_fast(emb, centroids).select(
+        "vec_id", "centroid_id"
+    )
+    sizes = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("long").alias("bsize")
+    )
+    queries = emb.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("__ps"), F.asc("centroid_id")
+    )
+    pr = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id", "centroid_id",
+            F.round(cosine_similarity("query_vec", "centroid_vec"), 6)
+            .alias("__ps"),
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .select("query_id", "centroid_id", "pr")
+    )
+    truth = cosine_top_k(queries, emb, k=topk, round_to=6).select(
+        "query_id", "vec_id"
+    )
+    tr = truth.join(assigned, "vec_id").join(pr, ["query_id", "centroid_id"])
+    hit_hist = tr.groupBy("pr").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cost_hist = pr.join(F.broadcast(sizes), "centroid_id").groupBy("pr").agg(
+        F.sum("bsize").cast("long").alias("s")
+    )
+    grid = spark.range(1, k + 1).select(F.col("id").alias("nprobe"))
+    hits = (
+        grid.join(hit_hist, hit_hist["pr"] <= grid["nprobe"])
+        .groupBy("nprobe").agg(F.sum("c").cast("long").alias("nh"))
+    )
+    cands = (
+        grid.join(cost_hist, cost_hist["pr"] <= grid["nprobe"])
+        .groupBy("nprobe").agg(F.sum("s").cast("long").alias("cs"))
+    )
+    return (
+        grid.join(hits, "nprobe", "left")
+        .join(cands, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.coalesce("nh", F.lit(0).cast("long")).alias("n_hits"),
+            F.expr(f"coalesce(nh, 0) * 1000000 div {nq * topk}")
+            .cast("long").alias("recall_micro"),
+            F.coalesce("cs", F.lit(0).cast("long")).alias("total_candidates"),
+            F.expr(f"coalesce(cs, 0) div {nq}")
+            .cast("long").alias("avg_candidates"),
+        )
+    )
+
+
+def _pq_recon_oracle(m: int, dsub: int, k: int, iters: int) -> str:
+    """Trained-PQ replay through ``enc`` (which carries the winning squared
+    L2 distance), then per-subspace distortion + code-utilization stats."""
+    ctes, _ = _pq_train_enc_ctes(m, dsub, k, iters)
+    return ctes + """,
+counts AS (
+  SELECT subspace, code_id, CAST(count(*) AS BIGINT) AS c
+  FROM enc GROUP BY subspace, code_id
+),
+per AS (
+  SELECT subspace, CAST(sum(c) AS BIGINT) AS n_vectors,
+         CAST(count(*) AS BIGINT) AS codes_used,
+         CAST(max(c) AS BIGINT) AS max_c
+  FROM counts GROUP BY subspace
+),
+sse AS (
+  SELECT subspace,
+         CAST(sum(CAST(round(d2 * 1000000) AS BIGINT)) AS BIGINT) AS sse_micro
+  FROM enc GROUP BY subspace
+)
+SELECT CAST(per.subspace AS BIGINT) AS subspace, per.n_vectors,
+       sse.sse_micro,
+       sse.sse_micro // per.n_vectors AS mse_micro,
+       per.codes_used,
+       per.max_c * 1000 // per.n_vectors AS max_code_share_permille
+FROM per JOIN sse ON per.subspace = sse.subspace"""
+
+
+@q(
+    "pq_reconstruction_error",
+    _pq_recon_oracle(m=_PQ_M, dsub=_PQ_DSUB, k=8, iters=2),
+    "PQ codebook QA: per-subspace reconstruction error (SSE/MSE of each "
+    "subvector vs its winning code) plus code utilization (codes actually "
+    "used, largest code's occupancy share) for the trained m=8/k=8 "
+    "codebooks — the report you read before committing a 100 TB corpus "
+    "to one PQ config: high MSE in one subspace means that dimension "
+    "block needs more codes (or OPQ rotation), a code hogging the "
+    "occupancy means dead codes and wasted bits, and this table is what "
+    "the m/nbits decision is actually made from. The argmin encode "
+    "already computes the winning distance, so the error column is free "
+    "(pq_encode keep_error=True) — one training + one encode scan, then "
+    "an m-row aggregate; errors become exact integer micro-units before "
+    "summation so no float accumulation order crosses engines",
+)
+def q_pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators import pq
+
+    emb = t(spark, sf_dir, "embeddings")
+    books = pq.train_pq_codebooks(
+        emb, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB, k=8, iters=2
+    )
+    enc = pq.pq_encode(
+        emb, books, "vec_id", "embedding", m=_PQ_M, dsub=_PQ_DSUB,
+        keep_error=True,
+    ).select(
+        "subspace", "code_id",
+        F.expr("CAST(round(d2 * 1000000) AS BIGINT)").alias("__e"),
+    )
+    counts = enc.groupBy("subspace", "code_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("__e").cast("long").alias("se"),
+    )
+    return (
+        counts.groupBy("subspace")
+        .agg(
+            F.sum("c").cast("long").alias("n_vectors"),
+            F.count(F.lit(1)).cast("long").alias("codes_used"),
+            F.max("c").cast("long").alias("__max_c"),
+            F.sum("se").cast("long").alias("sse_micro"),
+        )
+        .select(
+            F.col("subspace").cast("long").alias("subspace"),
+            "n_vectors", "sse_micro",
+            F.expr("sse_micro div n_vectors").alias("mse_micro"),
+            "codes_used",
+            F.expr("__max_c * 1000 div n_vectors")
+            .alias("max_code_share_permille"),
+        )
+    )
+
+
+def _scurve_micro(jm: str, b: int, r: int, div: str) -> str:
+    """LSH S-curve P(candidate | jaccard) = 1-(1-j^r)^b in EXACT integer
+    micro-unit fixed point: ``jm`` is jaccard in micro-units (BIGINT), every
+    power step is multiply-then-floor-divide by 1e6, so both engines walk
+    the identical integer sequence — no pow(), no float accumulation, no
+    half-even boundary. ``div`` is the engine's integer-division token
+    ('div' Spark, '//' DuckDB). Max intermediate is 1e6*1e6 = 1e12 << int64."""
+    s = 1_000_000
+    acc = jm
+    for _ in range(r - 1):
+        acc = f"(({acc} * {jm}) {div} {s})"
+    miss = f"({s} - {acc})"
+    acc_b = miss
+    for _ in range(b - 1):
+        acc_b = f"(({acc_b} * {miss}) {div} {s})"
+    return f"({s} - {acc_b})"
+
+
+_BAND_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+
+def _band_curve_oracle() -> str:
+    selects = []
+    for b, r in _BAND_CONFIGS:
+        p = _scurve_micro("jm", b, r, "//")
+        selects.append(f"""
+SELECT CAST({b} AS BIGINT) AS bands, CAST({r} AS BIGINT) AS rows_per_band,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN jm >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pairs,
+       CAST(sum({p}) AS BIGINT) AS exp_candidates_micro,
+       CAST(sum(CASE WHEN jm >= 500000 THEN 1000000 - {p} ELSE 0 END) AS BIGINT) AS exp_missed_true_micro
+FROM base""")
+    return (
+        _minhash_cand_ctes()
+        + """,
+base AS (
+  SELECT CAST(round(jaccard * 1000000) AS BIGINT) AS jm
+  FROM verified WHERE jaccard >= 0.1
+)"""
+        + "\nUNION ALL".join(selects)
+    )
+
+
+@q(
+    "minhash_band_curve",
+    _band_curve_oracle(),
+    "LSH band-configuration planning table: for every way to split the 16 "
+    "minhashes into (bands × rows) — (16,1) (8,2) (4,4) (2,8) (1,16) — "
+    "the expected candidate volume and the expected TRUE near-dup pairs "
+    "missed, evaluated against the MEASURED pair-similarity distribution "
+    "of this corpus (the verified LSH pairs at a 0.1 floor), not a "
+    "textbook prior. This is the table you read before re-banding a "
+    "100 TB dedup run: more rows/band sharpens the S-curve (fewer junk "
+    "candidates, more missed borderline dups) and the right answer "
+    "depends on where YOUR corpus's similarity mass sits. The S-curve "
+    "1-(1-j^r)^b is evaluated in exact integer micro-unit fixed point "
+    "(multiply + floor-div chains, no pow()) so both engines walk "
+    "identical integer sequences; one pair scan feeds all five configs",
+)
+def q_minhash_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.fast_text import (
+        minhash_signatures_fast,
+        verify_candidates_fast,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures_fast(docs, "doc_id", "text", k_shingle=5)
+    cand = D.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
+    pairs = verify_candidates_fast(
+        cand, docs, "doc_id", "text", k_shingle=5, threshold=0.1
+    )
+    base = pairs.select(
+        F.expr("CAST(round(jaccard * 1000000) AS BIGINT)").alias("jm")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("jm") >= 500000, 1).otherwise(0))
+        .cast("long").alias("n_true_pairs"),
+    ]
+    for b, r in _BAND_CONFIGS:
+        p = _scurve_micro("jm", b, r, "div")
+        aggs.append(
+            F.expr(f"CAST(sum({p}) AS BIGINT)").alias(f"__e_{b}_{r}")
+        )
+        aggs.append(
+            F.expr(
+                f"CAST(sum(CASE WHEN jm >= 500000 THEN 1000000 - {p} "
+                f"ELSE 0 END) AS BIGINT)"
+            ).alias(f"__m_{b}_{r}")
+        )
+    one = base.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({b} AS BIGINT), CAST({r} AS BIGINT), __e_{b}_{r}, __m_{b}_{r}"
+        for b, r in _BAND_CONFIGS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_BAND_CONFIGS)}, {stack_args}) AS "
+            "(bands, rows_per_band, exp_candidates_micro, "
+            "exp_missed_true_micro)"
+        ),
+        "n_pairs", "n_true_pairs",
+    )
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import (
         duck_cms,
@@ -9180,6 +9521,9 @@ _fill_sketch_oracles()
 # list below is the round-4 snapshot, kept ONLY as the fallback when no
 # driver artifacts are readable (fresh clone without history).
 _DRIVER_PRIORITY: list[str] = [
+    "ann_probe_sweep",
+    "pq_reconstruction_error",
+    "minhash_band_curve",
     "cross_source_contamination",
     "duplicate_cluster_profile",
     "dedup_threshold_sweep",

@@ -52,6 +52,10 @@ PYTHON_OK = {
     "quality_percent_rank",
     "ann_recall_eval",  # trained-IVF probe + brute-force truth: both sides
                         # score through the NumPy cosine kernel by design
+    "ann_probe_sweep",  # same components as ann_recall_eval (kernel assign
+                        # + kernel brute-force truth), all nprobe at once
+    "minhash_band_curve",  # measured pairs come from the minhash/verify
+                           # kernels; the S-curve math itself is JVM integer
     "embedding_bucket_drift",  # kernel assign pass over the corpus
     "cross_source_contamination",  # containment postings join scores
                                    # through the same kernel as

@@ -582,3 +582,119 @@ def test_duplicate_cluster_profile_matches_union_find(spark, catalog):
         assert r["n_sources"] == len({attrs[m]["source"] for m in ms})
         assert r["min_chars"] == min(attrs[m]["n_chars"] for m in ms)
         assert r["max_chars"] == max(attrs[m]["n_chars"] for m in ms)
+
+
+def test_ann_probe_sweep_monotone_and_exhaustive_probe_is_exact(spark, catalog):
+    """Hits and candidate totals must be non-decreasing in nprobe
+    (suffix-sums over one rank histogram), the nprobe=k row must be
+    EXACT (probing every bucket = brute force, recall 100%) and must
+    scan query-count x corpus candidates, and the nprobe=2 row must
+    reconcile with ann_recall_eval's per-query hits."""
+    out = {r["nprobe"]: r
+           for r in catalog["ann_probe_sweep"].spark(spark, SF).collect()}
+    assert set(out) == set(range(1, 9))
+    for col in ("n_hits", "total_candidates"):
+        vals = [out[p][col] for p in range(1, 9)]
+        assert all(a <= b for a, b in zip(vals, vals[1:])), (col, vals)
+    for r in out.values():
+        assert r["recall_micro"] == r["n_hits"] * 1_000_000 // 200
+        assert r["avg_candidates"] == r["total_candidates"] // 20
+    n_vec = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert out[8]["n_hits"] == 200
+    assert out[8]["recall_micro"] == 1_000_000
+    assert out[8]["total_candidates"] == 20 * n_vec
+    recall = catalog["ann_recall_eval"].spark(spark, SF).collect()
+    assert out[2]["n_hits"] == sum(r["n_hits"] for r in recall)
+
+
+def test_pq_reconstruction_error_matches_numpy_assign(spark, catalog):
+    """Every subspace row must cover the whole corpus, derived columns
+    must be the exact integer ratios, and subspace 0's SSE must equal an
+    independent NumPy nearest-code recompute (round-6 then micro-units,
+    ties to the lowest code id) from the trained codebooks."""
+    import numpy as np
+
+    from fastembed_rs_spark.operators import pq
+
+    out = {r["subspace"]: r
+           for r in catalog["pq_reconstruction_error"].spark(spark, SF).collect()}
+    assert set(out) == set(range(8))
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    for r in out.values():
+        assert r["n_vectors"] == n
+        assert 1 <= r["codes_used"] <= 8
+        assert r["mse_micro"] == r["sse_micro"] // n
+        assert r["max_code_share_permille"] >= 1000 // 8 - 1
+    books = pq.train_pq_codebooks(
+        emb, "vec_id", "embedding", m=8, dsub=8, k=8, iters=2
+    )
+    codes0 = np.array([
+        r["code_vec"] for r in sorted(
+            books.filter("subspace = 0").collect(),
+            key=lambda r: r["code_id"],
+        )
+    ])
+    sub0 = np.array(
+        [r["embedding"][:8] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    d2 = ((sub0[:, None, :] - codes0[None, :, :]) ** 2).sum(axis=2)
+    d2r = np.round(d2, 6)
+    best = d2r.min(axis=1)  # argmin value; ties share the same d2
+    sse = int(np.round(best * 1_000_000).sum())
+    assert out[0]["sse_micro"] == sse
+
+
+def test_minhash_band_curve_scurve_ordering_and_fixed_point(spark, catalog):
+    """Sharper configs (more rows/band) must expect fewer candidates and
+    miss more true pairs, the (16,1) config must miss true pairs by at
+    most the 2^-16 tail, and every aggregate must equal a pure-Python
+    replay of the integer fixed-point chain over the measured pairs."""
+    from fastembed_rs_spark.operators import dedup as D
+    from fastembed_rs_spark.operators.fast_text import (
+        minhash_signatures_fast,
+        verify_candidates_fast,
+    )
+
+    out = {(r["bands"], r["rows_per_band"]): r
+           for r in catalog["minhash_band_curve"].spark(spark, SF).collect()}
+    cfgs = [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]
+    assert set(out) == set(cfgs)
+    exp = [out[c]["exp_candidates_micro"] for c in cfgs]
+    miss = [out[c]["exp_missed_true_micro"] for c in cfgs]
+    assert all(a >= b for a, b in zip(exp, exp[1:])), exp
+    assert all(a <= b for a, b in zip(miss, miss[1:])), miss
+    n_true = out[cfgs[0]]["n_true_pairs"]
+    assert len({out[c]["n_pairs"] for c in cfgs}) == 1
+    assert len({out[c]["n_true_pairs"] for c in cfgs}) == 1
+    assert out[(16, 1)]["exp_missed_true_micro"] <= n_true * 16
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = minhash_signatures_fast(docs, "doc_id", "text", k_shingle=5)
+    cand = D.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
+    jms = [
+        int(round(r["jaccard"] * 1_000_000))
+        for r in verify_candidates_fast(
+            cand, docs, "doc_id", "text", k_shingle=5, threshold=0.1
+        ).collect()
+    ]
+    assert out[cfgs[0]]["n_pairs"] == len(jms)
+
+    def p_micro(jm: int, b: int, r: int) -> int:
+        acc = jm
+        for _ in range(r - 1):
+            acc = acc * jm // 1_000_000
+        q = 1_000_000 - acc
+        accq = q
+        for _ in range(b - 1):
+            accq = accq * q // 1_000_000
+        return 1_000_000 - accq
+
+    for b, r in cfgs:
+        assert out[(b, r)]["exp_candidates_micro"] == sum(
+            p_micro(jm, b, r) for jm in jms
+        )
+        assert out[(b, r)]["exp_missed_true_micro"] == sum(
+            1_000_000 - p_micro(jm, b, r) for jm in jms if jm >= 500_000
+        )
