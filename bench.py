@@ -24,6 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "kmeans_distortion_ladder",
     "ann_probe_sweep",
     "pq_reconstruction_error",
     "minhash_band_curve",

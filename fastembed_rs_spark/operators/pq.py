@@ -410,7 +410,7 @@ def ivf_pq_topk(
 def rq_encode(
     corpus: DataFrame, id_col: str, vec_col: str, dim: int,
     every1: int = 50, every2: int = 37, round_to: int = 6,
-    id_bound: int | None = None,
+    id_bound: int | None = None, keep_error: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Two-level residual quantization (the RQ shape faiss calls
     ResidualQuantizer, level count 2): level-1 codebook = every
@@ -428,7 +428,12 @@ def rq_encode(
     measured 20x/10x before the bound). With constant books encoding is
     two broadcast nested-loop argmins (one corpus scan each, no shuffle);
     the codes table the search scans carries TWO ints per vector instead
-    of dim floats."""
+    of dim floats.
+
+    ``keep_error=True`` carries each level's winning squared L2 distance
+    (``d2_1``, ``d2_2``) into the codes output — the per-level residual
+    energy the argmins already computed, for RQ distortion-ladder reports
+    at no extra scan cost."""
     v = _to_double(vec_col)
     base = corpus.select(F.col(id_col), v.alias("__v"))
     bound = (
@@ -446,6 +451,7 @@ def rq_encode(
         .select(
             id_col, "c1_id",
             F.zip_with("__v", "c1_vec", lambda x, y: x - y).alias("__r"),
+            *([F.col("__d2").alias("d2_1")] if keep_error else []),
         )
     )
     b2 = a1.filter((F.col(id_col) % every2 == 0) & bound).select(
@@ -457,7 +463,11 @@ def rq_encode(
         .withColumn("__d2", F.round(_sq_dist_fixed("__r", "c2_vec", dim), round_to))
         .withColumn("__rn", F.row_number().over(w2))
         .filter(F.col("__rn") == 1)
-        .select(id_col, "c1_id", "c2_id")
+        .select(
+            id_col, "c1_id", "c2_id",
+            *([F.col("d2_1"), F.col("__d2").alias("d2_2")]
+              if keep_error else []),
+        )
     )
     return a2, b1, b2
 

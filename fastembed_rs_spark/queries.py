@@ -1790,6 +1790,7 @@ def q_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_train_ctes(
     k: int, iters: int, dim: int = EMB_DIM, seed: int = 42,
+    prefix: str = "", standalone: bool = True,
 ) -> tuple[str, str]:
     """Chained-CTE replay of ``operators.topk.train_ivf_centroids`` over the
     embeddings table: seeded deterministic init via the shared rolling hash,
@@ -1801,34 +1802,42 @@ def _ivf_train_ctes(
     callers append further CTEs with a leading comma. Shared by every oracle
     whose Spark side trains k-means centroids (ann_ivf_trained,
     cluster_medoids, margin_mining) so the replay semantics are pinned once.
+
+    ``prefix`` renames the per-train CTEs (``{prefix}c0`` …) and
+    ``standalone=False`` emits a fragment (leading comma, no WITH/pts/dims)
+    that reuses an earlier train's ``pts``/``dims`` — together they let one
+    oracle chain SEVERAL trainings at different k (kmeans_distortion_ladder)
+    with identical per-train semantics. Same seed ⇒ nested inits: the k=2
+    init is the first two rows of the k=8 init ordering.
     """
     h = duck_token_hash(f"(vec_id::VARCHAR || '#ivf{seed}')")
-    parts = [f"""
+    head = f"""
 WITH pts AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
 ),
 dims AS (SELECT unnest(generate_series(1, {dim})) AS d),
-c0 AS (
+""" if standalone else ",\n"
+    parts = [head + f"""{prefix}c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY hh, vec_id) - 1 AS INT) AS centroid_id, v AS cv
   FROM (SELECT vec_id, v, {h} AS hh FROM pts)
   QUALIFY row_number() OVER (ORDER BY hh, vec_id) <= {k}
 )"""]
-    prev = "c0"
+    prev = f"{prefix}c0"
     for it in range(1, iters + 1):
         parts.append(f""",
-a{it} AS (
+{prefix}a{it} AS (
   SELECT p.vec_id, p.v, c.centroid_id, {_dk_cos('p.v', 'c.cv')} AS s
   FROM pts p CROSS JOIN {prev} c
   QUALIFY row_number() OVER (PARTITION BY p.vec_id ORDER BY s DESC, c.centroid_id ASC) = 1
 ),
-c{it} AS (
+{prefix}c{it} AS (
   SELECT centroid_id, list(mu ORDER BY d) AS cv FROM (
     SELECT a.centroid_id, dims.d, round(avg(a.v[dims.d]), 9) AS mu
-    FROM a{it} a CROSS JOIN dims
+    FROM {prefix}a{it} a CROSS JOIN dims
     GROUP BY a.centroid_id, dims.d
   ) GROUP BY centroid_id
 )""")
-        prev = f"c{it}"
+        prev = f"{prefix}c{it}"
     return "".join(parts), prev
 
 
@@ -6251,9 +6260,13 @@ def _dk_sqdist(a: str, b: str) -> str:
     )
 
 
-@q(
-    "ann_rq_adc_topk",
-    f"""
+#: Chained-CTE replay of ``pq.rq_encode`` (sampled 2-level residual
+#: quantization, id-bounded constant codebooks), ending in ``a2``
+#: (vec_id, c1_id, c2_id, d2) with ``a1`` (level-1 winner + its d2),
+#: ``ev`` (double-cast corpus) and both codebooks in scope. Shared by
+#: ``ann_rq_adc_topk`` today (and any future RQ-family oracle) so the
+#: encode replay is pinned once.
+_RQ_ENC_CTES = f"""
 WITH b1 AS (
   SELECT vec_id AS c1_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c1_vec
@@ -6282,7 +6295,12 @@ a2 AS (
          round({_dk_sqdist('resid.r', 'b.c2_vec')}, 6) AS d2
   FROM resid CROSS JOIN b2 b
   QUALIFY row_number() OVER (PARTITION BY resid.vec_id ORDER BY d2 ASC, b.c2_id ASC) = 1
-),
+)"""
+
+
+@q(
+    "ann_rq_adc_topk",
+    f"""{_RQ_ENC_CTES},
 qv AS (
   SELECT vec_id AS query_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
@@ -9470,6 +9488,115 @@ def q_minhash_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LADDER_KS = (1, 2, 4, 8)
+
+
+def _kmeans_ladder_oracle(iters: int, dim: int = EMB_DIM) -> str:
+    """Four chained trainings (prefixed CTEs, shared pts/dims, same seed →
+    nested inits), one cosine-argmax assign + L2-SSE aggregate per k, then
+    the raw-energy row and explained shares."""
+    first_k = _LADDER_KS[0]
+    sql, prev = _ivf_train_ctes(first_k, iters, dim=dim, prefix=f"t{first_k}_")
+    finals = {first_k: prev}
+    for kk in _LADDER_KS[1:]:
+        frag, prev = _ivf_train_ctes(
+            kk, iters, dim=dim, prefix=f"t{kk}_", standalone=False
+        )
+        sql += frag
+        finals[kk] = prev
+    parts = [sql]
+    for kk in _LADDER_KS:
+        parts.append(f""",
+s{kk} AS (
+  SELECT CAST({kk} AS BIGINT) AS k,
+         CAST(sum(CAST(round(round({_dk_sqdist('x.v', 'x.cv')}, 6) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS sse_micro
+  FROM (
+    SELECT p.v, c.cv
+    FROM pts p CROSS JOIN {finals[kk]} c
+    QUALIFY row_number() OVER (PARTITION BY p.vec_id
+                               ORDER BY round({_dk_cos('p.v', 'c.cv')}, 6) DESC,
+                                        c.centroid_id ASC) = 1
+  ) x
+)""")
+    parts.append(f""",
+s0 AS (
+  SELECT CAST(0 AS BIGINT) AS k,
+         CAST(sum(CAST(round(round({_dk_dot('v', 'v')}, 6) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS sse_micro
+  FROM pts
+),
+ladder AS (SELECT * FROM s0{''.join(f' UNION ALL SELECT * FROM s{kk}' for kk in _LADDER_KS)})
+SELECT l.k, l.sse_micro,
+       (s0.sse_micro - l.sse_micro) * 1000 // s0.sse_micro
+         AS explained_permille
+FROM ladder l CROSS JOIN s0""")
+    return "".join(parts)
+
+
+@q(
+    "kmeans_distortion_ladder",
+    _kmeans_ladder_oracle(iters=3),
+    "rate-distortion ladder for the IVF coarse quantizer: L2 "
+    "reconstruction SSE of the corpus against trained centroids at k = "
+    "1, 2, 4, 8 (plus the raw-energy k=0 row), with the share of corpus "
+    "energy each k explains — the elbow curve you read before choosing "
+    "the coarse-quantizer size for a 100 TB index (too few centroids: "
+    "buckets don't separate and nprobe must grow; doubling k past the "
+    "elbow buys permille while doubling the centroid scan). All four "
+    "trainings share one seed (inits are nested prefixes of the same "
+    "hash ordering) and replay in the oracle as prefixed chained CTEs "
+    "off one shared pts scan; Spark side is four constant-size trains + "
+    "four kernel assigns over the same cached corpus, energies become "
+    "exact integer micro-units before summation. Complements "
+    "pq_reconstruction_error (subspace codes) and ann_probe_sweep "
+    "(recall/cost at fixed k) as the third leg of the index-design "
+    "calibration set",
+)
+def q_kmeans_distortion_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.vector import dot_fixed
+    from fastembed_rs_spark.operators.pq import _sq_dist_fixed
+    from fastembed_rs_spark.operators.topk import train_ivf_centroids
+
+    emb = t(spark, sf_dir, "embeddings")
+    rows = [
+        emb.select(
+            F.round(dot_fixed("embedding", "embedding", EMB_DIM), 6)
+            .alias("__d2")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(__d2 * 1000000) AS BIGINT)"))
+            .cast("long").alias("sse_micro")
+        )
+        .select(F.lit(0).cast("long").alias("k"), "sse_micro")
+    ]
+    for kk in _LADDER_KS:
+        centroids = train_ivf_centroids(emb, k=kk, iters=3)
+        assigned = assign_ivf_buckets_fast(emb, centroids)
+        rows.append(
+            assigned.join(F.broadcast(centroids), "centroid_id")
+            .select(
+                F.round(
+                    _sq_dist_fixed("embedding", "centroid_vec", EMB_DIM), 6
+                ).alias("__d2")
+            )
+            .agg(
+                F.sum(F.expr("CAST(round(__d2 * 1000000) AS BIGINT)"))
+                .cast("long").alias("sse_micro")
+            )
+            .select(F.lit(kk).cast("long").alias("k"), "sse_micro")
+        )
+    ladder = rows[0]
+    for r in rows[1:]:
+        ladder = ladder.unionAll(r)
+    base = rows[0].select(F.col("sse_micro").alias("__sse0"))
+    return ladder.crossJoin(F.broadcast(base)).select(
+        "k", "sse_micro",
+        F.expr("(__sse0 - sse_micro) * 1000 div __sse0")
+        .alias("explained_permille"),
+    )
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import (
         duck_cms,
@@ -9521,6 +9648,7 @@ _fill_sketch_oracles()
 # list below is the round-4 snapshot, kept ONLY as the fallback when no
 # driver artifacts are readable (fresh clone without history).
 _DRIVER_PRIORITY: list[str] = [
+    "kmeans_distortion_ladder",
     "ann_probe_sweep",
     "pq_reconstruction_error",
     "minhash_band_curve",

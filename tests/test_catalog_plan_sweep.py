@@ -54,6 +54,8 @@ PYTHON_OK = {
                         # score through the NumPy cosine kernel by design
     "ann_probe_sweep",  # same components as ann_recall_eval (kernel assign
                         # + kernel brute-force truth), all nprobe at once
+    "kmeans_distortion_ladder",  # four kernel assign passes (one per k)
+                                 # over the corpus by design
     "minhash_band_curve",  # measured pairs come from the minhash/verify
                            # kernels; the S-curve math itself is JVM integer
     "embedding_bucket_drift",  # kernel assign pass over the corpus

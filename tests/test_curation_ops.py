@@ -698,3 +698,39 @@ def test_minhash_band_curve_scurve_ordering_and_fixed_point(spark, catalog):
         assert out[(b, r)]["exp_missed_true_micro"] == sum(
             1_000_000 - p_micro(jm, b, r) for jm in jms if jm >= 500_000
         )
+
+
+def test_kmeans_distortion_ladder_monotone_and_reconciles(spark, catalog):
+    """SSE must shrink monotonically down the ladder (k=1 is variance
+    around the trained global mean, already below raw energy; more
+    centroids can only help on this clustered corpus), explained share
+    must be the exact integer permille, and the k=0/k=1 rows must equal
+    independent NumPy recomputes (raw energy; train k=1 then L2 SSE
+    against the single trained centroid)."""
+    import numpy as np
+
+    from fastembed_rs_spark.operators.topk import train_ivf_centroids
+
+    out = {r["k"]: r
+           for r in catalog["kmeans_distortion_ladder"].spark(spark, SF).collect()}
+    assert set(out) == {0, 1, 2, 4, 8}
+    sses = [out[k]["sse_micro"] for k in (0, 1, 2, 4, 8)]
+    assert all(a > b for a, b in zip(sses, sses[1:])), sses
+    for k, r in out.items():
+        assert r["explained_permille"] == (
+            (out[0]["sse_micro"] - r["sse_micro"]) * 1000
+            // out[0]["sse_micro"]
+        )
+    assert out[0]["explained_permille"] == 0
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vecs = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    e0 = int(np.round(np.round((vecs ** 2).sum(axis=1), 6) * 1_000_000).sum())
+    assert out[0]["sse_micro"] == e0
+    c1 = np.array(
+        train_ivf_centroids(emb, k=1, iters=3).collect()[0]["centroid_vec"]
+    )
+    d2 = np.round(((vecs - c1[None, :]) ** 2).sum(axis=1), 6)
+    assert out[1]["sse_micro"] == int(np.round(d2 * 1_000_000).sum())

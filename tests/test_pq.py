@@ -278,3 +278,38 @@ def test_rq_id_bound_caps_codebooks_and_is_noop_below_bound(spark):
     assert sorted(map(tuple, hi_codes.collect())) == sorted(
         map(tuple, free_codes.collect())
     )
+
+
+def test_rq_encode_keep_error_matches_recompute(spark):
+    """keep_error must expose each level's winning squared distance:
+    d2_1/d2_2 recompute exactly from the returned codebooks (round-6,
+    same fold order), and keep_error=False output is unchanged."""
+    import numpy as np
+
+    from fastembed_rs_spark.operators.pq import rq_encode
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    codes, b1, b2 = rq_encode(
+        emb, "vec_id", "embedding", dim=64, every1=50, every2=37,
+        id_bound=1000, keep_error=True,
+    )
+    assert set(codes.columns) == {"vec_id", "c1_id", "c2_id", "d2_1", "d2_2"}
+    plain, _, _ = rq_encode(
+        emb, "vec_id", "embedding", dim=64, every1=50, every2=37,
+        id_bound=1000,
+    )
+    assert set(plain.columns) == {"vec_id", "c1_id", "c2_id"}
+    assert (
+        codes.select("vec_id", "c1_id", "c2_id").exceptAll(plain).count() == 0
+    )
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    books1 = {r["c1_id"]: np.array(r["c1_vec"]) for r in b1.collect()}
+    books2 = {r["c2_id"]: np.array(r["c2_vec"]) for r in b2.collect()}
+    for r in codes.orderBy("vec_id").limit(25).collect():
+        v = vecs[r["vec_id"]]
+        c1v = books1[r["c1_id"]]
+        assert r["d2_1"] == round(float(((v - c1v) ** 2).sum()), 6)
+        resid = v - c1v
+        c2v = books2[r["c2_id"]]
+        assert r["d2_2"] == round(float(((resid - c2v) ** 2).sum()), 6)
