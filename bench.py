@@ -24,6 +24,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "packing_efficiency_sweep",
+    "source_overlap_matrix",
     "kmeans_distortion_ladder",
     "ann_probe_sweep",
     "pq_reconstruction_error",

@@ -9597,6 +9597,254 @@ def q_kmeans_distortion_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_SWEEP_LENS = (64, 128, 256, 512, 1024)
+
+
+@q(
+    "packing_efficiency_sweep",
+    f"""
+WITH hist AS (
+  SELECT CAST(len({duck_tokens('text')}) AS BIGINT) AS len,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents
+  WHERE len({duck_tokens('text')}) > 0
+  GROUP BY len
+),
+grid AS (SELECT CAST(unnest(ARRAY{list(_PACK_SWEEP_LENS)}) AS BIGINT) AS max_len),
+agg AS (
+  SELECT g.max_len,
+         CAST(sum(h.n) AS BIGINT) AS n_docs,
+         CAST(sum(h.len * h.n) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN h.len > g.max_len THEN h.n ELSE 0 END) AS BIGINT)
+           AS n_docs_over,
+         CAST(sum(CASE WHEN h.len > g.max_len
+                       THEN (h.len - g.max_len) * h.n ELSE 0 END) AS BIGINT)
+           AS tokens_truncated,
+         CAST(sum(least(h.len, g.max_len) * h.n) AS BIGINT) AS kept
+  FROM grid g CROSS JOIN hist h
+  GROUP BY g.max_len
+)
+SELECT max_len, n_docs, total_tokens, n_docs_over, tokens_truncated,
+       n_docs * max_len - kept AS pad_waste,
+       kept * 1000 // (n_docs * max_len) AS pad_efficiency_permille,
+       (total_tokens + max_len - 1) // max_len AS n_seqs_concat,
+       total_tokens * 1000
+         // (((total_tokens + max_len - 1) // max_len) * max_len)
+         AS concat_efficiency_permille
+FROM agg
+""",
+    "sequence-length planning sweep: for every candidate max_len (64.."
+    "1024), the cost of BOTH packing strategies out of ONE token-count "
+    "scan — pad-per-doc (docs over the limit, tokens truncated, pad "
+    "waste, slot efficiency) vs concat-and-chunk (sequences needed, "
+    "tail-only waste) — the table you read before committing a 100 TB "
+    "tokenization run to a context length, because the answer depends "
+    "on YOUR corpus's length distribution, not a rule of thumb. The "
+    "corpus is consumed exactly once into a (length -> count) histogram "
+    "(bounded by distinct lengths, not docs); every sweep row is "
+    "arithmetic over that histogram joined to a constant grid — no "
+    "per-max_len rescan, and every output is an exact integer "
+    "(floor-div permille), so the table is bit-identical cross-engine. "
+    "Zero-token docs are excluded (they pack to nothing, matching "
+    "sequence_packing)",
+)
+def q_packing_efficiency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    hist = (
+        docs.select(F.size(tokens("text")).cast("long").alias("len"))
+        .filter(F.col("len") > 0)
+        .groupBy("len")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    grid = spark.createDataFrame(
+        [(int(m),) for m in _PACK_SWEEP_LENS], "max_len long"
+    )
+    agg = (
+        grid.crossJoin(F.broadcast(hist))
+        .groupBy("max_len")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.sum(F.col("len") * F.col("n")).cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("len") > F.col("max_len"), F.col("n"))
+                  .otherwise(0)).cast("long").alias("n_docs_over"),
+            F.sum(
+                F.when(
+                    F.col("len") > F.col("max_len"),
+                    (F.col("len") - F.col("max_len")) * F.col("n"),
+                ).otherwise(0)
+            ).cast("long").alias("tokens_truncated"),
+            F.sum(F.least("len", "max_len") * F.col("n"))
+            .cast("long").alias("__kept"),
+        )
+    )
+    return agg.select(
+        "max_len", "n_docs", "total_tokens", "n_docs_over", "tokens_truncated",
+        (F.col("n_docs") * F.col("max_len") - F.col("__kept"))
+        .cast("long").alias("pad_waste"),
+        F.expr("__kept * 1000 div (n_docs * max_len)")
+        .cast("long").alias("pad_efficiency_permille"),
+        F.expr("(total_tokens + max_len - 1) div max_len")
+        .cast("long").alias("n_seqs_concat"),
+        F.expr(
+            "total_tokens * 1000 div "
+            "(((total_tokens + max_len - 1) div max_len) * max_len)"
+        ).cast("long").alias("concat_efficiency_permille"),
+    )
+
+
+@q(
+    "source_overlap_matrix",
+    f"""
+WITH hs AS (
+  SELECT DISTINCT source,
+         (({duck_token_hash('token')} * 2654435761) % {_KMV_MIX_MOD}) AS h
+  FROM (SELECT source, unnest({duck_tokens('text')}) AS token FROM documents)
+),
+sk AS (
+  SELECT source, h FROM hs
+  QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= {_KMV_K}
+),
+srcs AS (SELECT DISTINCT source FROM hs),
+pr AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+cand AS (
+  SELECT p.source_a, p.source_b, s.h,
+         CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END AS ina,
+         CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END AS inb
+  FROM pr p JOIN sk s ON s.source = p.source_a OR s.source = p.source_b
+),
+grp AS (
+  SELECT source_a, source_b, h,
+         CAST(max(ina) AS BIGINT) AS ina, CAST(max(inb) AS BIGINT) AS inb
+  FROM cand GROUP BY source_a, source_b, h
+),
+topu AS (
+  SELECT * FROM grp
+  QUALIFY row_number() OVER (PARTITION BY source_a, source_b ORDER BY h)
+          <= {_KMV_K}
+),
+est AS (
+  SELECT source_a, source_b,
+         CAST(count(*) AS BIGINT) AS kk,
+         CAST(max(h) AS BIGINT) AS hk,
+         CAST(sum(ina * inb) AS BIGINT) AS n_both
+  FROM topu GROUP BY source_a, source_b
+),
+act AS (
+  SELECT p.source_a, p.source_b, CAST(count(*) AS BIGINT) AS actual_overlap
+  FROM pr p
+  JOIN hs a ON a.source = p.source_a
+  JOIN hs b ON b.source = p.source_b AND a.h = b.h
+  GROUP BY p.source_a, p.source_b
+)
+SELECT est.source_a, est.source_b, est.kk, est.n_both,
+       round(CASE WHEN est.kk < {_KMV_K} THEN CAST(est.kk AS DOUBLE)
+             ELSE ({_KMV_K} - 1) * CAST({_KMV_MIX_MOD} AS DOUBLE)
+                  / CAST(est.hk AS DOUBLE) END, 4) AS est_union,
+       round(CAST(est.n_both AS DOUBLE) / CAST(est.kk AS DOUBLE), 6)
+         AS est_jaccard,
+       coalesce(act.actual_overlap, 0) AS actual_overlap
+FROM est
+LEFT JOIN act ON est.source_a = act.source_a AND est.source_b = act.source_b
+""",
+    "pairwise source-overlap atlas: KMV-sketch estimates of token-"
+    "vocabulary union and Jaccard for EVERY pair of sources, next to the "
+    "exact overlap audit — the corpus-composition map you build before "
+    "mixing N crawls/dumps into one training set (two sources sharing "
+    "most of their vocabulary are probably the same crawl twice; "
+    "cross_source_contamination finds shared DOCUMENTS, this finds "
+    "shared LANGUAGE/domain at source granularity). The scale shape is "
+    "sketch-first: one scan distills each source to a 256-value KMV "
+    "sketch (per-source top-k window), pairwise math then runs on "
+    "sources^2 x 256 sketch rows — never on the vocabularies themselves; "
+    "the union sketch of a pair is the k smallest of the two sketches' "
+    "union (exactly the Beyer et al. combine join_size_estimate pins for "
+    "one pair). The exact-audit column is the one piece that scans full "
+    "vocabularies — it is the accuracy check you sample at 100 TB, not "
+    "run exhaustively",
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import token_hash, tokens
+
+    docs = t(spark, sf_dir, "documents")
+    hs = (
+        docs.select("source", F.explode(tokens("text")).alias("token"))
+        .select(
+            "source",
+            ((token_hash(F.col("token")) * 2654435761) % _KMV_MIX_MOD)
+            .alias("h"),
+        )
+        .distinct()
+    )
+    wsk = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hs.withColumn("__rn", F.row_number().over(wsk))
+        .filter(F.col("__rn") <= _KMV_K)
+        .select("source", "h")
+    )
+    srcs = hs.select("source").distinct()
+    pr = (
+        srcs.select(F.col("source").alias("source_a"))
+        .join(
+            srcs.select(F.col("source").alias("source_b")),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    cand = pr.join(
+        F.broadcast(sk),
+        (F.col("source") == F.col("source_a"))
+        | (F.col("source") == F.col("source_b")),
+    ).select(
+        "source_a", "source_b", "h",
+        (F.col("source") == F.col("source_a")).cast("int").alias("ina"),
+        (F.col("source") == F.col("source_b")).cast("int").alias("inb"),
+    )
+    grp = cand.groupBy("source_a", "source_b", "h").agg(
+        F.max("ina").cast("long").alias("ina"),
+        F.max("inb").cast("long").alias("inb"),
+    )
+    wp = Window.partitionBy("source_a", "source_b").orderBy("h")
+    topu = (
+        grp.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= _KMV_K)
+    )
+    est = topu.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("kk"),
+        F.max("h").cast("long").alias("hk"),
+        F.sum(F.col("ina") * F.col("inb")).cast("long").alias("n_both"),
+    )
+    ha = hs.select(F.col("source").alias("source_a"), "h")
+    hb = hs.select(F.col("source").alias("source_b"), "h")
+    act = (
+        ha.join(hb, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("actual_overlap"))
+    )
+    return est.join(act, ["source_a", "source_b"], "left").select(
+        "source_a", "source_b", "kk", "n_both",
+        F.round(
+            F.when(
+                F.col("kk") < _KMV_K, F.col("kk").cast("double")
+            ).otherwise(
+                F.lit(float(_KMV_K - 1))
+                * F.lit(float(_KMV_MIX_MOD))
+                / F.col("hk").cast("double")
+            ),
+            4,
+        ).alias("est_union"),
+        F.round(
+            F.col("n_both").cast("double") / F.col("kk").cast("double"), 6
+        ).alias("est_jaccard"),
+        F.coalesce("actual_overlap", F.lit(0).cast("long"))
+        .alias("actual_overlap"),
+    )
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import (
         duck_cms,
@@ -9648,6 +9896,8 @@ _fill_sketch_oracles()
 # list below is the round-4 snapshot, kept ONLY as the fallback when no
 # driver artifacts are readable (fresh clone without history).
 _DRIVER_PRIORITY: list[str] = [
+    "packing_efficiency_sweep",
+    "source_overlap_matrix",
     "kmeans_distortion_ladder",
     "ann_probe_sweep",
     "pq_reconstruction_error",

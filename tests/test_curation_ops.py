@@ -734,3 +734,75 @@ def test_kmeans_distortion_ladder_monotone_and_reconciles(spark, catalog):
     )
     d2 = np.round(((vecs - c1[None, :]) ** 2).sum(axis=1), 6)
     assert out[1]["sse_micro"] == int(np.round(d2 * 1_000_000).sum())
+
+
+def test_packing_efficiency_sweep_reconciles(spark, catalog):
+    """Every row must reconcile with a Python replay over the raw token
+    counts (pad and concat strategies), efficiencies must be exact
+    integer permille, and monotonicity must hold: truncation shrinks and
+    pad efficiency rises as max_len drops toward the median length...
+    specifically tokens_truncated decreases in max_len while
+    n_seqs_concat decreases too."""
+    from fastembed_rs_spark.functions.text import tokens as tok_expr
+
+    out = {r["max_len"]: r
+           for r in catalog["packing_efficiency_sweep"].spark(spark, SF).collect()}
+    assert set(out) == {64, 128, 256, 512, 1024}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lens = [
+        r["n"] for r in docs.select(
+            F.size(tok_expr("text")).alias("n")
+        ).collect() if r["n"] > 0
+    ]
+    total = sum(lens)
+    for L, r in out.items():
+        assert r["n_docs"] == len(lens)
+        assert r["total_tokens"] == total
+        assert r["n_docs_over"] == sum(1 for x in lens if x > L)
+        assert r["tokens_truncated"] == sum(x - L for x in lens if x > L)
+        kept = sum(min(x, L) for x in lens)
+        assert r["pad_waste"] == len(lens) * L - kept
+        assert r["pad_efficiency_permille"] == kept * 1000 // (len(lens) * L)
+        nseq = (total + L - 1) // L
+        assert r["n_seqs_concat"] == nseq
+        assert r["concat_efficiency_permille"] == total * 1000 // (nseq * L)
+    ls = sorted(out)
+    assert all(out[a]["tokens_truncated"] >= out[b]["tokens_truncated"]
+               for a, b in zip(ls, ls[1:]))
+    assert all(out[a]["n_seqs_concat"] >= out[b]["n_seqs_concat"]
+               for a, b in zip(ls, ls[1:]))
+
+
+def test_source_overlap_matrix_estimates_and_audit(spark, catalog):
+    """One row per unordered source pair, sketch bounds hold
+    (n_both <= kk <= 256), the exact-audit column must match a Python
+    set-intersection replay of the mixed token hashes, and for pairs
+    whose union fits entirely in the sketch (kk < 256) the 'estimate'
+    must be EXACT: est_jaccard * kk == actual n_both and est_union ==
+    true union size."""
+    from fastembed_rs_spark.functions.text import token_hash, tokens as tok_expr
+
+    out = {(r["source_a"], r["source_b"]): r
+           for r in catalog["source_overlap_matrix"].spark(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    hs = docs.select(
+        "source", F.explode(tok_expr("text")).alias("token")
+    ).select(
+        "source",
+        ((token_hash(F.col("token")) * 2654435761) % 4294967296).alias("h"),
+    ).distinct().collect()
+    sets: dict[str, set] = {}
+    for r in hs:
+        sets.setdefault(r["source"], set()).add(r["h"])
+    srcs = sorted(sets)
+    assert set(out) == {(a, b) for i, a in enumerate(srcs)
+                        for b in srcs[i + 1:]}
+    for (a, b), r in out.items():
+        inter = sets[a] & sets[b]
+        union = sets[a] | sets[b]
+        assert r["actual_overlap"] == len(inter)
+        assert 0 <= r["n_both"] <= r["kk"] <= 256
+        if r["kk"] < 256:  # whole union fits: sketch IS the union
+            assert r["kk"] == len(union)
+            assert r["n_both"] == len(inter)
+            assert r["est_union"] == float(len(union))
