@@ -159,6 +159,103 @@ def train_ivf_centroids(
     )
 
 
+#: config encoding for joint multi-k training/assign: one kernel target id
+#: packs (k, centroid_id) so a single corpus × targets pass scores every
+#: config at once. 100000 > any real centroid count per config.
+_MULTI_K_STRIDE = 100_000
+
+
+def train_ivf_centroids_multi(
+    corpus: DataFrame,
+    ks: tuple[int, ...],
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """``train_ivf_centroids`` for SEVERAL k values jointly: per Lloyd's
+    iteration ONE kernel pass scores the corpus against the union of all
+    configs' centroids (target id = k·stride + centroid_id), the argmax is
+    keyed by (vector, config), and the per-config means come back as one
+    Σk×dim driver-state batch — so training 4 ladder configs costs the
+    stage count of training one (the kernel work is the same Σk columns
+    either way; what collapses is 4× the job/stage fixed overhead, the
+    dominant term for small k).
+
+    Bit-identical to running ``train_ivf_centroids`` once per k (pinned by
+    test): the init ordering is the same seeded hash — each config's init
+    is a prefix of the same ranking — raw-cosine kernel scores don't see
+    other configs' targets, the argmax partitions by config, and the means
+    round to 9 decimals exactly as the single-k path does.
+
+    Returns one DataFrame (k int, centroid_id int, centroid_vec
+    array<double>) with Σks rows.
+    """
+    from fastembed_rs_spark.functions.text import token_hash
+    from fastembed_rs_spark.operators.fast_vector import pairwise_cosine_fast
+
+    kmax = max(ks)
+    hashed = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"),
+        token_hash(
+            F.concat(F.col(id_col).cast("string"), F.lit(f"#ivf{seed}"))
+        ).alias("__h"),
+    )
+    init_rows = hashed.orderBy("__h", id_col).limit(kmax).collect()
+    # targets: {k: [(cid, vec), ...]} — each config's init is a prefix of
+    # the same hash ordering (same seed ⇒ same ordering as single-k)
+    per_k: dict[int, list] = {
+        k: [(i, list(r["__v"])) for i, r in enumerate(init_rows[:k])]
+        for k in ks
+    }
+    points = hashed.select(id_col, "__v")
+    if iters > 0:
+        points = points.persist()
+    for _ in range(iters):
+        targets = [
+            (k * _MULTI_K_STRIDE + cid, vec)
+            for k in ks for cid, vec in per_k[k]
+        ]
+        scored = pairwise_cosine_fast(
+            points, id_col, "__v", targets,
+            target_id_name="__tid", score_name="__s",
+        ).select(
+            id_col, "__s",
+            F.expr(f"CAST(__tid div {_MULTI_K_STRIDE} AS INT)").alias("__k"),
+            F.expr(f"CAST(__tid % {_MULTI_K_STRIDE} AS INT)").alias("centroid_id"),
+        )
+        best = argmax_assign(
+            scored, keys=[id_col, "__k"], choice_col="centroid_id",
+            score_col="__s", carry=[],
+        )
+        mrows = (
+            points.join(best, id_col)
+            .select("__k", "centroid_id", F.posexplode("__v").alias("__d", "__x"))
+            .groupBy("__k", "centroid_id", "__d")
+            .agg(F.round(F.avg("__x"), 9).alias("__m"))
+            .collect()  # Σk×dim rows — constant-size driver state
+        )
+        acc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in mrows:
+            acc.setdefault((r["__k"], r["centroid_id"]), {})[r["__d"]] = r["__m"]
+        per_k = {
+            k: [
+                (cid, [dm[d] for d in sorted(dm)])
+                for (kk, cid), dm in sorted(acc.items()) if kk == k
+            ]
+            for k in ks
+        }
+    if iters > 0:
+        points.unpersist()
+    return corpus.sparkSession.createDataFrame(
+        [
+            (int(k), int(cid), list(vec))
+            for k in ks for cid, vec in per_k[k]
+        ],
+        "k int, centroid_id int, centroid_vec array<double>",
+    )
+
+
 def argmax_assign(
     scored: DataFrame, keys: list[str], choice_col: str, score_col: str,
     carry: list[str],

@@ -52,9 +52,7 @@ PYTHON_OK = {
     "quality_percent_rank",
     "ann_recall_eval",  # trained-IVF probe + brute-force truth: both sides
                         # score through the NumPy cosine kernel by design
-    "ann_probe_sweep",  # same components as ann_recall_eval (kernel assign
-                        # + kernel brute-force truth), all nprobe at once
-    "kmeans_distortion_ladder",  # four kernel assign passes (one per k)
+    "kmeans_distortion_ladder",  # joint kernel assign pass (all k at once)
                                  # over the corpus by design
     "minhash_band_curve",  # measured pairs come from the minhash/verify
                            # kernels; the S-curve math itself is JVM integer

@@ -222,3 +222,30 @@ def test_ivf_recall_at_10_vs_brute(spark):
     # (fully deterministic: seeded init + exact assignment); bound leaves
     # margin in case the plan's float fold order ever shifts a tie
     assert recall >= 0.5, f"recall@10 = {recall}"
+
+
+def test_train_ivf_centroids_multi_matches_per_k(spark):
+    """Joint multi-k training must be BIT-identical to running the
+    single-k trainer once per k (same seed ordering, same means): the
+    whole point of the joint path is stage-count, not semantics."""
+    from fastembed_rs_spark.operators.topk import (
+        train_ivf_centroids,
+        train_ivf_centroids_multi,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ks = (1, 2, 4, 8)
+    multi = train_ivf_centroids_multi(emb, ks=ks, iters=3)
+    got = {
+        (r["k"], r["centroid_id"]): r["centroid_vec"]
+        for r in multi.collect()
+    }
+    assert len(got) == sum(ks)
+    for k in ks:
+        single = {
+            r["centroid_id"]: r["centroid_vec"]
+            for r in train_ivf_centroids(emb, k=k, iters=3).collect()
+        }
+        assert set(single) == {c for (kk, c) in got if kk == k}
+        for cid, vec in single.items():
+            assert got[(k, cid)] == vec, (k, cid)
