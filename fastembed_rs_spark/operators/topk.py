@@ -78,6 +78,38 @@ def cosine_top_k(
     return _ranked_topk(scored, query_id, id_col, k)
 
 
+def cosine_top_k_fast(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """``cosine_top_k`` with the corpus × queries scoring routed through the
+    NumPy tile kernel (operators/fast_vector.py) — for CONSTANT-size query
+    sets (the probe set is collected to the driver and ships in the kernel
+    closure, the same bound that makes it broadcastable). Bit-identical
+    scores to the expression path (kernel parity pinned by test), same
+    (score desc, id asc) rank order after rounding. Use for the
+    brute-force ground-truth passes of the eval/calibration queries, where
+    nq × corpus through the interpreted lambda fold was the dominant cost.
+    """
+    from fastembed_rs_spark.operators.fast_vector import pairwise_cosine_fast
+
+    rows = queries.select(query_id, query_vec).collect()
+    targets = [(r[0], list(r[1])) for r in rows]
+    scored = pairwise_cosine_fast(
+        corpus, id_col, vec_col, targets,
+        target_id_name=query_id, score_name="score",
+    )
+    if round_to is not None:
+        scored = scored.withColumn("score", F.round("score", round_to))
+    return _ranked_topk(scored, query_id, id_col, k)
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     k: int,

@@ -8764,7 +8764,10 @@ LEFT JOIN hits h ON q.query_id = h.query_id"""
     "cross-engine",
 )
 def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastembed_rs_spark.operators.topk import train_ivf_centroids
+    from fastembed_rs_spark.operators.topk import (
+        cosine_top_k_fast,
+        train_ivf_centroids,
+    )
 
     emb = t(spark, sf_dir, "embeddings")
     centroids = train_ivf_centroids(emb, k=8, iters=3)
@@ -8775,7 +8778,9 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_top_k(
         queries, bucketed, centroids, k=10, nprobe=2, round_to=6
     ).select("query_id", "vec_id")
-    truth = cosine_top_k(queries, emb, k=10, round_to=6).select(
+    # ground truth through the NumPy tile kernel: 20 probes x corpus via
+    # the interpreted lambda fold was the dominant cost of this query
+    truth = cosine_top_k_fast(queries, emb, k=10, round_to=6).select(
         "query_id", "vec_id"
     )
     hits = truth.join(approx, ["query_id", "vec_id"]).groupBy("query_id").agg(
@@ -9243,7 +9248,10 @@ LEFT JOIN (SELECT g3.nprobe, CAST(sum(ch.s) AS BIGINT) AS s
     "floor-divisions — exact cross-engine",
 )
 def q_ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastembed_rs_spark.operators.topk import cosine_top_k, train_ivf_centroids
+    from fastembed_rs_spark.operators.topk import (
+        cosine_top_k_fast,
+        train_ivf_centroids,
+    )
 
     k, nq, topk = 8, 20, 10
     emb = t(spark, sf_dir, "embeddings")
@@ -9273,7 +9281,7 @@ def q_ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pr", F.row_number().over(wq))
         .select("query_id", "centroid_id", "pr")
     )
-    truth = cosine_top_k(queries, emb, k=topk, round_to=6).select(
+    truth = cosine_top_k_fast(queries, emb, k=topk, round_to=6).select(
         "query_id", "vec_id"
     )
     tr = truth.join(assigned, "vec_id").join(pr, ["query_id", "centroid_id"])

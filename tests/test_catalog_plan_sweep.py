@@ -52,6 +52,8 @@ PYTHON_OK = {
     "quality_percent_rank",
     "ann_recall_eval",  # trained-IVF probe + brute-force truth: both sides
                         # score through the NumPy cosine kernel by design
+    "ann_probe_sweep",  # kernel brute-force truth (cosine_top_k_fast);
+                        # the assign side is checkpoint-truncated
     "kmeans_distortion_ladder",  # joint kernel assign pass (all k at once)
                                  # over the corpus by design
     "minhash_band_curve",  # measured pairs come from the minhash/verify

@@ -249,3 +249,24 @@ def test_train_ivf_centroids_multi_matches_per_k(spark):
         assert set(single) == {c for (kk, c) in got if kk == k}
         for cid, vec in single.items():
             assert got[(k, cid)] == vec, (k, cid)
+
+
+def test_cosine_top_k_fast_matches_expression_path(spark):
+    """The kernel-scored brute-force top-k must return EXACTLY the same
+    (query, id, score, rank) rows as the expression-path cosine_top_k —
+    same rounded scores, same tie order."""
+    from fastembed_rs_spark.operators.topk import cosine_top_k, cosine_top_k_fast
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    slow = cosine_top_k(queries, emb, k=9, round_to=6).select(
+        "query_id", "vec_id", "score", "rank"
+    ).collect()
+    fast = cosine_top_k_fast(queries, emb, k=9, round_to=6).select(
+        "query_id", "vec_id", "score", "rank"
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, slow), key=lambda t: (t[0], t[3])) == \
+        sorted(map(tuple, fast), key=lambda t: (t[0], t[3]))
