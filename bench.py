@@ -24,6 +24,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "table_profile",
+    "shard_balance_plan",
+    "vocab_divergence",
+    "simhash_hamming_curve",
+    "label_coherence",
     "packing_efficiency_sweep",
     "source_overlap_matrix",
     "kmeans_distortion_ladder",

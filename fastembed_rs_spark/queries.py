@@ -9888,6 +9888,456 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+)
+
+
+@q(
+    "table_profile",
+    "\nUNION ALL".join(
+        f"""
+SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(count({c}) * 1000 // count(*) AS BIGINT) AS fill_permille
+FROM orders""" for c in _PROFILE_COLS
+    ),
+    "Deequ-style data-profiling pass over the orders table: per column, "
+    "row count, null count, EXACT distinct count and fill rate — the "
+    "completeness/uniqueness table a warehouse publishes per ingest batch "
+    "(a fill_permille drop or an n_distinct collapse is how schema drift "
+    "and broken upstream joins actually surface). One scan: Spark "
+    "evaluates all six count(DISTINCT) in a single aggregate (Expand with "
+    "one projection per distinct column — the native multi-distinct "
+    "plan, still one pass over the files), then stack() unpivots the "
+    "1-row aggregate into the per-column report. At 100 TB you swap the "
+    "exact distincts for approx_count_distinct per column (the HLL "
+    "machinery next door in hll_distinct) — the fill/null math is "
+    "unchanged",
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).cast("long").alias(f"__f_{c}"))
+        aggs.append(F.countDistinct(c).cast("long").alias(f"__d_{c}"))
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n, __n - __f_{c}, __d_{c}, "
+        f"CAST(__f_{c} * 1000 div __n AS BIGINT)"
+        for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_rows, n_nulls, n_distinct, fill_permille)"
+        )
+    )
+
+
+_N_SHARDS = 8
+
+
+@q(
+    "shard_balance_plan",
+    f"""
+WITH dt AS (
+  SELECT doc_id, CAST(len({duck_tokens('text')}) AS BIGINT) AS tk
+  FROM documents
+),
+ranked AS (
+  SELECT tk, row_number() OVER (ORDER BY tk DESC, doc_id ASC) - 1 AS rn
+  FROM dt
+),
+placed AS (
+  SELECT tk,
+         CASE WHEN (rn // {_N_SHARDS}) % 2 = 0 THEN rn % {_N_SHARDS}
+              ELSE {_N_SHARDS - 1} - (rn % {_N_SHARDS}) END AS shard
+  FROM ranked
+),
+per AS (
+  SELECT CAST(shard AS BIGINT) AS shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(tk) AS BIGINT) AS shard_tokens
+  FROM placed GROUP BY shard
+),
+tot AS (SELECT CAST(sum(tk) AS BIGINT) AS total_tokens FROM dt)
+SELECT per.shard, per.n_docs, per.shard_tokens,
+       CAST(per.shard_tokens * {_N_SHARDS} * 1000 // tot.total_tokens
+            AS BIGINT) AS load_permille_of_ideal
+FROM per CROSS JOIN tot
+""",
+    f"training-shard placement plan: assign every document to one of "
+    f"{_N_SHARDS} shards by snake (boustrophedon) order over token count "
+    "— sort docs by length desc, deal rank r to shard r%S on even blocks "
+    "and S-1-r%S on odd blocks — the parallelizable approximation of LPT "
+    "bin packing (each shard gets one doc per block, blocks alternate "
+    "direction so no shard always gets the block's largest), then report "
+    "per-shard doc/token totals and load vs the ideal even split in "
+    "permille. This is the pre-flight plan for writing balanced training "
+    "shards: a 1.2x-heavy shard is a 1.2x-slower epoch tail. The global "
+    "rank is computed WITHOUT a single-partition window: a (token-count "
+    "-> n_docs) histogram (bounded by max doc length) gives each length "
+    "its global offset via a cumulative sum over that tiny table, and "
+    "ties rank by doc_id inside well-distributed per-length window "
+    "partitions — the same two-level rank a 1000-executor sort would use",
+)
+def q_shard_balance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("tk")
+    )
+    # global rank without a global window: per-length offsets come from a
+    # histogram-sized cumulative sum; within a length, rank by doc_id in a
+    # partitioned window (each length's partition is corpus/width sized)
+    hist = dt.groupBy("tk").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    wh = (
+        Window.orderBy(F.col("tk").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = hist.select(
+        "tk",
+        F.coalesce(F.sum("__c").over(wh), F.lit(0)).cast("long")
+        .alias("__before"),
+    )
+    wt = Window.partitionBy("tk").orderBy("doc_id")
+    ranked = (
+        dt.withColumn("__i", F.row_number().over(wt) - 1)
+        .join(F.broadcast(before), "tk")
+        .select("tk", (F.col("__before") + F.col("__i")).alias("rn"))
+    )
+    placed = ranked.select(
+        "tk",
+        F.when(
+            F.expr(f"(rn div {_N_SHARDS}) % 2") == 0, F.col("rn") % _N_SHARDS
+        ).otherwise(
+            F.lit(_N_SHARDS - 1) - (F.col("rn") % _N_SHARDS)
+        ).alias("shard"),
+    )
+    per = (
+        placed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tk").cast("long").alias("shard_tokens"),
+        )
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs", "shard_tokens",
+        )
+    )
+    tot = dt.agg(F.sum("tk").cast("long").alias("total_tokens"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard", "n_docs", "shard_tokens",
+        F.expr(
+            f"CAST(shard_tokens * {_N_SHARDS} * 1000 div total_tokens "
+            "AS BIGINT)"
+        ).alias("load_permille_of_ideal"),
+    )
+
+
+@q(
+    "vocab_divergence",
+    f"""
+WITH tok AS (
+  SELECT source, unnest({duck_tokens('text')}) AS token FROM documents
+),
+sc AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+       FROM tok GROUP BY source, token),
+st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+              CAST(count(*) AS BIGINT) AS vocab
+       FROM sc GROUP BY source),
+lm AS (SELECT token, CAST(sum(c) AS BIGINT) AS ct FROM sc GROUP BY token),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM sc),
+terms AS (
+  SELECT sc.source,
+         CAST(round((CAST(sc.c AS DOUBLE) / CAST(st.n AS DOUBLE))
+                    * ln(CAST(sc.c AS DOUBLE) / CAST(st.n AS DOUBLE))
+                    * 1000000000) AS BIGINT) AS h_nano,
+         CAST(round((CAST(sc.c AS DOUBLE) / CAST(st.n AS DOUBLE))
+                    * ln(CAST(sc.c * tot.nn AS DOUBLE)
+                         / CAST(st.n * lm.ct AS DOUBLE))
+                    * 1000000000) AS BIGINT) AS kl_nano
+  FROM sc JOIN st USING (source) JOIN lm USING (token) CROSS JOIN tot
+)
+SELECT st.source, st.n AS n_tokens, st.vocab,
+       CAST(-sum(t.h_nano) AS BIGINT) AS entropy_nano,
+       CAST(sum(t.kl_nano) AS BIGINT) AS kl_vs_corpus_nano
+FROM terms t JOIN st USING (source)
+GROUP BY st.source, st.n, st.vocab
+""",
+    "per-source unigram-distribution fingerprint: token entropy and "
+    "KL(source || corpus) — entropy near zero means a source is "
+    "boilerplate/template spam (few tokens dominate), high KL means its "
+    "language is far from the mix you are training on (both the signals "
+    "behind 'this crawl is junk' and 'this source needs its own mixing "
+    "weight', complementing source_overlap_matrix's set overlap with "
+    "distribution shape). Every summand is one division and one ln on "
+    "identical integer inputs converted to exact NANO-units before the "
+    "sum (the psi_drift discipline), so the per-source totals are never "
+    "order-dependent float sums; KL needs no smoothing because every "
+    "source token is in the corpus by construction. Scale shape: one "
+    "(source, token) count aggregation (map-side combinable), then all "
+    "math on vocabulary-sized tables joined via broadcast",
+)
+def q_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("token"))
+    sc = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint()  # feeds st, lm, tot and the term scan
+    st = sc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    lm = sc.groupBy("token").agg(F.sum("c").cast("long").alias("ct"))
+    tot = sc.agg(F.sum("c").cast("long").alias("nn"))
+    p = "(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+    terms = (
+        sc.join(F.broadcast(st), "source")
+        .join(F.broadcast(lm), "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.expr(
+                f"CAST(round({p} * ln({p}) * 1000000000) AS BIGINT)"
+            ).alias("h_nano"),
+            F.expr(
+                f"CAST(round({p} * ln(CAST(c * nn AS DOUBLE) "
+                "/ CAST(n * ct AS DOUBLE)) * 1000000000) AS BIGINT)"
+            ).alias("kl_nano"),
+        )
+    )
+    agg = terms.groupBy("source").agg(
+        (-F.sum("h_nano")).cast("long").alias("entropy_nano"),
+        F.sum("kl_nano").cast("long").alias("kl_vs_corpus_nano"),
+    )
+    return agg.join(F.broadcast(st), "source").select(
+        "source", F.col("n").alias("n_tokens"), "vocab",
+        "entropy_nano", "kl_vs_corpus_nano",
+    )
+
+
+def _simhash_curve_oracle() -> str:
+    sh_expr = _simhash_sql(
+        f"list_transform({duck_tokens('text')}, tk -> {duck_token_hash('tk')})"
+    )
+    return (
+        _minhash_cand_ctes()
+        + f""",
+shq AS (
+  SELECT doc_id,
+         CASE WHEN len({duck_tokens('text')}) = 0 THEN 0
+              ELSE {sh_expr} END AS simhash
+  FROM documents
+),
+pairs AS (
+  SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS ham,
+         CASE WHEN v.jaccard >= 0.5 THEN 1 ELSE 0 END AS is_true
+  FROM verified v
+  JOIN shq a ON v.id_a = a.doc_id JOIN shq b ON v.id_b = b.doc_id
+  WHERE v.jaccard >= 0.1
+),
+hist AS (
+  SELECT ham, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(is_true) AS BIGINT) AS n_true
+  FROM pairs GROUP BY ham
+),
+grid AS (SELECT CAST(unnest(generate_series(0, 32)) AS BIGINT) AS h),
+tt AS (SELECT CAST(coalesce(sum(n_true), 0) AS BIGINT) AS total_true
+       FROM hist)
+SELECT g.h,
+       CAST(coalesce(sum(hist.n), 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(sum(hist.n_true), 0) AS BIGINT) AS n_true_captured,
+       CAST(tt.total_true - coalesce(sum(hist.n_true), 0) AS BIGINT)
+         AS n_true_missed,
+       CAST(CASE WHEN coalesce(sum(hist.n), 0) = 0 THEN -1
+                 ELSE coalesce(sum(hist.n_true), 0) * 1000 // sum(hist.n)
+            END AS BIGINT) AS precision_permille
+FROM grid g LEFT JOIN hist ON hist.ham <= g.h CROSS JOIN tt
+GROUP BY g.h, tt.total_true
+"""
+    )
+
+
+@q(
+    "simhash_hamming_curve",
+    _simhash_curve_oracle(),
+    "simhash threshold-calibration table: at every Hamming-distance "
+    "cutoff 0..32 on the 32-bit simhash, the candidate-pair volume, the "
+    "TRUE near-dup pairs (exact Jaccard >= 0.5) captured and missed, and "
+    "the precision in permille — measured against this corpus's verified "
+    "pair-similarity distribution (the LSH candidates at a 0.1 floor), "
+    "not a bit-independence prior. The companion to minhash_band_curve "
+    "for the OTHER dedup fingerprint: before running a 100 TB "
+    "simhash-block dedup you pick max_hamming off this curve (too low "
+    "misses paraphrase dups, too high drowns verify in false "
+    "candidates). One pass computes per-pair Hamming distances into a "
+    "33-bucket histogram; every cutoff row is then a prefix-sum over "
+    "that constant-size histogram joined to a constant 33-row grid — "
+    "the sweep costs one histogram, not 33 rescans",
+)
+def q_simhash_hamming_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.fast_text import (
+        minhash_signatures_fast,
+        verify_candidates_fast,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures_fast(docs, "doc_id", "text", k_shingle=5)
+    cand = D.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
+    pairs = verify_candidates_fast(
+        cand, docs, "doc_id", "text", k_shingle=5, threshold=0.1
+    )
+    sh = docs.select("doc_id", D.simhash("text").alias("__sh"))
+    pj = (
+        pairs
+        .join(
+            sh.select(
+                F.col("doc_id").alias("id_a"), F.col("__sh").alias("__sa")
+            ),
+            "id_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("id_b"), F.col("__sh").alias("__sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.expr("CAST(bit_count(__sa ^ __sb) AS BIGINT)").alias("ham"),
+            F.when(F.col("jaccard") >= 0.5, 1).otherwise(0).alias("is_true"),
+        )
+    )
+    hist = pj.groupBy("ham").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("is_true").cast("long").alias("n_true"),
+    )
+    grid = spark.range(33).select(F.col("id").cast("long").alias("h"))
+    tt = hist.agg(
+        F.coalesce(F.sum("n_true"), F.lit(0)).cast("long").alias("total_true")
+    )
+    joined = grid.join(F.broadcast(hist), F.col("ham") <= F.col("h"), "left")
+    agg = joined.groupBy("h").agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(F.sum("n_true"), F.lit(0)).cast("long")
+        .alias("n_true_captured"),
+    )
+    return agg.crossJoin(F.broadcast(tt)).select(
+        "h", "n_candidates", "n_true_captured",
+        (F.col("total_true") - F.col("n_true_captured")).cast("long")
+        .alias("n_true_missed"),
+        F.when(F.col("n_candidates") == 0, F.lit(-1).cast("long"))
+        .otherwise(
+            F.expr("CAST(n_true_captured * 1000 div n_candidates AS BIGINT)")
+        ).alias("precision_permille"),
+    )
+
+
+@q(
+    "label_coherence",
+    f"""
+WITH dims AS (
+  SELECT CAST(e.label AS BIGINT) AS label, d.i - 1 AS dim,
+         CAST(e.embedding[d.i] AS DOUBLE) AS x
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(generate_series(1, {EMB_DIM})) AS i) d
+),
+cent AS (
+  SELECT label, dim, round(sum(x) / count(*), 6) AS cx
+  FROM dims GROUP BY label, dim
+),
+cvec AS (
+  SELECT label, list(cx ORDER BY dim) AS cv FROM cent GROUP BY label
+),
+cnorm AS (
+  SELECT label,
+         CAST(round(round({_dk_norm('cv')}, 6) * 1000000) AS BIGINT)
+           AS centroid_norm_micro
+  FROM cvec
+),
+scored AS (
+  SELECT CAST(e.label AS BIGINT) AS label,
+         CAST(round(round({_dk_cos('e.embedding', 'c.cv')}, 6) * 1000000)
+              AS BIGINT) AS cm
+  FROM embeddings e JOIN cvec c ON CAST(e.label AS BIGINT) = c.label
+),
+agg AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         CAST(sum(cm) AS BIGINT) AS sum_cm
+  FROM scored GROUP BY label
+)
+SELECT a.label, a.n_vecs, cn.centroid_norm_micro,
+       CAST(a.sum_cm // a.n_vecs AS BIGINT) AS mean_cos_micro
+FROM agg a JOIN cnorm cn ON a.label = cn.label
+""",
+    "intra-class embedding coherence: per label, the class centroid's "
+    "norm and the mean cosine of members to their own centroid — the "
+    "two-number health check of a labeled embedding space (coherence "
+    "near 1 = the class is a tight cluster ANN/classifiers can "
+    "separate; centroid norm near 0 = the class's directions cancel, "
+    "i.e. the label carries no embedding signal — exactly what "
+    "embedding collapse or a mislabeled slice looks like, per slice "
+    "rather than per dimension like embedding_stats). Scale shape: the "
+    "centroid is one posexplode + map-side-combinable (label, dim) "
+    "mean, centroids are a labels x dim table broadcast back for one "
+    "member-scoring scan; cosines round to 6 then exact integer "
+    "micro-units so the per-label mean is integer division, never an "
+    "order-dependent float sum",
+)
+def q_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.functions.vector import (
+        cosine_similarity_fixed,
+        l2_norm_fixed,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("dim", "x"),
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("cx")
+    )
+    cvec = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cx"))),
+            lambda s: s["cx"],
+        ).alias("cv")
+    )
+    cnorm = cvec.select(
+        "label",
+        F.round(F.round(l2_norm_fixed("cv", EMB_DIM), 6) * 1000000)
+        .cast("long").alias("centroid_norm_micro"),
+    )
+    scored = (
+        emb.select(F.col("label").cast("long").alias("label"), "embedding")
+        .join(F.broadcast(cvec), "label")
+        .select(
+            "label",
+            (F.round(
+                F.round(
+                    cosine_similarity_fixed("embedding", "cv", EMB_DIM), 6
+                ) * 1000000
+            )).cast("long").alias("cm"),
+        )
+    )
+    agg = scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("cm").cast("long").alias("sum_cm"),
+    )
+    return agg.join(F.broadcast(cnorm), "label").select(
+        "label", "n_vecs", "centroid_norm_micro",
+        F.expr("CAST(sum_cm div n_vecs AS BIGINT)").alias("mean_cos_micro"),
+    )
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import (
         duck_cms,
@@ -9939,6 +10389,11 @@ _fill_sketch_oracles()
 # list below is the round-4 snapshot, kept ONLY as the fallback when no
 # driver artifacts are readable (fresh clone without history).
 _DRIVER_PRIORITY: list[str] = [
+    "table_profile",
+    "shard_balance_plan",
+    "vocab_divergence",
+    "simhash_hamming_curve",
+    "label_coherence",
     "packing_efficiency_sweep",
     "source_overlap_matrix",
     "kmeans_distortion_ladder",

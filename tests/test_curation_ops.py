@@ -806,3 +806,123 @@ def test_source_overlap_matrix_estimates_and_audit(spark, catalog):
             assert r["kk"] == len(union)
             assert r["n_both"] == len(inter)
             assert r["est_union"] == float(len(union))
+
+
+def test_shard_balance_plan_replays_snake_placement(spark, catalog):
+    """Shard totals must equal a pure-Python snake-placement replay over
+    the raw token counts, shard doc counts differ by at most 1, the
+    permille loads sum to ~S*1000, and the snake must balance at least as
+    well as naive round-robin dealing on the same sorted order."""
+    from fastembed_rs_spark.functions.text import tokens as tok_expr
+    from fastembed_rs_spark.queries import _N_SHARDS as S
+
+    out = {r["shard"]: r
+           for r in catalog["shard_balance_plan"].spark(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    dt = sorted(
+        ((r["doc_id"], r["n"]) for r in docs.select(
+            "doc_id", F.size(tok_expr("text")).alias("n")).collect()),
+        key=lambda x: (-x[1], x[0]),
+    )
+    snake = {s: [0, 0] for s in range(S)}
+    rr = {s: 0 for s in range(S)}
+    for rn, (_, tk) in enumerate(dt):
+        pos = rn % S
+        shard = pos if (rn // S) % 2 == 0 else S - 1 - pos
+        snake[shard][0] += 1
+        snake[shard][1] += tk
+        rr[pos] += tk
+    total = sum(tk for _, tk in dt)
+    assert set(out) == set(range(S))
+    for s, r in out.items():
+        assert r["n_docs"] == snake[s][0]
+        assert r["shard_tokens"] == snake[s][1]
+        assert r["load_permille_of_ideal"] == snake[s][1] * S * 1000 // total
+    docs_per = [out[s]["n_docs"] for s in range(S)]
+    assert max(docs_per) - min(docs_per) <= 1
+    loads = [out[s]["load_permille_of_ideal"] for s in range(S)]
+    assert S * 1000 - S <= sum(loads) <= S * 1000
+    spread_snake = max(v[1] for v in snake.values()) - min(
+        v[1] for v in snake.values())
+    spread_rr = max(rr.values()) - min(rr.values())
+    assert spread_snake <= spread_rr
+
+
+def test_vocab_divergence_information_bounds(spark, catalog):
+    """Per-source entropy must sit in [0, ln(vocab)] and KL(source||corpus)
+    must be non-negative — both within the summed nano-rounding slack
+    (each term is rounded to the nearest nano-unit, so a sum of V terms
+    carries at most V/2 nano of error) — and a pure-Python replay over the
+    raw token counts must agree to the same slack."""
+    import math
+    from collections import Counter
+
+    from fastembed_rs_spark.functions.text import tokens as tok_expr
+
+    out = {r["source"]: r
+           for r in catalog["vocab_divergence"].spark(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    per_src: dict[str, Counter] = {}
+    for r in docs.select("source", tok_expr("text").alias("tk")).collect():
+        per_src.setdefault(r["source"], Counter()).update(r["tk"])
+    corpus = Counter()
+    for cnt in per_src.values():
+        corpus.update(cnt)
+    nn = sum(corpus.values())
+    assert set(out) == {s for s, c in per_src.items() if c}
+    for src, r in out.items():
+        cnt = per_src[src]
+        n = sum(cnt.values())
+        assert r["n_tokens"] == n
+        assert r["vocab"] == len(cnt)
+        slack = len(cnt)  # 0.5 nano per rounded term, doubled for safety
+        assert -slack <= r["entropy_nano"] <= math.log(len(cnt)) * 1e9 + slack
+        assert r["kl_vs_corpus_nano"] >= -slack
+        h = sum(round((c / n) * math.log(c / n) * 1e9)
+                for c in cnt.values())
+        kl = sum(round((c / n) * math.log((c * nn) / (n * corpus[t])) * 1e9)
+                 for t, c in cnt.items())
+        assert abs(r["entropy_nano"] - (-h)) <= slack
+        assert abs(r["kl_vs_corpus_nano"] - kl) <= slack
+
+
+def test_simhash_hamming_curve_monotone_and_anchored(spark, catalog):
+    """The sweep must be a valid prefix-sum family: candidates and captured
+    non-decreasing in h, missed non-increasing, captured+missed constant,
+    precision only -1 where candidates are 0, and the h=32 row must equal
+    an independent recount of the measured pair set (every pair is within
+    Hamming 32 of every other on a 32-bit fingerprint)."""
+    from fastembed_rs_spark.operators import dedup as D
+    from fastembed_rs_spark.operators.fast_text import (
+        minhash_signatures_fast,
+        verify_candidates_fast,
+    )
+    from fastembed_rs_spark.queries import t as tbl
+
+    out = {r["h"]: r
+           for r in catalog["simhash_hamming_curve"].spark(spark, SF).collect()}
+    assert set(out) == set(range(33))
+    for h in range(1, 33):
+        assert out[h]["n_candidates"] >= out[h - 1]["n_candidates"]
+        assert out[h]["n_true_captured"] >= out[h - 1]["n_true_captured"]
+        assert out[h]["n_true_missed"] <= out[h - 1]["n_true_missed"]
+    totals = {out[h]["n_true_captured"] + out[h]["n_true_missed"]
+              for h in range(33)}
+    assert len(totals) == 1
+    for h in range(33):
+        r = out[h]
+        if r["n_candidates"] == 0:
+            assert r["precision_permille"] == -1
+        else:
+            assert r["precision_permille"] == (
+                r["n_true_captured"] * 1000 // r["n_candidates"])
+    docs = tbl(spark, SF, "documents")
+    sigs = minhash_signatures_fast(docs, "doc_id", "text", k_shingle=5)
+    cand = D.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
+    pairs = verify_candidates_fast(
+        cand, docs, "doc_id", "text", k_shingle=5, threshold=0.1)
+    n_pairs = pairs.count()
+    n_true = pairs.filter(F.col("jaccard") >= 0.5).count()
+    assert out[32]["n_candidates"] == n_pairs
+    assert out[32]["n_true_captured"] == n_true
+    assert out[32]["n_true_missed"] == 0

@@ -171,3 +171,64 @@ def test_chi2_token_select_matches_contingency_reference(spark, catalog):
     ]
     for r, (_, (_, _, chi2)) in zip(got, ranked):
         assert abs(r["chi2"] - chi2) < 1e-6
+
+
+def test_table_profile_matches_pandas(spark, catalog):
+    """Per-column nulls / exact distincts / fill rate must equal a pandas
+    recompute over the raw parquet, and the internal identity
+    fill_permille == (n_rows - n_nulls) * 1000 // n_rows must hold."""
+    import pandas as pd
+
+    out = {r["column_name"]: r
+           for r in catalog["table_profile"].spark(spark, SF).collect()}
+    raw = pd.read_parquet(f"{SF}/orders.parquet")
+    assert set(out) == set(raw.columns)
+    for c, r in out.items():
+        assert r["n_rows"] == len(raw)
+        assert r["n_nulls"] == int(raw[c].isna().sum())
+        assert r["n_distinct"] == int(raw[c].nunique(dropna=True))
+        filled = r["n_rows"] - r["n_nulls"]
+        assert r["fill_permille"] == filled * 1000 // r["n_rows"]
+
+
+def test_label_coherence_matches_numpy(spark, catalog):
+    """Centroid norm and mean member-cosine must match a NumPy replay with
+    the same round-6 -> micro-unit discipline, and every class coherence
+    must beat scoring the same members against a WRONG class's centroid
+    (the value of the statistic: it separates own-class from cross-class)."""
+    import numpy as np
+
+    out = {r["label"]: r
+           for r in catalog["label_coherence"].spark(spark, SF).collect()}
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(int(r["label"]), []).append(
+            np.asarray(r["embedding"], dtype=np.float64))
+    assert set(out) == set(by_label)
+
+    def cos_micro(v, c):
+        nv, nc = np.sqrt(v @ v), np.sqrt(c @ c)
+        raw = 0.0 if nv == 0 or nc == 0 else float(v @ c) / (nv * nc)
+        return int(np.round(np.round(raw, 6) * 1_000_000))
+
+    cents = {lb: np.round(np.stack(vs).mean(axis=0), 6)
+             for lb, vs in by_label.items()}
+    for lb, r in out.items():
+        vs, c = by_label[lb], cents[lb]
+        assert r["n_vecs"] == len(vs)
+        assert r["centroid_norm_micro"] == int(
+            np.round(np.round(np.sqrt(c @ c), 6) * 1_000_000))
+        s = sum(cos_micro(v, c) for v in vs)
+        # engines' integer division truncates toward zero
+        assert r["mean_cos_micro"] == (
+            s // len(vs) if s >= 0 else -((-s) // len(vs)))
+    # own-centroid coherence > mean cosine against any OTHER class centroid
+    labels = sorted(by_label)
+    for lb in labels:
+        for other in labels:
+            if other == lb:
+                continue
+            cross = np.mean([cos_micro(v, cents[other])
+                             for v in by_label[lb]])
+            assert out[lb]["mean_cos_micro"] > cross
