@@ -24,6 +24,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "important_stock_share",
+    "supplier_part_variety",
+    "promotion_stock_suppliers",
+    "late_delivery_suppliers",
+    "embedding_spectrum",
     "table_profile",
     "shard_balance_plan",
     "vocab_divergence",

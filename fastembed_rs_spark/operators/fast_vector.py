@@ -229,3 +229,55 @@ def jl_project_fast(
             )
 
     return src.mapInPandas(gen, schema=schema)
+
+
+def gram_fixed_fast(
+    df: DataFrame, vec_col: str, dim: int, scale: int = 10**8
+) -> DataFrame:
+    """Distributed Gram matrix X^T X in EXACT integer fixed point.
+
+    Every element contribution x_i * x_j is rounded half-away-from-zero
+    to ``1/scale`` units (one correctly-rounded multiply + one round per
+    pair — the same op sequence on any engine), then summed as int64, so
+    the dim x dim result is BIT-EXACT regardless of partitioning or
+    summation order — the catalog's micro-unit discipline applied to a
+    matrix aggregate. NumPy's banker's ``np.round`` is deliberately NOT
+    used (module-head parity contract): half-away is emulated as
+    ``copysign(floor(|p| + 0.5), p)``, which matches SQL round() on every
+    representable half-boundary.
+
+    Emits (i, j, g_fixed) partial rows per Arrow batch — dim^2 rows per
+    batch, constant — which the caller collapses with one tiny groupBy
+    sum. The corpus streams through mapInPandas with no shuffle; driver /
+    downstream state is dim^2 integers, constant in the corpus size.
+    """
+    import numpy as np
+
+    src = df.select(vec_col)
+
+    def gen(batches):
+        import pandas as pd
+
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            for s in range(0, len(X), 256):
+                C = X[s:s + 256]
+                P = C[:, :, None] * C[:, None, :] * float(scale)
+                R = np.copysign(np.floor(np.abs(P) + 0.5), P)
+                acc += R.astype(np.int64).sum(axis=0)
+        if any_rows:
+            ii, jj = np.meshgrid(
+                np.arange(dim), np.arange(dim), indexing="ij"
+            )
+            yield pd.DataFrame({
+                "i": ii.ravel().astype(np.int32),
+                "j": jj.ravel().astype(np.int32),
+                "g_fixed": acc.ravel(),
+            })
+
+    return src.mapInPandas(gen, schema="i int, j int, g_fixed long")

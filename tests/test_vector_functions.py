@@ -156,3 +156,39 @@ def test_jl_kernel_matches_expression_on_malformed_rows(spark):
         for r in jl_project_fast(df, "vec_id", "embedding", 8, 4).collect()
     }
     assert kern == expr
+
+
+def test_gram_kernel_partition_invariant_and_exact(spark):
+    """gram_fixed_fast must be BIT-exact under any partitioning (the whole
+    point of fixed-point-before-summation) and equal a direct per-element
+    half-away-rounded recompute; the matrix must be symmetric."""
+    import numpy as np
+
+    from fastembed_rs_spark.operators.fast_vector import gram_fixed_fast
+
+    rng = np.random.default_rng(7)
+    dim = 6
+    X = np.round(rng.normal(size=(403, dim)), 3)  # odd count -> ragged chunks
+    X[17] = 0.0
+    df = spark.createDataFrame(
+        [(x.tolist(),) for x in X], "embedding array<double>"
+    )
+
+    def collect_gram(d):
+        out = (
+            gram_fixed_fast(d, "embedding", dim)
+            .groupBy("i", "j").agg(F.sum("g_fixed").alias("g"))
+            .collect()
+        )
+        m = np.zeros((dim, dim), dtype=np.int64)
+        for r in out:
+            m[r["i"], r["j"]] = r["g"]
+        return m
+
+    g1 = collect_gram(df.repartition(1))
+    g13 = collect_gram(df.repartition(13))
+    assert (g1 == g13).all()
+    P = X[:, :, None] * X[:, None, :] * 1e8
+    ref = np.copysign(np.floor(np.abs(P) + 0.5), P).astype(np.int64).sum(axis=0)
+    assert (g1 == ref).all()
+    assert (g1 == g1.T).all()

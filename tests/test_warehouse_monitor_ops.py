@@ -232,3 +232,166 @@ def test_label_coherence_matches_numpy(spark, catalog):
             cross = np.mean([cos_micro(v, cents[other])
                              for v in by_label[lb]])
             assert out[lb]["mean_cos_micro"] > cross
+
+
+def _synth_partsupp(spark):
+    """Pure-Python mirror of the deterministic partsupp synthesis."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    pairs = {(r["l_partkey"], r["l_suppkey"])
+             for r in li.select("l_partkey", "l_suppkey").collect()}
+    return {
+        (pk, sk): ((pk * 7 + sk * 3) % 9999 + 1,
+                   (pk * 31 + sk * 17) % 100000 + 100)
+        for pk, sk in pairs
+    }
+
+
+def test_important_stock_share_replays_q11(spark, catalog):
+    """Row set must equal a pure-Python Q11 replay over the synthesized
+    partsupp, every kept part must clear the scale-free 1/10000 filter,
+    and shares must be exact integer per-100k of the regional total."""
+    from fastembed_rs_spark.queries import _Q11_NATIONS
+
+    out = {r["ps_partkey"]: r
+           for r in catalog["important_stock_share"].spark(spark, SF).collect()}
+    ps = _synth_partsupp(spark)
+    nat = {r["n_nationkey"]: r["n_name"]
+           for r in spark.read.parquet(f"{SF}/nation.parquet").collect()}
+    sups = {r["s_suppkey"]
+            for r in spark.read.parquet(f"{SF}/supplier.parquet").collect()
+            if nat[r["s_nationkey"]] in _Q11_NATIONS}
+    val: dict[int, int] = {}
+    for (pk, sk), (qty, cost) in ps.items():
+        if sk in sups:
+            val[pk] = val.get(pk, 0) + qty * cost
+    total = sum(val.values())
+    expect = {pk: v for pk, v in val.items() if v * 10000 > total}
+    assert set(out) == set(expect)
+    for pk, r in out.items():
+        assert r["value_cents"] == expect[pk]
+        assert r["share_per100k"] == expect[pk] * 100000 // total
+
+
+def test_supplier_part_variety_counts_clean_suppliers(spark, catalog):
+    """Counts must equal a Python set replay and suppliers in bad standing
+    must never contribute (re-counting WITH them must weakly increase)."""
+    from fastembed_rs_spark.queries import _Q16_SIZES
+
+    out = {(r["p_brand"], r["p_type"], r["p_size"]): r["supplier_cnt"]
+           for r in catalog["supplier_part_variety"].spark(spark, SF).collect()}
+    ps = _synth_partsupp(spark)
+    part = {r["p_partkey"]: r
+            for r in spark.read.parquet(f"{SF}/part.parquet").collect()}
+    bad = {r["s_suppkey"]
+           for r in spark.read.parquet(f"{SF}/supplier.parquet").collect()
+           if r["s_acctbal"] < 0}
+    clean: dict[tuple, set] = {}
+    dirty: dict[tuple, set] = {}
+    for (pk, sk) in ps:
+        p = part[pk]
+        if (p["p_brand"] == "Brand#1" or p["p_type"] == "PROMO"
+                or p["p_size"] not in _Q16_SIZES):
+            continue
+        key = (p["p_brand"], p["p_type"], p["p_size"])
+        dirty.setdefault(key, set()).add(sk)
+        if sk not in bad:
+            clean.setdefault(key, set()).add(sk)
+    assert out == {k: len(v) for k, v in clean.items()}
+    for k, cnt in out.items():
+        assert cnt <= len(dirty[k])
+    if not bad:  # sf0.001 has no negative-acctbal supplier: clean == dirty
+        assert out == {k: len(v) for k, v in dirty.items()}
+
+
+def test_promotion_stock_suppliers_rule(spark, catalog):
+    """Returned suppliers must be exactly those holding a 'small%' part
+    with availqty > half the (part, supplier) shipped quantity in the
+    window — replayed in Python with the same integer-hundredths rule."""
+    import datetime
+
+    out = {r["s_suppkey"]
+           for r in catalog["promotion_stock_suppliers"].spark(spark, SF).collect()}
+    ps = _synth_partsupp(spark)
+    part = spark.read.parquet(f"{SF}/part.parquet").collect()
+    small = {r["p_partkey"] for r in part if r["p_name"].startswith("small")}
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1998, 1, 1)
+    shipped: dict[tuple, int] = {}
+    for r in li:
+        if lo <= r["l_shipdate"] < hi:
+            k = (r["l_partkey"], r["l_suppkey"])
+            shipped[k] = shipped.get(k, 0) + round(r["l_quantity"] * 100)
+    expect = {sk for (pk, sk), (qty, _) in ps.items()
+              if pk in small and qty * 200 > shipped.get((pk, sk), 0)}
+    assert out == expect
+
+
+def test_late_delivery_suppliers_replays_q21(spark, catalog):
+    """numwait per supplier must equal a pure-Python replay of the Q21
+    logic (finished orders, >=2 suppliers, exactly one late, count the
+    late one) over the synthesized lateness."""
+    out = {r["s_name"]: r["numwait"]
+           for r in catalog["late_delivery_suppliers"].spark(spark, SF).collect()}
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    fstat = {r["o_orderkey"]
+             for r in spark.read.parquet(f"{SF}/orders.parquet").collect()
+             if r["o_orderstatus"] == "F"}
+    sname = {r["s_suppkey"]: r["s_name"]
+             for r in spark.read.parquet(f"{SF}/supplier.parquet").collect()}
+    late: dict[tuple, bool] = {}
+    for r in li:
+        ok, ln = r["l_orderkey"], r["l_linenumber"]
+        if ok not in fstat:
+            continue
+        lateness = (ok * 11 + ln * 7) % 45 - (ok * 13 + ln * 5) % 30
+        k = (ok, r["l_suppkey"])
+        late[k] = late.get(k, False) or lateness > 0
+    by_order: dict[int, list] = {}
+    for (ok, sk), is_late in late.items():
+        by_order.setdefault(ok, []).append((sk, is_late))
+    expect: dict[str, int] = {}
+    for ok, sups in by_order.items():
+        n_late = sum(1 for _, l in sups if l)
+        if len(sups) >= 2 and n_late == 1:
+            sk = next(s for s, l in sups if l)
+            expect[sname[sk]] = expect.get(sname[sk], 0) + 1
+    assert out == expect
+    assert expect, "fixture must produce at least one waiting order"
+
+
+def test_embedding_spectrum_matches_eigensolver(spark, catalog):
+    """The reported estimate must be the EXACT 16-step power-iteration
+    replay on the same fixed-point Gram matrix (bit-level kernel+driver
+    validation), must respect the Rayleigh bounds — never above numpy's
+    true top eigenvalue, and at least the mean eigenvalue trace/dim that
+    any unit vector guarantees — and must strictly improve on the
+    0-iteration estimate ||G v0||; trace exact; share the exact integer
+    permille of the two reported numbers."""
+    import numpy as np
+
+    from fastembed_rs_spark.queries import _SPECTRUM_ITERS
+
+    row = catalog["embedding_spectrum"].spark(spark, SF).collect()[0]
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    n, dim = X.shape
+    assert row["n_vecs"] == n and row["dim"] == dim
+    P = X[:, :, None] * X[:, None, :] * 1e8
+    Gf = np.copysign(np.floor(np.abs(P) + 0.5), P).astype(np.int64).sum(axis=0)
+    assert row["trace_micro"] == int(np.trace(Gf)) // 100
+    G = Gf.astype(np.float64) / 1e8
+    v = np.full(dim, 0.125)
+    first = None
+    for _ in range(_SPECTRUM_ITERS):
+        mv = G @ v
+        nrm = float(np.sqrt((mv * mv).sum()))
+        first = nrm if first is None else first
+        v = mv / nrm
+    assert abs(row["top_eig_micro"] - round(round(nrm, 6) * 1e6)) <= 1
+    top = float(np.linalg.eigvalsh(G)[-1])
+    assert row["top_eig_micro"] <= round(top * 1e6) + 1
+    assert row["top_eig_micro"] >= row["trace_micro"] // dim  # >= mean eig
+    assert nrm >= first  # iterating moved the estimate toward the top
+    assert row["top_share_permille"] == (
+        row["top_eig_micro"] * 1000 // row["trace_micro"])
+    assert 1000 // dim <= row["top_share_permille"] <= 1000
