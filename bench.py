@@ -24,6 +24,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "minimum_cost_supplier",
+    "product_type_profit",
+    "video_frame_plan",
     "important_stock_share",
     "supplier_part_variety",
     "promotion_stock_suppliers",

@@ -10753,6 +10753,225 @@ def q_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "minimum_cost_supplier",
+    f"""
+WITH {_PS_SYNTH_SQL},
+rs AS (
+  SELECT s.s_suppkey, s.s_name, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'
+),
+pp AS (
+  SELECT p_partkey, p_brand FROM part
+  WHERE p_size <= 10 AND p_type = 'STANDARD'
+),
+ranked AS (
+  SELECT pp.p_partkey, pp.p_brand, rs.s_suppkey, rs.s_name, rs.n_name,
+         ps.ps_supplycost_cents,
+         row_number() OVER (PARTITION BY pp.p_partkey
+                            ORDER BY ps.ps_supplycost_cents ASC,
+                                     rs.s_suppkey ASC) AS rnk
+  FROM ps
+  JOIN rs ON ps.ps_suppkey = rs.s_suppkey
+  JOIN pp ON ps.ps_partkey = pp.p_partkey
+)
+SELECT p_partkey, p_brand, s_suppkey, s_name, n_name, ps_supplycost_cents
+FROM ranked WHERE rnk = 1
+""",
+    "TPC-H Q2 shape (minimum-cost supplier) over the synthesized "
+    "partsupp: for every small STANDARD part, the cheapest ASIA "
+    "supplier — Q2's correlated MIN subquery rewritten as one window "
+    "rank over the region-filtered partsupp (ties break on suppkey; "
+    "costs are exact integer cents so the argmin is deterministic on "
+    "both engines). Plan: region x nation x supplier collapses to a "
+    "broadcast chain, the part filter pushes to the scan and "
+    "broadcasts, the window partitions by partkey — the only shuffle "
+    "is partsupp onto its own part key",
+)
+def q_minimum_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp_synth(spark, sf_dir)
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region")
+    part = t(spark, sf_dir, "part")
+    rs = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(
+            F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+            nat.n_regionkey == reg.r_regionkey,
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    pp = part.filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_brand")
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.asc("ps_supplycost_cents"), F.asc("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(rs), ps.ps_suppkey == rs.s_suppkey)
+        .join(F.broadcast(pp), ps.ps_partkey == pp.p_partkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "p_partkey", "p_brand", "s_suppkey", "s_name", "n_name",
+            "ps_supplycost_cents",
+        )
+    )
+
+
+@q(
+    "product_type_profit",
+    f"""
+WITH {_PS_SYNTH_SQL},
+li AS (
+  SELECT l_orderkey, l_partkey, l_suppkey,
+         CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+           AS amount_tenk,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty100
+  FROM lineitem
+),
+red AS (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(li.amount_tenk - ps.ps_supplycost_cents * li.qty100)
+            AS BIGINT) AS profit_tenk
+FROM li
+JOIN red ON li.l_partkey = red.p_partkey
+JOIN ps ON ps.ps_partkey = li.l_partkey AND ps.ps_suppkey = li.l_suppkey
+JOIN supplier s ON li.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON li.l_orderkey = o.o_orderkey
+GROUP BY n.n_name, o_year
+""",
+    "TPC-H Q9 shape (product-type profit measure) over the synthesized "
+    "partsupp: profit on 'red' parts per supplier nation per year — "
+    "revenue minus supply cost, the classic 6-table star join. Money "
+    "never floats across a sum: revenue becomes exact integer "
+    "ten-thousandths PER ROW (the BASELINE r5 discipline), and the cost "
+    "side is integer cents x integer hundredth-quantities — also "
+    "ten-thousandths — so profit is one int64 subtraction per line. "
+    "Plan: part filter and the supplier/nation dims broadcast; the two "
+    "real shuffles are lineitem->orders on orderkey and lineitem-> "
+    "partsupp on (part, supp) — exactly the two fact-fact joins Q9 "
+    "cannot avoid at any scale",
+)
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _partsupp_synth(spark, sf_dir)
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 10000) "
+            "AS BIGINT)"
+        ).alias("amount_tenk"),
+        F.expr("CAST(round(l_quantity * 100) AS BIGINT)").alias("qty100"),
+    )
+    red = t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey")
+    sup = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .join(
+            ps,
+            (ps.ps_partkey == li.l_partkey)
+            & (ps.ps_suppkey == li.l_suppkey),
+        )
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "n_name", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(
+            F.sum(
+                F.col("amount_tenk")
+                - F.col("ps_supplycost_cents") * F.col("qty100")
+            ).cast("long").alias("profit_tenk")
+        )
+    )
+
+
+_FRAME_SLOTS = 8
+_FPS_MILLI = (23976, 24000, 25000, 30000)
+
+
+@q(
+    "video_frame_plan",
+    f"""
+WITH meta AS (
+  SELECT doc_id,
+         CAST((doc_id * 37) % 600000 + 1000 AS BIGINT) AS duration_ms,
+         CAST(CASE doc_id % 4 WHEN 0 THEN {_FPS_MILLI[0]}
+                              WHEN 1 THEN {_FPS_MILLI[1]}
+                              WHEN 2 THEN {_FPS_MILLI[2]}
+                              ELSE {_FPS_MILLI[3]} END AS BIGINT)
+           AS fps_milli
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, duration_ms, fps_milli,
+         CAST(duration_ms * fps_milli // 1000000 AS BIGINT) AS n_frames
+  FROM meta
+)
+SELECT f.doc_id, CAST(s.slot AS BIGINT) AS slot, f.n_frames,
+       CAST(s.slot * (f.n_frames - 1) // {_FRAME_SLOTS - 1} AS BIGINT)
+         AS frame_idx,
+       CAST((s.slot * (f.n_frames - 1) // {_FRAME_SLOTS - 1}) * 1000000
+            // f.fps_milli AS BIGINT) AS ts_ms
+FROM frames f
+CROSS JOIN (SELECT unnest(generate_series(0, {_FRAME_SLOTS - 1})) AS slot) s
+""",
+    f"uniform video frame-sampling plan: for every asset, the "
+    f"{_FRAME_SLOTS} frame indices and millisecond timestamps a "
+    "multimodal ingest would decode — slot i maps to frame "
+    "i*(n_frames-1)//(k-1), the endpoints-inclusive uniform grid, with "
+    "frame counts derived from duration x fps entirely in integer "
+    "milli-units (fps 23.976 stays exact as 23976 milli-fps; no float "
+    "timebase math, the thing that actually desyncs frame pipelines). "
+    "Video metadata is synthesized deterministically from doc_id — the "
+    "container has no codecs (README: environment limitation), so the "
+    "decode stage is the stub layer while the PLAN (the Spark-side "
+    "contract a decode UDF consumes: per-slot rows, integer "
+    "frame/timestamp targets) is real and oracle-checked. Per-row "
+    "integer math x a constant 8-slot grid: embarrassingly parallel, "
+    "no shuffle at all",
+)
+def q_video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    fps = "CASE doc_id % 4 " + " ".join(
+        f"WHEN {i} THEN {v}" for i, v in enumerate(_FPS_MILLI[:3])
+    ) + f" ELSE {_FPS_MILLI[3]} END"
+    frames = docs.select(
+        "doc_id",
+        F.expr("CAST((doc_id * 37) % 600000 + 1000 AS BIGINT)")
+        .alias("duration_ms"),
+        F.expr(f"CAST({fps} AS BIGINT)").alias("fps_milli"),
+    ).withColumn(
+        "n_frames",
+        F.expr("CAST(duration_ms * fps_milli div 1000000 AS BIGINT)"),
+    )
+    return frames.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_FRAME_SLOTS - 1)))
+        .alias("slot"),
+        "n_frames", "fps_milli",
+    ).select(
+        "doc_id", F.col("slot").cast("long").alias("slot"), "n_frames",
+        F.expr(
+            f"CAST(slot * (n_frames - 1) div {_FRAME_SLOTS - 1} AS BIGINT)"
+        ).alias("frame_idx"),
+        F.expr(
+            f"CAST((slot * (n_frames - 1) div {_FRAME_SLOTS - 1}) * 1000000 "
+            "div fps_milli AS BIGINT)"
+        ).alias("ts_ms"),
+    )
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import (
         duck_cms,
@@ -10804,6 +11023,9 @@ _fill_sketch_oracles()
 # list below is the round-4 snapshot, kept ONLY as the fallback when no
 # driver artifacts are readable (fresh clone without history).
 _DRIVER_PRIORITY: list[str] = [
+    "minimum_cost_supplier",
+    "product_type_profit",
+    "video_frame_plan",
     "important_stock_share",
     "supplier_part_variety",
     "promotion_stock_suppliers",

@@ -395,3 +395,89 @@ def test_embedding_spectrum_matches_eigensolver(spark, catalog):
     assert row["top_share_permille"] == (
         row["top_eig_micro"] * 1000 // row["trace_micro"])
     assert 1000 // dim <= row["top_share_permille"] <= 1000
+
+
+def test_minimum_cost_supplier_is_the_regional_argmin(spark, catalog):
+    """Each returned row must be the true cost-argmin over the ASIA
+    suppliers of that part (ties to the lowest suppkey), replayed in
+    pure Python, and parts with no ASIA supplier must be absent."""
+    out = {r["p_partkey"]: r
+           for r in catalog["minimum_cost_supplier"].spark(spark, SF).collect()}
+    ps = _synth_partsupp(spark)
+    nat = {r["n_nationkey"]: r
+           for r in spark.read.parquet(f"{SF}/nation.parquet").collect()}
+    asia = {r["r_regionkey"]
+            for r in spark.read.parquet(f"{SF}/region.parquet").collect()
+            if r["r_name"] == "ASIA"}
+    sups = {r["s_suppkey"]: nat[r["s_nationkey"]]["n_name"]
+            for r in spark.read.parquet(f"{SF}/supplier.parquet").collect()
+            if nat[r["s_nationkey"]]["n_regionkey"] in asia}
+    parts = {r["p_partkey"]: r["p_brand"]
+             for r in spark.read.parquet(f"{SF}/part.parquet").collect()
+             if r["p_size"] <= 10 and r["p_type"] == "STANDARD"}
+    best: dict[int, tuple] = {}
+    for (pk, sk), (_, cost) in ps.items():
+        if pk in parts and sk in sups:
+            cand = (cost, sk)
+            if pk not in best or cand < best[pk]:
+                best[pk] = cand
+    assert set(out) == set(best)
+    for pk, r in out.items():
+        cost, sk = best[pk]
+        assert (r["ps_supplycost_cents"], r["s_suppkey"]) == (cost, sk)
+        assert r["s_name"] is not None and r["n_name"] == sups[sk]
+        assert r["p_brand"] == parts[pk]
+
+
+def test_product_type_profit_replays_q9(spark, catalog):
+    """profit per (nation, year) must equal a pure-Python replay with the
+    same per-row integer ten-thousandths discipline — and the integer
+    identity must hold exactly: revenue_tenk - cost_tenk, never a float."""
+    out = {(r["n_name"], r["o_year"]): r["profit_tenk"]
+           for r in catalog["product_type_profit"].spark(spark, SF).collect()}
+    ps = _synth_partsupp(spark)
+    nat = {r["n_nationkey"]: r["n_name"]
+           for r in spark.read.parquet(f"{SF}/nation.parquet").collect()}
+    snat = {r["s_suppkey"]: nat[r["s_nationkey"]]
+            for r in spark.read.parquet(f"{SF}/supplier.parquet").collect()}
+    red = {r["p_partkey"]
+           for r in spark.read.parquet(f"{SF}/part.parquet").collect()
+           if "red" in r["p_name"]}
+    oyear = {r["o_orderkey"]: r["o_orderdate"].year
+             for r in spark.read.parquet(f"{SF}/orders.parquet").collect()}
+    expect: dict[tuple, int] = {}
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        if r["l_partkey"] not in red:
+            continue
+        amount = round(r["l_extendedprice"] * (1 - r["l_discount"]) * 10000)
+        qty100 = round(r["l_quantity"] * 100)
+        cost = ps[(r["l_partkey"], r["l_suppkey"])][1] * qty100
+        key = (snat[r["l_suppkey"]], oyear[r["l_orderkey"]])
+        expect[key] = expect.get(key, 0) + amount - cost
+    assert out == expect
+
+
+def test_video_frame_plan_grid_properties(spark, catalog):
+    """Every asset gets exactly 8 slots; the frame grid is endpoints-
+    inclusive (slot 0 -> frame 0, slot 7 -> n_frames-1), non-decreasing,
+    in range, and timestamps replay the exact integer milli-fps math."""
+    rows = catalog["video_frame_plan"].spark(spark, SF).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(by_doc) == n_docs
+    fps_tab = (23976, 24000, 25000, 30000)
+    for doc_id, rs in by_doc.items():
+        assert sorted(r["slot"] for r in rs) == list(range(8))
+        dur = (doc_id * 37) % 600000 + 1000
+        fps = fps_tab[doc_id % 4]
+        nf = dur * fps // 1000000
+        idxs = [r["frame_idx"] for r in sorted(rs, key=lambda r: r["slot"])]
+        assert rs[0]["n_frames"] == nf
+        assert idxs[0] == 0 and idxs[-1] == nf - 1
+        assert all(a <= b for a, b in zip(idxs, idxs[1:]))
+        for r in rs:
+            assert r["frame_idx"] == r["slot"] * (nf - 1) // 7
+            assert r["ts_ms"] == r["frame_idx"] * 1000000 // fps
+            assert 0 <= r["ts_ms"] <= dur
