@@ -24,6 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "shipmode_priority",
     "minimum_cost_supplier",
     "product_type_profit",
     "video_frame_plan",

@@ -10972,6 +10972,69 @@ def q_video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHIPMODES = ("AIR", "MAIL", "RAIL", "SHIP", "TRUCK")
+
+
+@q(
+    "shipmode_priority",
+    f"""
+WITH l AS (
+  SELECT l_orderkey,
+         CASE (l_orderkey * 3 + l_linenumber) % 5
+           {' '.join(f"WHEN {i} THEN '{m}'" for i, m in enumerate(_SHIPMODES[:4]))}
+           ELSE '{_SHIPMODES[4]}' END AS l_shipmode,
+         CAST((l_orderkey * 11 + l_linenumber * 7) % 45 AS BIGINT)
+         - CAST((l_orderkey * 13 + l_linenumber * 5) % 30 AS BIGINT)
+           AS lateness
+  FROM lineitem
+)
+SELECT l.l_shipmode,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.lateness > 0
+GROUP BY l.l_shipmode
+""",
+    "TPC-H Q12 shape (shipping modes and order priority): among LATE "
+    "lines, how many belonged to urgent/high-priority orders per ship "
+    "mode — the did-cheap-shipping-hurt-critical-orders audit. Ship mode "
+    "and lateness are synthesized deterministically from (orderkey, "
+    "linenumber) — the same lateness function late_delivery_suppliers "
+    "uses, so the two queries describe one consistent synthetic world; "
+    "o_orderpriority is real testdata. With Q2/Q9/Q11/Q16/Q20/Q21 this "
+    "retires the last TPC-H shape the round-6 verdict listed as "
+    "data-limited. Plan: one orderkey equi-join, conditional aggregates "
+    "map-side combine into 5 groups",
+)
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    mode = "CASE (l_orderkey * 3 + l_linenumber) % 5 " + " ".join(
+        f"WHEN {i} THEN '{m}'" for i, m in enumerate(_SHIPMODES[:4])
+    ) + f" ELSE '{_SHIPMODES[4]}' END"
+    l = li.select(
+        "l_orderkey",
+        F.expr(mode).alias("l_shipmode"),
+        (
+            F.expr("CAST((l_orderkey * 11 + l_linenumber * 7) % 45 AS BIGINT)")
+            - F.expr("CAST((l_orderkey * 13 + l_linenumber * 5) % 30 AS BIGINT)")
+        ).alias("lateness"),
+    ).filter(F.col("lateness") > 0)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(orders, l.l_orderkey == orders.o_orderkey)
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
 def _fill_sketch_oracles() -> None:
     from fastembed_rs_spark.operators.sketch import (
         duck_cms,
@@ -11023,6 +11086,7 @@ _fill_sketch_oracles()
 # list below is the round-4 snapshot, kept ONLY as the fallback when no
 # driver artifacts are readable (fresh clone without history).
 _DRIVER_PRIORITY: list[str] = [
+    "shipmode_priority",
     "minimum_cost_supplier",
     "product_type_profit",
     "video_frame_plan",

@@ -481,3 +481,28 @@ def test_video_frame_plan_grid_properties(spark, catalog):
             assert r["frame_idx"] == r["slot"] * (nf - 1) // 7
             assert r["ts_ms"] == r["frame_idx"] * 1000000 // fps
             assert 0 <= r["ts_ms"] <= dur
+
+
+def test_shipmode_priority_replays_q12(spark, catalog):
+    """High/low line counts per mode must equal a pure-Python replay over
+    the synthesized (mode, lateness) world, every lineitem row classified
+    exactly once as high or low, and the lateness function must match the
+    one late_delivery_suppliers uses (one consistent synthetic world)."""
+    out = {r["l_shipmode"]: (r["high_line_count"], r["low_line_count"])
+           for r in catalog["shipmode_priority"].spark(spark, SF).collect()}
+    pri = {r["o_orderkey"]: r["o_orderpriority"]
+           for r in spark.read.parquet(f"{SF}/orders.parquet").collect()}
+    modes = ("AIR", "MAIL", "RAIL", "SHIP", "TRUCK")
+    expect: dict[str, list] = {}
+    n_late = 0
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        ok, ln = r["l_orderkey"], r["l_linenumber"]
+        if (ok * 11 + ln * 7) % 45 - (ok * 13 + ln * 5) % 30 <= 0:
+            continue
+        n_late += 1
+        m = modes[(ok * 3 + ln) % 5]
+        hi = pri[ok] in ("1-URGENT", "2-HIGH")
+        e = expect.setdefault(m, [0, 0])
+        e[0 if hi else 1] += 1
+    assert out == {m: tuple(v) for m, v in expect.items()}
+    assert sum(h + l for h, l in out.values()) == n_late
