@@ -10217,7 +10217,8 @@ def q_simhash_hamming_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = pj.groupBy("ham").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("is_true").cast("long").alias("n_true"),
-    )
+    ).localCheckpoint()  # <=33 rows; feeds BOTH the totals aggregate and
+    # the grid join — without this the whole pair pipeline executes twice
     grid = spark.range(33).select(F.col("id").cast("long").alias("h"))
     tt = hist.agg(
         F.coalesce(F.sum("n_true"), F.lit(0)).cast("long").alias("total_true")

@@ -58,8 +58,6 @@ PYTHON_OK = {
                                  # over the corpus by design
     "minhash_band_curve",  # measured pairs come from the minhash/verify
                            # kernels; the S-curve math itself is JVM integer
-    "simhash_hamming_curve",  # same measured-pair source as the band curve;
-                              # the Hamming histogram/prefix sums are JVM
     "embedding_bucket_drift",  # kernel assign pass over the corpus
     "cross_source_contamination",  # containment postings join scores
                                    # through the same kernel as
