@@ -10292,10 +10292,8 @@ FROM agg a JOIN cnorm cn ON a.label = cn.label
     "order-dependent float sum",
 )
 def q_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastembed_rs_spark.functions.vector import (
-        cosine_similarity_fixed,
-        l2_norm_fixed,
-    )
+    from fastembed_rs_spark.functions.vector import l2_norm_fixed
+    from fastembed_rs_spark.operators.fast_vector import pairwise_cosine_fast
 
     emb = t(spark, sf_dir, "embeddings")
     dims = emb.select(
@@ -10311,23 +10309,30 @@ def q_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("dim", "cx"))),
             lambda s: s["cx"],
         ).alias("cv")
-    )
+    ).localCheckpoint()  # labels x dim — constant; feeds cnorm, the
+    # member-scoring join AND the final join, else the posexplode
+    # centroid pipeline executes three times
     cnorm = cvec.select(
         "label",
         F.round(F.round(l2_norm_fixed("cv", EMB_DIM), 6) * 1000000)
         .cast("long").alias("centroid_norm_micro"),
     )
-    scored = (
-        emb.select(F.col("label").cast("long").alias("label"), "embedding")
-        .join(F.broadcast(cvec), "label")
-        .select(
-            "label",
-            (F.round(
-                F.round(
-                    cosine_similarity_fixed("embedding", "cv", EMB_DIM), 6
-                ) * 1000000
-            )).cast("long").alias("cm"),
-        )
+    # member scoring goes through the NumPy cosine kernel (exact left-fold
+    # order, bit-identical to the expression path): the centroid set is
+    # labels x dim — constant, the same bound that makes it broadcastable —
+    # and the 64-dim unrolled cosine expression tree was codegen-hostile
+    # (~2s of fixed plan cost, the training_triples finding)
+    targets = [(int(r["label"]), list(r["cv"])) for r in cvec.collect()]
+    scored = pairwise_cosine_fast(
+        emb.select(
+            F.col("label").cast("long").alias("label"),
+            F.col("embedding").cast("array<double>").alias("__v"),
+        ),
+        "label", "__v", targets,
+        target_id_name="__tid", score_name="__raw",
+    ).filter(F.col("__tid") == F.col("label")).select(
+        "label",
+        F.round(F.round("__raw", 6) * 1000000).cast("long").alias("cm"),
     )
     agg = scored.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),

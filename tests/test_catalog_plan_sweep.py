@@ -58,6 +58,8 @@ PYTHON_OK = {
                                  # over the corpus by design
     "minhash_band_curve",  # measured pairs come from the minhash/verify
                            # kernels; the S-curve math itself is JVM integer
+    "label_coherence",  # member-vs-centroid scoring through the NumPy
+                        # cosine kernel (constant labels x dim target set)
     "embedding_bucket_drift",  # kernel assign pass over the corpus
     "cross_source_contamination",  # containment postings join scores
                                    # through the same kernel as
