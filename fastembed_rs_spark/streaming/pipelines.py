@@ -513,3 +513,95 @@ def index_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_profile_registers(
+    stream_df: DataFrame,
+    cols: list[str],
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    p: int = 9,
+) -> DataFrame:
+    """Streaming data-quality profile: per tumbling window and column,
+    mergeable registers for row count, null count and distinct estimate —
+    the streaming sibling of the ``table_profile`` catalog query, built
+    the way its docstring prescribes for 100 TB: exact distincts become
+    HLL registers, everything else is a sum.
+
+    Each input row melts into one register row per profiled column:
+    ``bucket = -1`` carries the null population (rho 0), non-null values
+    hash through the canonical rolling hash into HLL (bucket, rho). ONE
+    streaming aggregation keyed (window, column, bucket) then maintains
+    ``rho = max`` and ``cnt = count`` — the same max/sum merges a register
+    store does, so state is at most ``cols x (2^p + 1)`` rows per open
+    window regardless of event volume, evicted at the watermark. Finalize
+    with ``profile_finalize`` (batch-stream equivalence pinned by test);
+    registers are bit-identical to the batch ``hll_sketch`` over the same
+    rows, so estimates match exactly.
+    """
+    from fastembed_rs_spark.functions.text import token_hash
+    from fastembed_rs_spark.operators.sketch import hll_bucket_cols
+
+    stack_args = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    melted = stream_df.select(
+        F.col(ts_col),
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (column_name, __v)"
+        ),
+    )
+    hashed = melted.withColumn("__h", token_hash(F.col("__v")))
+    bucket, rho = hll_bucket_cols("__h", p)
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .select(
+            F.col(ts_col), "column_name",
+            F.when(F.col("__v").isNull(), F.lit(-1)).otherwise(bucket)
+            .alias("bucket"),
+            F.when(F.col("__v").isNull(), F.lit(0)).otherwise(rho)
+            .alias("rho"),
+        )
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            F.col("column_name"), F.col("bucket"),
+        )
+        .agg(
+            F.max("rho").alias("rho"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+    )
+
+
+def profile_finalize(regs: DataFrame, p: int = 9) -> DataFrame:
+    """Collapse profile registers to the per-(window, column) health row:
+    n_rows, n_nulls, fill_permille (exact integer counts) and the HLL
+    distinct estimate over the non-null population. Pure batch math over
+    register-sized input — run it on the streamed register table or on
+    registers persisted by a ``foreachBatch`` store."""
+    from fastembed_rs_spark.operators.sketch import hll_finalize
+
+    counts = regs.groupBy("w", "column_name").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("bucket") == -1, F.col("cnt")).otherwise(0))
+        .cast("long").alias("n_nulls"),
+    )
+    # both sides derive from ``regs`` — alias the estimate's keys to fresh
+    # names so the left join doesn't trip Spark's conflicting-reference
+    # check on a self-derived join
+    est = hll_finalize(
+        regs.filter(F.col("bucket") >= 0).select("w", "column_name", "bucket", "rho"),
+        keys=["w", "column_name"], p=p,
+    ).select(
+        F.col("w").alias("__ew"), F.col("column_name").alias("__ec"),
+        "hll_est",
+    )
+    return counts.join(
+        est,
+        (counts["w"] == est["__ew"]) & (counts["column_name"] == est["__ec"]),
+        "left",
+    ).select(
+        counts["w"], counts["column_name"], "n_rows", "n_nulls",
+        F.expr("CAST((n_rows - n_nulls) * 1000 div n_rows AS BIGINT)")
+        .alias("fill_permille"),
+        F.coalesce(F.col("hll_est"), F.lit(0.0)).alias("distinct_est"),
+    )

@@ -687,3 +687,75 @@ def test_index_ingest_stream_appends_and_dedupes(spark, stream_dir):
     )
     top = query_ivf_index(spark, idx, probe, k=1, nprobe=2).collect()
     assert top and top[0]["vec_id"] == 470
+
+
+def test_windowed_profile_stream_matches_batch(spark, stream_dir):
+    """Streamed per-window column-profile registers, finalized, must give
+    EXACT row/null counts and the bit-identical HLL distinct estimate of a
+    batch recompute window-by-window — the streaming table_profile."""
+    import datetime
+    import random
+
+    from fastembed_rs_spark.functions.text import token_hash
+    from fastembed_rs_spark.operators.sketch import hll_sketch
+    from fastembed_rs_spark.streaming.pipelines import (
+        profile_finalize,
+        windowed_profile_registers,
+    )
+
+    rng = random.Random(13)
+    base = 1704067200  # 2024-01-01 00:00 UTC
+    rows = [
+        (
+            i,
+            None if rng.random() < 0.15 else rng.randrange(300),
+            None if rng.random() < 0.05 else f"t{rng.randrange(7)}",
+            base + rng.randrange(3 * 3600),
+        )
+        for i in range(2500)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, etype string, ts_s long"
+    ).select(
+        "event_id", "user_id", "etype",
+        F.to_timestamp(F.col("ts_s").cast("timestamp")).alias("ts"),
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(stream_dir + "/prof")
+
+    src = spark.readStream.schema(df.schema).parquet(stream_dir + "/prof")
+    regs = windowed_profile_registers(
+        src, cols=["event_id", "user_id", "etype"], window="1 hour", p=9
+    )
+    q = (
+        regs.writeStream.format("memory").queryName("prof_regs")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    out = {
+        (r["w"], r["column_name"]): r
+        for r in profile_finalize(
+            spark.sql(
+                "select w.start as w, column_name, bucket, rho, cnt"
+                " from prof_regs"
+            ),
+            p=9,
+        ).collect()
+    }
+    assert {c for _, c in out} == {"event_id", "user_id", "etype"}
+    assert len(out) == 9  # 3 windows x 3 columns
+    for (w_start, col), r in out.items():
+        w_end = w_start + datetime.timedelta(hours=1)
+        win = df.filter((F.col("ts") >= w_start) & (F.col("ts") < w_end))
+        n = win.count()
+        n_null = win.filter(F.col(col).isNull()).count()
+        assert r["n_rows"] == n
+        assert r["n_nulls"] == n_null
+        assert r["fill_permille"] == (n - n_null) * 1000 // n
+        expected = hll_sketch(
+            win.filter(F.col(col).isNotNull()).select(
+                token_hash(F.col(col).cast("string")).alias("__h")
+            ),
+            "__h", p=9,
+        ).collect()[0]["hll_est"]
+        assert r["distinct_est"] == expected, (w_start, col)
