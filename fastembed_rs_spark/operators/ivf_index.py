@@ -221,3 +221,93 @@ def append_ivf_index(
         ),
     )
     return n_new
+
+
+def audit_ivf_index(
+    spark: SparkSession,
+    path: str,
+    check_duplicate_ids: bool = False,
+    assignment_sample_mod: int = 0,
+) -> DataFrame:
+    """Integrity audit of a persisted index: one report row per check,
+    ``(check, ok, expected, actual)`` — the pre-flight you run after a
+    crash, a partial append, or before promoting an index to serving
+    (the read-side complement of the crash-safe manifest protocol: the
+    manifest can self-heal its COUNT, but only an audit proves the data
+    under it is coherent).
+
+    Always-on checks are metadata-cheap: manifest count vs the corpus
+    parquet footers, centroid row count vs ``k``, centroid/corpus vector
+    dims vs the manifest dim (one min/max aggregate per table), and
+    bucket ids within ``[0, k)``. Opt-in checks scan more:
+    ``check_duplicate_ids`` is a one-column groupBy over the corpus;
+    ``assignment_sample_mod = m`` re-assigns the deterministic sample
+    ``id % m == 0`` against the stored centroids and counts rows whose
+    stored ``centroid_id`` disagrees — the check that catches a corpus
+    written against one generation of centroids and a ``centroids/``
+    directory later overwritten by another (the one corruption the
+    manifest cannot see, and the one that silently destroys recall).
+    Sampling keeps it O(corpus/m); pass 1 to re-verify everything.
+    """
+    manifest = _read_manifest(spark, path)
+    id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    k, dim = int(manifest["k"]), int(manifest["dim"])
+    corpus = spark.read.parquet(f"{path}/corpus")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    rows: list[tuple] = []
+
+    n_actual = corpus.count()
+    rows.append((
+        "manifest_n_vectors", n_actual == int(manifest["n_vectors"]),
+        str(int(manifest["n_vectors"])), str(n_actual),
+    ))
+    n_cent = centroids.count()
+    rows.append(("centroid_count", n_cent == k, str(k), str(n_cent)))
+    cd = centroids.agg(
+        F.min(F.size("centroid_vec")).alias("mn"),
+        F.max(F.size("centroid_vec")).alias("mx"),
+    ).first()
+    rows.append((
+        "centroid_dim", cd["mn"] == dim and cd["mx"] == dim,
+        str(dim), f"{cd['mn']}..{cd['mx']}",
+    ))
+    vd = corpus.agg(
+        F.min(F.size(vec_col)).alias("mn"),
+        F.max(F.size(vec_col)).alias("mx"),
+    ).first()
+    rows.append((
+        "corpus_vec_dim", vd["mn"] == dim and vd["mx"] == dim,
+        str(dim), f"{vd['mn']}..{vd['mx']}",
+    ))
+    n_oob = corpus.filter(
+        (F.col("centroid_id") < 0) | (F.col("centroid_id") >= k)
+    ).count()
+    rows.append(("bucket_ids_in_range", n_oob == 0, "0", str(n_oob)))
+    if check_duplicate_ids:
+        n_dup = (
+            corpus.groupBy(id_col).count().filter(F.col("count") > 1).count()
+        )
+        rows.append(("duplicate_ids", n_dup == 0, "0", str(n_dup)))
+    if assignment_sample_mod:
+        # wrong-dim rows are already flagged by corpus_vec_dim and would
+        # poison the kernel batch (ragged np.stack) — audit the rest
+        sample = corpus.filter(
+            (F.col(id_col) % assignment_sample_mod == 0)
+            & (F.size(vec_col) == dim)
+        ).select(id_col, vec_col, F.col("centroid_id").alias("__stored"))
+        re = assign_ivf_buckets_fast(
+            sample.select(id_col, vec_col), centroids,
+            id_col=id_col, vec_col=vec_col,
+        ).select(id_col, F.col("centroid_id").alias("__fresh"))
+        n_bad = (
+            sample.join(re, id_col)
+            .filter(F.col("__stored") != F.col("__fresh"))
+            .count()
+        )
+        rows.append((
+            f"assignment_sample_mod_{assignment_sample_mod}",
+            n_bad == 0, "0", str(n_bad),
+        ))
+    return spark.createDataFrame(
+        rows, "check string, ok boolean, expected string, actual string"
+    )

@@ -209,3 +209,79 @@ def test_append_manifest_self_heals_and_recovers(spark):
         assert os.path.isdir(os.path.join(d, "manifest"))
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_audit_passes_on_healthy_index(spark, index_path):
+    from fastembed_rs_spark.operators.ivf_index import audit_ivf_index
+
+    rep = {r["check"]: r for r in audit_ivf_index(
+        spark, index_path, check_duplicate_ids=True,
+        assignment_sample_mod=1,
+    ).collect()}
+    assert {"manifest_n_vectors", "centroid_count", "centroid_dim",
+            "corpus_vec_dim", "bucket_ids_in_range", "duplicate_ids",
+            "assignment_sample_mod_1"} == set(rep)
+    bad = [c for c, r in rep.items() if not r["ok"]]
+    assert not bad, bad
+
+
+def test_audit_flags_each_corruption(spark):
+    """Build a fresh index, then corrupt it three independent ways and
+    assert the matching check (and ONLY reasonable ones) goes red:
+    out-of-band rows desync the manifest count; a wrong-dim vector trips
+    the dim check; a row filed under the wrong bucket trips the sampled
+    re-assignment check (the stale-centroids corruption the manifest
+    cannot see)."""
+    import shutil
+    import tempfile
+
+    from fastembed_rs_spark.operators.ivf_index import (
+        audit_ivf_index,
+        build_ivf_index,
+    )
+
+    d = tempfile.mkdtemp(prefix="ivf_audit_")
+    try:
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        build_ivf_index(emb, d, k=8, iters=2)
+        base = {r["check"]: r["ok"] for r in audit_ivf_index(
+            spark, d, assignment_sample_mod=1).collect()}
+        assert all(base.values()), base
+
+        # out-of-band append into a bucket dir, bypassing the manifest:
+        # a wrong-dim vector filed under a bucket it does not belong to
+        far = spark.read.parquet(f"{d}/corpus").filter(
+            F.col("centroid_id") == 0).limit(1).drop("centroid_id")
+        (
+            far.withColumn(
+                "embedding", F.expr("slice(embedding, 1, 32)")
+            ).withColumn("vec_id", F.lit(990001).cast(far.schema["vec_id"].dataType))
+            .withColumn("centroid_id", F.lit(7))
+            .write.mode("append").partitionBy("centroid_id")
+            .parquet(f"{d}/corpus")
+        )
+        rep = {r["check"]: r for r in audit_ivf_index(
+            spark, d, check_duplicate_ids=True,
+            assignment_sample_mod=1,
+        ).collect()}
+        assert not rep["manifest_n_vectors"]["ok"]   # count desync
+        assert not rep["corpus_vec_dim"]["ok"]       # 32 != 64
+        assert rep["duplicate_ids"]["ok"]            # fresh id: no dup
+        assert rep["bucket_ids_in_range"]["ok"]      # 7 is a legal bucket
+
+        # a full-dim copy of a bucket-0 row filed under bucket 7 with a
+        # duplicated id: caught by re-assignment AND the dup check
+        (
+            far.withColumn("centroid_id", F.lit(7))
+            .write.mode("append").partitionBy("centroid_id")
+            .parquet(f"{d}/corpus")
+        )
+        rep2 = {r["check"]: r for r in audit_ivf_index(
+            spark, d, check_duplicate_ids=True,
+            assignment_sample_mod=1,
+        ).collect()}
+        assert not rep2["duplicate_ids"]["ok"]
+        assert not rep2["assignment_sample_mod_1"]["ok"]
+        assert int(rep2["assignment_sample_mod_1"]["actual"]) >= 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
