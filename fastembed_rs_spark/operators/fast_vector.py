@@ -264,7 +264,29 @@ def gram_fixed_fast(
             if not len(pdf):
                 continue
             any_rows = True
-            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            rows = pdf[vec_col].to_numpy()
+            try:
+                X = np.stack(rows).astype(np.float64)
+                if X.ndim != 2:
+                    raise ValueError("ragged")
+                X = X[:, :dim]
+                if X.shape[1] < dim:
+                    X = np.pad(X, ((0, 0), (0, dim - X.shape[1])))
+            except (ValueError, TypeError):
+                # malformed rows (null vectors, null elements, ragged
+                # dims): zero-pad/truncate like jl_project_fast — a
+                # contribution of 0 to every gram cell, instead of
+                # aborting the whole audit/aggregate
+                X = np.zeros((len(rows), dim), dtype=np.float64)
+                for r, v in enumerate(rows):
+                    if v is None:
+                        continue
+                    a = np.asarray(
+                        [0.0 if x is None else x for x in v[:dim]],
+                        dtype=np.float64,
+                    )
+                    X[r, : len(a)] = a
+            X = np.nan_to_num(X, nan=0.0)
             for s in range(0, len(X), 256):
                 C = X[s:s + 256]
                 P = C[:, :, None] * C[:, None, :] * float(scale)

@@ -192,3 +192,40 @@ def test_gram_kernel_partition_invariant_and_exact(spark):
     ref = np.copysign(np.floor(np.abs(P) + 0.5), P).astype(np.int64).sum(axis=0)
     assert (g1 == ref).all()
     assert (g1 == g1.T).all()
+
+
+def test_gram_kernel_tolerates_malformed_rows(spark):
+    """Null vectors, null elements, short and long rows must contribute
+    zeros (pad/truncate) instead of aborting the aggregate — the same
+    tolerance contract jl_project_fast has (ADVICE r5)."""
+    import numpy as np
+
+    from fastembed_rs_spark.operators.fast_vector import gram_fixed_fast
+
+    dim = 4
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0]),
+        (1, [1.0, 2.0]),                   # short -> zero-padded
+        (2, [1.0, None, 3.0, None]),       # null elements -> 0.0
+        (3, None),                         # null vector -> zeros
+        (4, [1.0, 1.0, 1.0, 1.0, 9.0]),    # long -> truncated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = (
+        gram_fixed_fast(df, "embedding", dim)
+        .groupBy("i", "j").agg(F.sum("g_fixed").alias("g"))
+        .collect()
+    )
+    got = np.zeros((dim, dim), dtype=np.int64)
+    for r in out:
+        got[r["i"], r["j"]] = r["g"]
+    clean = np.array([
+        [1.0, 2.0, 3.0, 4.0],
+        [1.0, 2.0, 0.0, 0.0],
+        [1.0, 0.0, 3.0, 0.0],
+        [0.0, 0.0, 0.0, 0.0],
+        [1.0, 1.0, 1.0, 1.0],
+    ])
+    P = clean[:, :, None] * clean[:, None, :] * 1e8
+    ref = np.copysign(np.floor(np.abs(P) + 0.5), P).astype(np.int64).sum(axis=0)
+    assert (got == ref).all()
