@@ -291,8 +291,10 @@ def audit_ivf_index(
     if assignment_sample_mod:
         # wrong-dim rows are already flagged by corpus_vec_dim and would
         # poison the kernel batch (ragged np.stack) — audit the rest
+        # hash-based deterministic sample (works for string ids too, and a
+        # sequential id range can't align with the bucket that wrote it)
         sample = corpus.filter(
-            (F.col(id_col) % assignment_sample_mod == 0)
+            (F.abs(F.hash(F.col(id_col))) % assignment_sample_mod == 0)
             & (F.size(vec_col) == dim)
         ).select(id_col, vec_col, F.col("centroid_id").alias("__stored"))
         re = assign_ivf_buckets_fast(
