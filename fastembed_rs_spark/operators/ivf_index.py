@@ -274,11 +274,17 @@ def audit_ivf_index(
     vd = corpus.agg(
         F.min(F.size(vec_col)).alias("mn"),
         F.max(F.size(vec_col)).alias("mx"),
+        F.sum(F.col(vec_col).isNull().cast("long")).alias("nnull"),
     ).first()
     rows.append((
         "corpus_vec_dim", vd["mn"] == dim and vd["mx"] == dim,
         str(dim), f"{vd['mn']}..{vd['mx']}",
     ))
+    # NULL vectors are invisible to the min/max dim check (size(NULL) is
+    # NULL and aggregates skip it) and are excluded from the re-assign
+    # sample — they need their own check or a nulled column audits green
+    n_null = int(vd["nnull"] or 0)
+    rows.append(("null_vectors", n_null == 0, "0", str(n_null)))
     n_oob = corpus.filter(
         (F.col("centroid_id") < 0) | (F.col("centroid_id") >= k)
     ).count()

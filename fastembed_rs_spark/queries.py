@@ -10058,8 +10058,8 @@ terms AS (
                     * ln(CAST(sc.c AS DOUBLE) / CAST(st.n AS DOUBLE))
                     * 1000000000) AS BIGINT) AS h_nano,
          CAST(round((CAST(sc.c AS DOUBLE) / CAST(st.n AS DOUBLE))
-                    * ln(CAST(sc.c * tot.nn AS DOUBLE)
-                         / CAST(st.n * lm.ct AS DOUBLE))
+                    * ln((CAST(sc.c AS DOUBLE) * CAST(tot.nn AS DOUBLE))
+                         / (CAST(st.n AS DOUBLE) * CAST(lm.ct AS DOUBLE)))
                     * 1000000000) AS BIGINT) AS kl_nano
   FROM sc JOIN st USING (source) JOIN lm USING (token) CROSS JOIN tot
 )
@@ -10077,7 +10077,7 @@ GROUP BY st.source, st.n, st.vocab
     "weight', complementing source_overlap_matrix's set overlap with "
     "distribution shape). Every summand is one division and one ln on "
     "identical integer inputs converted to exact NANO-units before the "
-    "sum (the psi_drift discipline), so the per-source totals are never "
+    "sum (the psi_drift discipline) and the KL ratio multiplies in DOUBLE (c*N as int64 would overflow at 100 TB token counts), so the per-source totals are never "
     "order-dependent float sums; KL needs no smoothing because every "
     "source token is in the corpus by construction. Scale shape: one "
     "(source, token) count aggregation (map-side combinable), then all "
@@ -10108,8 +10108,9 @@ def q_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CAST(round({p} * ln({p}) * 1000000000) AS BIGINT)"
             ).alias("h_nano"),
             F.expr(
-                f"CAST(round({p} * ln(CAST(c * nn AS DOUBLE) "
-                "/ CAST(n * ct AS DOUBLE)) * 1000000000) AS BIGINT)"
+                f"CAST(round({p} * ln((CAST(c AS DOUBLE) * CAST(nn AS DOUBLE)) "
+                "/ (CAST(n AS DOUBLE) * CAST(ct AS DOUBLE))) * 1000000000) "
+                "AS BIGINT)"
             ).alias("kl_nano"),
         )
     )
@@ -10245,12 +10246,16 @@ def q_simhash_hamming_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH dims AS (
   SELECT CAST(e.label AS BIGINT) AS label, d.i - 1 AS dim,
-         CAST(e.embedding[d.i] AS DOUBLE) AS x
+         CAST(round(CAST(e.embedding[d.i] AS DOUBLE) * 100000000)
+              AS BIGINT) AS xf
   FROM embeddings e
   CROSS JOIN (SELECT unnest(generate_series(1, {EMB_DIM})) AS i) d
+  WHERE d.i <= len(e.embedding)
 ),
 cent AS (
-  SELECT label, dim, round(sum(x) / count(*), 6) AS cx
+  SELECT label, dim,
+         round((CAST(CAST(sum(xf) AS BIGINT) AS DOUBLE) / 100000000)
+               / count(*), 6) AS cx
   FROM dims GROUP BY label, dim
 ),
 cvec AS (
@@ -10288,21 +10293,32 @@ FROM agg a JOIN cnorm cn ON a.label = cn.label
     "centroid is one posexplode + map-side-combinable (label, dim) "
     "mean, centroids are a labels x dim table broadcast back for one "
     "member-scoring scan; cosines round to 6 then exact integer "
-    "micro-units so the per-label mean is integer division, never an "
-    "order-dependent float sum",
+    "micro-units so the per-label mean is integer division, and "
+    "centroid coordinates sum 1e-8 fixed-point integers per element "
+    "before the one double division — NO aggregate here is an "
+    "order-dependent float sum, at any partitioning",
 )
 def q_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastembed_rs_spark.functions.vector import l2_norm_fixed
-    from fastembed_rs_spark.operators.fast_vector import pairwise_cosine_fast
+    from fastembed_rs_spark.operators.fast_vector import rowpair_cosine_fast
 
     emb = t(spark, sf_dir, "embeddings")
     dims = emb.select(
         F.col("label").cast("long").alias("label"),
         F.posexplode(F.col("embedding").cast("array<double>"))
         .alias("dim", "x"),
-    )
+    ).filter(F.col("dim") < EMB_DIM)
+    # element values become 1e-8 fixed-point integers BEFORE summation, so
+    # the centroid is bit-exact under any partitioning (the gram-kernel
+    # discipline); the only float ops are one division pair on identical
+    # integer inputs
     cent = dims.groupBy("label", "dim").agg(
-        F.round(F.sum("x") / F.count(F.lit(1)), 6).alias("cx")
+        F.round(
+            (F.sum(F.expr("CAST(round(x * 100000000) AS BIGINT)"))
+             .cast("long").cast("double") / F.lit(100000000))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("cx")
     )
     cvec = cent.groupBy("label").agg(
         F.transform(
@@ -10317,20 +10333,19 @@ def q_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.round(l2_norm_fixed("cv", EMB_DIM), 6) * 1000000)
         .cast("long").alias("centroid_norm_micro"),
     )
-    # member scoring goes through the NumPy cosine kernel (exact left-fold
-    # order, bit-identical to the expression path): the centroid set is
-    # labels x dim — constant, the same bound that makes it broadcastable —
-    # and the 64-dim unrolled cosine expression tree was codegen-hostile
-    # (~2s of fixed plan cost, the training_triples finding)
-    targets = [(int(r["label"]), list(r["cv"])) for r in cvec.collect()]
-    scored = pairwise_cosine_fast(
-        emb.select(
-            F.col("label").cast("long").alias("label"),
-            F.col("embedding").cast("array<double>").alias("__v"),
-        ),
-        "label", "__v", targets,
-        target_id_name="__tid", score_name="__raw",
-    ).filter(F.col("__tid") == F.col("label")).select(
+    # member scoring goes through the row-pair NumPy cosine kernel (exact
+    # left-fold order, bit-identical to the expression path): each member
+    # joins its OWN label's centroid via the broadcast labels x dim table
+    # and scores exactly one cosine — no L-fold waste scoring against
+    # other labels' centroids, and no 64-dim unrolled expression tree
+    # (codegen-hostile fixed plan cost, the training_triples finding)
+    mem = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("embedding").cast("array<double>").alias("__v"),
+    ).join(F.broadcast(cvec), "label")
+    scored = rowpair_cosine_fast(
+        mem, "__v", "cv", keep=["label"], score_name="__raw"
+    ).select(
         "label",
         F.round(F.round("__raw", 6) * 1000000).cast("long").alias("cm"),
     )
@@ -10374,6 +10389,21 @@ def _partsupp_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST((l_partkey * 31 + l_suppkey * 17) % 100000 + 100 AS BIGINT)"
         ).alias("ps_supplycost_cents"),
+    )
+
+
+#: synthesized per-line lateness (receipt delay minus commit delay), the
+#: ONE function shared by late_delivery_suppliers and shipmode_priority so
+#: the two queries describe a single consistent synthetic world — edit it
+#: here or nowhere (SQL text + Spark expr kept adjacent like _PS_SYNTH_SQL)
+_LATENESS_SQL = """CAST((l_orderkey * 11 + l_linenumber * 7) % 45 AS BIGINT)
+         - CAST((l_orderkey * 13 + l_linenumber * 5) % 30 AS BIGINT)"""
+
+
+def _lateness_col():
+    return (
+        F.expr("CAST((l_orderkey * 11 + l_linenumber * 7) % 45 AS BIGINT)")
+        - F.expr("CAST((l_orderkey * 13 + l_linenumber * 5) % 30 AS BIGINT)")
     )
 
 
@@ -10581,11 +10611,10 @@ def q_promotion_stock_suppliers(
 
 @q(
     "late_delivery_suppliers",
-    """
+    f"""
 WITH l AS (
   SELECT l_orderkey, l_suppkey,
-         CAST((l_orderkey * 11 + l_linenumber * 7) % 45 AS BIGINT)
-         - CAST((l_orderkey * 13 + l_linenumber * 5) % 30 AS BIGINT)
+         {_LATENESS_SQL}
            AS lateness
   FROM lineitem
 ),
@@ -10629,10 +10658,7 @@ def q_late_delivery_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = (
         li.select(
             "l_orderkey", "l_suppkey",
-            (
-                F.expr("CAST((l_orderkey * 11 + l_linenumber * 7) % 45 AS BIGINT)")
-                - F.expr("CAST((l_orderkey * 13 + l_linenumber * 5) % 30 AS BIGINT)")
-            ).alias("lateness"),
+            _lateness_col().alias("lateness"),
         )
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
@@ -10742,6 +10768,9 @@ def q_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_SPECTRUM_ITERS):
         mv = G @ v
         nrm = float(np.sqrt((mv * mv).sum()))
+        if not np.isfinite(nrm) or nrm <= 0.0:
+            nrm = 0.0  # degenerate spectrum (empty / all-zero corpus):
+            break      # report a zero row instead of splicing nan as SQL
         v = mv / nrm
     # final rounding happens through Spark expressions so the half-up /
     # fixed-point semantics are the engine's own, not Python's
@@ -10755,7 +10784,10 @@ def q_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top_eig_micro"),
     ).withColumn(
         "top_share_permille",
-        F.expr("CAST(top_eig_micro * 1000 div trace_micro AS BIGINT)"),
+        F.expr(
+            "CAST(CASE WHEN trace_micro = 0 THEN 0 "
+            "ELSE top_eig_micro * 1000 div trace_micro END AS BIGINT)"
+        ),
     )
 
 
@@ -10989,8 +11021,7 @@ WITH l AS (
          CASE (l_orderkey * 3 + l_linenumber) % 5
            {' '.join(f"WHEN {i} THEN '{m}'" for i, m in enumerate(_SHIPMODES[:4]))}
            ELSE '{_SHIPMODES[4]}' END AS l_shipmode,
-         CAST((l_orderkey * 11 + l_linenumber * 7) % 45 AS BIGINT)
-         - CAST((l_orderkey * 13 + l_linenumber * 5) % 30 AS BIGINT)
+         {_LATENESS_SQL}
            AS lateness
   FROM lineitem
 )
@@ -11023,10 +11054,7 @@ def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = li.select(
         "l_orderkey",
         F.expr(mode).alias("l_shipmode"),
-        (
-            F.expr("CAST((l_orderkey * 11 + l_linenumber * 7) % 45 AS BIGINT)")
-            - F.expr("CAST((l_orderkey * 13 + l_linenumber * 5) % 30 AS BIGINT)")
-        ).alias("lateness"),
+        _lateness_col().alias("lateness"),
     ).filter(F.col("lateness") > 0)
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (

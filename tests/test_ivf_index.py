@@ -219,8 +219,8 @@ def test_audit_passes_on_healthy_index(spark, index_path):
         assignment_sample_mod=1,
     ).collect()}
     assert {"manifest_n_vectors", "centroid_count", "centroid_dim",
-            "corpus_vec_dim", "bucket_ids_in_range", "duplicate_ids",
-            "assignment_sample_mod_1"} == set(rep)
+            "corpus_vec_dim", "null_vectors", "bucket_ids_in_range",
+            "duplicate_ids", "assignment_sample_mod_1"} == set(rep)
     bad = [c for c, r in rep.items() if not r["ok"]]
     assert not bad, bad
 
@@ -283,5 +283,19 @@ def test_audit_flags_each_corruption(spark):
         assert not rep2["duplicate_ids"]["ok"]
         assert not rep2["assignment_sample_mod_1"]["ok"]
         assert int(rep2["assignment_sample_mod_1"]["actual"]) >= 1
+
+        # a NULL embedding row: invisible to every dim/assignment check,
+        # must trip the dedicated null_vectors check
+        (
+            far.withColumn("embedding", F.lit(None).cast(far.schema["embedding"].dataType))
+            .withColumn("vec_id", F.lit(990002).cast(far.schema["vec_id"].dataType))
+            .withColumn("centroid_id", F.lit(3))
+            .write.mode("append").partitionBy("centroid_id")
+            .parquet(f"{d}/corpus")
+        )
+        rep3 = {r["check"]: r for r in audit_ivf_index(
+            spark, d, assignment_sample_mod=1).collect()}
+        assert not rep3["null_vectors"]["ok"]
+        assert int(rep3["null_vectors"]["actual"]) == 1
     finally:
         shutil.rmtree(d, ignore_errors=True)

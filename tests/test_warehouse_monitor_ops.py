@@ -212,8 +212,14 @@ def test_label_coherence_matches_numpy(spark, catalog):
         raw = 0.0 if nv == 0 or nc == 0 else float(v @ c) / (nv * nc)
         return int(np.round(np.round(raw, 6) * 1_000_000))
 
-    cents = {lb: np.round(np.stack(vs).mean(axis=0), 6)
-             for lb, vs in by_label.items()}
+    def fixed_centroid(vs):
+        # mirror the query: 1e-8 fixed-point per element BEFORE summation,
+        # then one double division pair, then round 6
+        X = np.stack(vs)
+        sf = np.copysign(np.floor(np.abs(X * 1e8) + 0.5), X).astype(np.int64)
+        return np.round((sf.sum(axis=0).astype(np.float64) / 1e8) / len(vs), 6)
+
+    cents = {lb: fixed_centroid(vs) for lb, vs in by_label.items()}
     for lb, r in out.items():
         vs, c = by_label[lb], cents[lb]
         assert r["n_vecs"] == len(vs)
