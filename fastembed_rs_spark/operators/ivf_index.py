@@ -285,8 +285,13 @@ def audit_ivf_index(
     # sample — they need their own check or a nulled column audits green
     n_null = int(vd["nnull"] or 0)
     rows.append(("null_vectors", n_null == 0, "0", str(n_null)))
+    # a NULL centroid_id is invisible to the range predicate ((NULL < 0)
+    # is NULL, filter drops it) — the same blind-spot class null_vectors
+    # closes for the vector column, so include isNull explicitly
     n_oob = corpus.filter(
-        (F.col("centroid_id") < 0) | (F.col("centroid_id") >= k)
+        F.col("centroid_id").isNull()
+        | (F.col("centroid_id") < 0)
+        | (F.col("centroid_id") >= k)
     ).count()
     rows.append(("bucket_ids_in_range", n_oob == 0, "0", str(n_oob)))
     if check_duplicate_ids:
@@ -307,9 +312,11 @@ def audit_ivf_index(
             sample.select(id_col, vec_col), centroids,
             id_col=id_col, vec_col=vec_col,
         ).select(id_col, F.col("centroid_id").alias("__fresh"))
+        # null-safe inequality: a NULL __stored must count as a mismatch,
+        # not silently drop out of the filter
         n_bad = (
             sample.join(re, id_col)
-            .filter(F.col("__stored") != F.col("__fresh"))
+            .filter(~F.col("__stored").eqNullSafe(F.col("__fresh")))
             .count()
         )
         rows.append((

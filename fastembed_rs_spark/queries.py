@@ -9901,7 +9901,9 @@ _PROFILE_COLS = (
 SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
        CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
-       CAST(count({c}) * 1000 // count(*) AS BIGINT) AS fill_permille
+       CAST(CASE WHEN count(*) = 0 THEN 0
+            ELSE count({c}) * 1000 // count(*) END AS BIGINT)
+         AS fill_permille
 FROM orders""" for c in _PROFILE_COLS
     ),
     "Deequ-style data-profiling pass over the orders table: per column, "
@@ -9924,9 +9926,12 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.count(c).cast("long").alias(f"__f_{c}"))
         aggs.append(F.countDistinct(c).cast("long").alias(f"__d_{c}"))
     one = orders.agg(*aggs)
+    # empty-table guard: Spark's div yields NULL on a zero denominator
+    # where DuckDB's // raises — both sides report an exact 0 instead
     stack_args = ", ".join(
         f"'{c}', __n, __n - __f_{c}, __d_{c}, "
-        f"CAST(__f_{c} * 1000 div __n AS BIGINT)"
+        f"CAST(CASE WHEN __n = 0 THEN 0 "
+        f"ELSE __f_{c} * 1000 div __n END AS BIGINT)"
         for c in _PROFILE_COLS
     )
     return one.select(
@@ -9965,8 +9970,9 @@ per AS (
 ),
 tot AS (SELECT CAST(sum(tk) AS BIGINT) AS total_tokens FROM dt)
 SELECT per.shard, per.n_docs, per.shard_tokens,
-       CAST(per.shard_tokens * {_N_SHARDS} * 1000 // tot.total_tokens
-            AS BIGINT) AS load_permille_of_ideal
+       CAST(CASE WHEN tot.total_tokens = 0 THEN 0
+            ELSE per.shard_tokens * {_N_SHARDS} * 1000 // tot.total_tokens
+            END AS BIGINT) AS load_permille_of_ideal
 FROM per CROSS JOIN tot
 """,
     f"training-shard placement plan: assign every document to one of "
@@ -10030,11 +10036,14 @@ def q_shard_balance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = dt.agg(F.sum("tk").cast("long").alias("total_tokens"))
+    # all-zero-token guard, mirroring the oracle: Spark div NULLs on a
+    # zero denominator where DuckDB // raises — both report 0
     return per.crossJoin(F.broadcast(tot)).select(
         "shard", "n_docs", "shard_tokens",
         F.expr(
-            f"CAST(shard_tokens * {_N_SHARDS} * 1000 div total_tokens "
-            "AS BIGINT)"
+            f"CAST(CASE WHEN total_tokens = 0 THEN 0 "
+            f"ELSE shard_tokens * {_N_SHARDS} * 1000 div total_tokens "
+            "END AS BIGINT)"
         ).alias("load_permille_of_ideal"),
     )
 
@@ -10709,18 +10718,26 @@ v0 AS (SELECT unnest(generate_series(0, {dim - 1})) AS j, 0.125 AS val)"""]
 m{r} AS MATERIALIZED (
   SELECT g.i AS j, sum(g.g * {prev}.val) AS mv
   FROM g JOIN {prev} ON g.j = {prev}.j GROUP BY g.i),
-n{r} AS (SELECT sqrt(sum(mv * mv)) AS nrm FROM m{r}),
-v{r} AS (SELECT j, mv / nrm AS val FROM m{r} CROSS JOIN n{r})""")
+n{r} AS (SELECT COALESCE(sqrt(sum(mv * mv)), 0) AS nrm FROM m{r}),
+v{r} AS (SELECT j, CASE WHEN nrm = 0 THEN 0 ELSE mv / nrm END AS val
+         FROM m{r} CROSS JOIN n{r})""")
         prev = f"v{r}"
+    # degenerate-spectrum guards mirror the Spark side (empty / all-zero
+    # corpus): empty aggregates COALESCE to 0 instead of NULL, mv/0 never
+    # propagates NaN through the power-iteration CTEs, and the share
+    # divide is CASE-guarded (DuckDB // raises on a zero divisor where
+    # Spark div yields NULL — both replaced by an exact zero row)
     parts.append(f""",
-tr AS (SELECT CAST(sum(g_fixed) // 100 AS BIGINT) AS trace_micro
+tr AS (SELECT CAST(COALESCE(sum(g_fixed), 0) // 100 AS BIGINT)
+         AS trace_micro
        FROM gram WHERE i = j),
 nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings),
-eig AS (SELECT CAST(round(round(nrm, 6) * 1000000) AS BIGINT)
+eig AS (SELECT CAST(round(round(COALESCE(nrm, 0), 6) * 1000000) AS BIGINT)
           AS top_eig_micro FROM n{iters})
 SELECT nv.n_vecs, CAST({dim} AS BIGINT) AS dim, tr.trace_micro,
        eig.top_eig_micro,
-       CAST(eig.top_eig_micro * 1000 // tr.trace_micro AS BIGINT)
+       CAST(CASE WHEN tr.trace_micro = 0 THEN 0
+            ELSE eig.top_eig_micro * 1000 // tr.trace_micro END AS BIGINT)
          AS top_share_permille
 FROM nv CROSS JOIN tr CROSS JOIN eig""")
     return "".join(parts)
@@ -11310,18 +11327,9 @@ def _last_driver_round() -> dict[str, int]:
 #: CORRECTNESS round — sorted ahead of even never-seen queries so the
 #: driver's ~50-row window re-verifies them THIS round. Refresh per round.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "margin_mining",       # r7: distributed trained-IVF overfetch candidates
-    "cluster_medoids",     # r7: trained centroids (constant driver state)
-    "reciprocal_nn",       # r7: per_node_top_k=3 bounded edge generator
-    "label_propagation_bounded",  # r7: NEW — capped-edge LP variant
-    "ann_rq_adc_topk",     # r7: constant-size codebooks via id_bound
-    "ann_ivf_topk",        # r7: id-bounded (constant) coarse centroids
-    "ann_pq_adc_topk",     # r7: id-bounded (constant) PQ codebooks
-    "ann_ivf_pq_topk",     # r7: id-bounded centroids + codebooks
-    "ann_ivf_trained",     # r7: train rewrite + vestigial checkpoint drop
-    "stratified_split",    # r7: shared split_80_10_10 builder (both sides)
-    "split_leakage_report",  # r7: shared split builder
-    "label_propagation",   # r7: shared _lp_audit body
+    "embedding_spectrum",  # r8: oracle degenerate-spectrum guards
+    "table_profile",       # r8: fill_permille zero-denominator guard
+    "shard_balance_plan",  # r8: load_permille zero-denominator guard
 )
 
 

@@ -543,7 +543,15 @@ def windowed_profile_registers(
     from fastembed_rs_spark.functions.text import token_hash
     from fastembed_rs_spark.operators.sketch import hll_bucket_cols
 
-    stack_args = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    # backtick-quote the column reference (escaping embedded backticks):
+    # user column names with spaces/hyphens/reserved words must melt, not
+    # misparse inside the stack() SQL expression
+    stack_args = ", ".join(
+        "'{label}', CAST(`{ref}` AS STRING)".format(
+            label=c.replace("'", "\\'"), ref=c.replace("`", "``")
+        )
+        for c in cols
+    )
     melted = stream_df.select(
         F.col(ts_col),
         F.expr(

@@ -297,5 +297,19 @@ def test_audit_flags_each_corruption(spark):
             spark, d, assignment_sample_mod=1).collect()}
         assert not rep3["null_vectors"]["ok"]
         assert int(rep3["null_vectors"]["actual"]) == 1
+
+        # a NULL centroid_id row (hive default partition): (NULL < 0) is
+        # NULL so a plain range predicate drops it — must still trip
+        # bucket_ids_in_range via the explicit isNull arm
+        (
+            far.withColumn("vec_id", F.lit(990003).cast(far.schema["vec_id"].dataType))
+            .withColumn("centroid_id", F.lit(None).cast("int"))
+            .write.mode("append").partitionBy("centroid_id")
+            .parquet(f"{d}/corpus")
+        )
+        rep4 = {r["check"]: r for r in audit_ivf_index(
+            spark, d, assignment_sample_mod=1).collect()}
+        assert not rep4["bucket_ids_in_range"]["ok"]
+        assert int(rep4["bucket_ids_in_range"]["actual"]) >= 1
     finally:
         shutil.rmtree(d, ignore_errors=True)
