@@ -65,12 +65,36 @@ def main() -> int:
     # host-speed calibration: rounds run on whatever VM they get, and hosts
     # have differed by >1.5x — print the ratio so per-query ratios are read
     # relative to it (only available when both artifacts carry `calib`)
-    co = full_obj(old_path).get("calib")
-    cn = full_obj(new_path).get("calib")
-    if co and cn and co.get("single_core_loop_s") and cn.get("single_core_loop_s"):
+    co = full_obj(old_path).get("calib") or {}
+    cn = full_obj(new_path).get("calib") or {}
+    if co.get("single_core_loop_s") and cn.get("single_core_loop_s"):
         r = cn["single_core_loop_s"] / co["single_core_loop_s"]
         print(f"host calibration: new/old single-core = {r:.2f}x "
               f"({co.get('cpu','?')} -> {cn.get('cpu','?')})")
+
+    # MULTICORE calibration: the single-core loop (and the one-thread
+    # matmul) sat at their floors through three rounds of noisy-neighbor
+    # throttling while the whole 32-thread query set shifted ~1.2x — they
+    # cannot see CPU steal that leaves one core untouched. mt_matmul_s is
+    # bench.py's 32-thread probe of the same resource a local[32] stage
+    # competes for; per-query ratios are NORMALIZED by its ratio and each
+    # flag is labeled code vs host. Clamped to [0.5, 4]: a wild probe value
+    # means the probe itself got descheduled, and an unbounded normalizer
+    # would silently absolve (or invent) arbitrary regressions.
+    host_mc = 1.0
+    mc_known = bool(co.get("mt_matmul_s") and cn.get("mt_matmul_s"))
+    if mc_known:
+        host_mc = cn["mt_matmul_s"] / co["mt_matmul_s"]
+        host_mc = min(4.0, max(0.5, host_mc))
+        bw = ""
+        if co.get("mt_membw_s") and cn.get("mt_membw_s"):
+            bw = (f", 32-thread membw = "
+                  f"{cn['mt_membw_s'] / co['mt_membw_s']:.2f}x")
+        print(f"host calibration: new/old 32-thread matmul = {host_mc:.2f}x"
+              f"{bw} — per-query ratios normalized by {host_mc:.2f}")
+    else:
+        print("host calibration: no mt_matmul_s in one/both artifacts "
+              "(pre-r8 bench) — raw ratios, host-vs-code NOT adjudicable")
 
     # testdata fingerprint: a regeneration between runs (the cause of r4's
     # phantom simhash 3x "regression") makes per-query ratios meaningless
@@ -90,22 +114,35 @@ def main() -> int:
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
     regressions = []
+    host_flags = []
     for q in shared:
         o, n = old[q], new[q]
         r = n / o if o > 0 else float("inf")
+        # host-normalized view: what the new time WOULD be at the old
+        # host's effective 32-thread speed
+        n_adj = n / host_mc
+        r_adj = n_adj / o if o > 0 else float("inf")
         flag = ""
-        if r > ratio and (n - o) > 0.3:
-            flag = "  <-- REGRESSION"
+        if r_adj > ratio and (n_adj - o) > 0.3:
+            flag = "  <-- REGRESSION (code)"
             regressions.append(q)
-        elif r < 1 / ratio and (o - n) > 0.3:
+        elif r > ratio and (n - o) > 0.3:
+            # raw flag that the multicore normalization absorbs
+            flag = "  <-- host (throttle-adjusted {:.2f}x)".format(r_adj)
+            host_flags.append(q)
+        elif r_adj < 1 / ratio and (o - n_adj) > 0.3:
             flag = "  (improved)"
         if flag:
             print(f"{q}: {o:.2f}s -> {n:.2f}s ({r:.2f}x){flag}")
     so, sn = sum(old[q] for q in shared), sum(new[q] for q in shared)
     if shared and so > 0:
-        print(f"shared {len(shared)} queries: {so:.1f}s -> {sn:.1f}s ({sn/so:.2f}x)")
+        adj = f", host-adjusted {sn / host_mc / so:.2f}x" if mc_known else ""
+        print(f"shared {len(shared)} queries: {so:.1f}s -> {sn:.1f}s "
+              f"({sn/so:.2f}x{adj})")
     else:
         print(f"shared {len(shared)} queries (no comparable total)")
+    if host_flags:
+        print(f"host-attributed ({len(host_flags)}): {', '.join(host_flags)}")
     if added:
         print(f"added ({len(added)}): " + ", ".join(f"{q}={new[q]:.2f}s" for q in added))
     if removed:
