@@ -157,6 +157,74 @@ def test_salted_join_shuffles_on_key_and_salt(spark):
     assert any("__rep" in p for p in parts)  # replicated side likewise
 
 
+def test_salted_join_spreads_hot_key_over_buckets(spark):
+    """The measured claim behind salted_join (VERDICT r7 #7): on the skew
+    shape skew_report flags — one key owning half the fact table — the
+    plain shuffle join lands the hot key's entire output in ONE task
+    (hashpartitioning(k) puts every hot row in the same partition: the
+    straggler that serializes a 1000-executor cluster), while salted_join
+    spreads it across ~salt_buckets partitions. Asserted on the actual
+    per-partition row distribution of each join's output, with identical
+    join results. AQE + broadcast are disabled for the probe: AQE's skew
+    split handles MODERATE skew; salted_join is the recipe for extreme
+    skew where a split still leaves a hot shuffle-read."""
+    from fastembed_rs_spark.operators.scale import salted_join
+
+    saved = {}
+    for c in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.enabled",
+    ):
+        saved[c] = spark.conf.get(c, None)
+        spark.conf.set(
+            c, "-1" if "Threshold" in c else "false"
+        )
+    try:
+        n, hot_share, buckets = 200_000, 0.5, 32
+        # 50% of rows on key 0, the rest uniform over 1..1999
+        big = spark.range(n).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.col("id") % 1999 + 1).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        small = spark.range(2000).select(
+            F.col("id").alias("sk"), (F.col("id") * 7).alias("dim_val")
+        )
+
+        def max_partition_rows(joined):
+            dist = (
+                joined.withColumn("__pid", F.spark_partition_id())
+                .groupBy("__pid").count().collect()
+            )
+            return max(r["count"] for r in dist)
+
+        plain = big.join(small, big.k == small.sk)
+        salted = salted_join(big, small, "k", "sk", salt_buckets=buckets)
+
+        plain_max = max_partition_rows(plain)
+        salted_max = max_partition_rows(salted)
+        # plain: the hot key's ~n/2 rows sit in one partition
+        assert plain_max >= n * hot_share
+        # salted: the hot key spreads over `buckets` salt groups, but the
+        # PHYSICAL partition count is 32 and several salt values co-hash
+        # into one partition (birthday effect), so the observable bound is
+        # a conservative 3x shrink, not the ideal `buckets`x — the ideal
+        # shows at scale where shuffle partitions >> salt_buckets
+        assert salted_max <= plain_max / 3, (plain_max, salted_max)
+        # value-neutral: identical result set
+        assert plain.count() == salted.count() == n
+        s1 = plain.agg(F.sum(F.col("payload") * F.col("dim_val"))).first()[0]
+        s2 = salted.agg(F.sum(F.col("payload") * F.col("dim_val"))).first()[0]
+        assert s1 == s2
+    finally:
+        for c, v in saved.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
+
+
 def test_pack_by_length_identical_on_testdata(spark):
     """VERDICT r4 #6: the catalog's packed variant (embed_text_stub_packed)
     must produce bit-identical embeddings to the unpacked path on the real

@@ -759,3 +759,84 @@ def test_windowed_profile_stream_matches_batch(spark, stream_dir):
             "__h", p=9,
         ).collect()[0]["hll_est"]
         assert r["distinct_est"] == expected, (w_start, col)
+
+
+def test_windowed_profile_stream_restart_exactly_once(spark, stream_dir):
+    """Crash-recovery for the streaming profiler: run on a first file with a
+    checkpoint, STOP, land a second file, restart against the SAME
+    checkpoint — the final registers must equal a batch recompute over the
+    union. A restart that re-delivered file 1 would double n_rows/n_nulls
+    (count registers, unlike HLL max-merges, are NOT idempotent under
+    replay — this is the property the checkpointed state store provides and
+    the one a parity-only test cannot see)."""
+    import random
+
+    from fastembed_rs_spark.streaming.pipelines import (
+        profile_finalize,
+        windowed_profile_registers,
+    )
+
+    rng = random.Random(29)
+    base = 1704067200  # 2024-01-01 00:00 UTC
+    schema = "event_id long, user_id long, ts_s long"
+
+    def mk(n0, n1):
+        return [
+            (i, None if rng.random() < 0.2 else rng.randrange(50),
+             base + rng.randrange(2 * 3600))
+            for i in range(n0, n1)
+        ]
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, schema)
+            .select(
+                "event_id", "user_id",
+                F.to_timestamp(F.col("ts_s").cast("timestamp")).alias("ts"),
+            )
+            .coalesce(1).write.mode("append").parquet(stream_dir + "/src")
+        )
+
+    rows1, rows2 = mk(0, 800), mk(800, 1300)
+    write(rows1)
+    ckpt = stream_dir + "/ckpt"
+    read_schema = "event_id long, user_id long, ts timestamp"
+
+    def run(qname):
+        src = spark.readStream.schema(read_schema).parquet(stream_dir + "/src")
+        regs = windowed_profile_registers(
+            src, cols=["event_id", "user_id"], window="1 hour", p=9
+        )
+        q = (
+            regs.writeStream.format("memory").queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run("prof_rt1")
+    write(rows2)
+    run("prof_rt2")  # restart: file 1 must come from STATE, not re-read
+
+    got = {
+        (r["w"], r["column_name"]): r
+        for r in profile_finalize(
+            spark.sql(
+                "select w.start as w, column_name, bucket, rho, cnt"
+                " from prof_rt2"
+            ),
+            p=9,
+        ).collect()
+    }
+    both = spark.read.parquet(stream_dir + "/src")
+    assert sum(r["n_rows"] for (w, c), r in got.items() if c == "event_id") \
+        == both.count() == 1300
+    for (w_start, col), r in got.items():
+        import datetime
+
+        w_end = w_start + datetime.timedelta(hours=1)
+        win = both.filter((F.col("ts") >= w_start) & (F.col("ts") < w_end))
+        assert r["n_rows"] == win.count(), (w_start, col)
+        assert r["n_nulls"] == win.filter(F.col(col).isNull()).count()

@@ -320,9 +320,33 @@ def main() -> int:
         "scalar-int8 full-scan row (0.93+ here) is the fallback: same",
         "broadcast-join shape, 4x less I/O than f32, no bucket pruning.",
     ]
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "ANN_RECALL.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    md_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "ANN_RECALL.md",
+    )
+    if sf_dir.rstrip("/").endswith("sf0.1"):
+        # canonical run: rewrite the whole ladder
+        with open(md_path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+    else:
+        # scale-fixture run (e.g. .localdata/sf1): append a labeled section
+        # with the SAME configs so recall at 10x data reads side-by-side;
+        # replace any previous section with the same header on re-run
+        label = os.path.basename(sf_dir.rstrip("/"))
+        header = f"## {label}: same configs at {n_corpus} vectors"
+        section = [
+            "", header, "",
+            f"Corpus: `{sf_dir}/embeddings.parquet` ({n_corpus} vectors, "
+            f"dim 64); {N_QUERIES} queries; exact baseline {t_exact:.2f}s.",
+            "",
+            "| method | recall@10 | wall s |",
+            "|---|---|---|",
+        ] + [f"| {name} | {rec:.3f} | {sec:.2f} |" for name, rec, sec in rows]
+        existing = open(md_path).read() if os.path.exists(md_path) else ""
+        if header in existing:
+            existing = existing[: existing.index(header)].rstrip("\n") + "\n"
+        with open(md_path, "w") as f:
+            f.write(existing.rstrip("\n") + "\n" + "\n".join(section) + "\n")
     print("\n".join(lines))
     spark.stop()
     return 0
