@@ -42,7 +42,7 @@ def main() -> int:
 
     n_keys = 100_000
     big = spark.range(n).select(
-        F.when((F.col("id") * 100) % n < n * hot_pct, F.lit(0))
+        F.when(F.col("id") % 100 < hot_pct, F.lit(0))
         .otherwise(F.col("id") % (n_keys - 1) + 1).alias("k"),
         F.col("id").alias("payload"),
     ).localCheckpoint()
@@ -55,7 +55,9 @@ def main() -> int:
     def run(df, label):
         t0 = time.time()
         cnt = df.select(
-            F.sum(F.xxhash64("payload", "attr")).alias("chk"),
+            # xor-fold checksum: order-independent and overflow-free
+            # (ANSI mode makes sum() of xxhash64 values a long-overflow)
+            F.expr("bit_xor(xxhash64(payload, attr))").alias("chk"),
             F.count(F.lit(1)).alias("n"),
         ).collect()[0]
         sec = time.time() - t0
