@@ -228,6 +228,50 @@ def test_asof_stream_single_batch_matches_batch_operator(spark, stream_dir):
     assert len(got) == sum(1 for r in rows if r[3] == "click")
 
 
+def test_asof_stream_state_survives_restart(spark, stream_dir):
+    """The per-key last-right-row STATE (not just source offsets) must come
+    back from the checkpoint: a view ingested before the kill must match a
+    click that arrives only after the restart. An offsets-only recovery
+    would re-emit nothing (the view's file is already committed) and the
+    click would find empty state -> no match."""
+    from fastembed_rs_spark.streaming.asof_stream import asof_stream
+
+    schema = "event_id long, user_id long, ts long, event_type string, value double"
+    ckpt = stream_dir + "/ckpt"
+    out = stream_dir + "/out"
+
+    def run():
+        # memory sink refuses checkpoint recovery; foreachBatch->parquet is
+        # the fault-tolerant sink a real pipeline uses
+        src = spark.readStream.schema(schema).parquet(stream_dir + "/ev")
+        q = (
+            asof_stream(
+                src.filter(F.col("event_type") == "click"),
+                src.filter(F.col("event_type") == "view"),
+            )
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    spark.createDataFrame([(1, 7, 100, "view", 1.5)], schema) \
+        .coalesce(1).write.mode("overwrite").parquet(stream_dir + "/ev")
+    run()  # ingests the view into state; no clicks yet
+
+    spark.createDataFrame([(2, 7, 200, "click", 0.0)], schema) \
+        .coalesce(1).write.mode("append").parquet(stream_dir + "/ev")
+    run()  # RESTART: click must match the pre-kill view
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    assert rows[0].matched_event_id == 1 and rows[0].matched_ts == 100
+
+
 def test_asof_stream_state_carries_across_batches(spark, stream_dir):
     """A right event in batch 1 matches left events in batch 2."""
     from fastembed_rs_spark.streaming.asof_stream import asof_stream

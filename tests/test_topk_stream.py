@@ -93,3 +93,51 @@ def test_topk_stream_refines_across_batches(spark, stream_dir):
     latest = {r["rank"]: (r["vec_id"], r["score"]) for r in rows[-2:]}
     assert latest[1][0] == 2 and latest[1][1] == pytest.approx(1.0)
     assert latest[2][0] == 1
+
+
+def test_topk_stream_state_survives_restart(spark, stream_dir):
+    """The per-query running top-k STATE must come back from the
+    checkpoint: a weak match ingested before the kill must still rank
+    (below the newcomer) after a restart in which only the perfect match
+    arrives. Offsets-only recovery would leave the restarted state empty
+    and the final emission would hold just one row."""
+    from fastembed_rs_spark.streaming.topk_stream import topk_stream
+
+    qs = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * (DIM - 1))], "query_id long, query_vec array<float>"
+    )
+    schema = "vec_id long, embedding array<float>"
+    ckpt = stream_dir + "/ckpt"
+
+    def run(out):
+        # memory sink refuses checkpoint recovery; foreachBatch is the
+        # fault-tolerant sink shape (each run writes its emissions to its
+        # own dir so the restarted run's output is inspectable alone)
+        src = spark.readStream.schema(schema).parquet(stream_dir + "/vecs")
+        q = (
+            topk_stream(src, qs, k=2, dim=DIM)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    weak = [(1, [1.0, 1.0] + [0.0] * (DIM - 2))]
+    spark.createDataFrame(weak, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stream_dir + "/vecs")
+    run(stream_dir + "/out1")  # weak match enters the per-query state
+
+    perfect = [(2, [2.0] + [0.0] * (DIM - 1))]
+    spark.createDataFrame(perfect, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(stream_dir + "/vecs")
+    run(stream_dir + "/out2")  # RESTART: merged emission must still hold the weak row
+
+    got = {r["rank"]: r["vec_id"]
+           for r in spark.read.parquet(stream_dir + "/out2").collect()}
+    assert got == {1: 2, 2: 1}
