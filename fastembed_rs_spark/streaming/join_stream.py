@@ -30,7 +30,7 @@ def enrich_stream(
     batch). No state store involvement: the static side is re-resolvable
     per batch, so dimension updates between batches are picked up for
     file-based sources. The third join form next to batch joins
-    (queries.py) and the stream-stream interval join below."""
+    (queries/ catalog) and the stream-stream interval join below."""
     renamed = dim.withColumnRenamed(dim_key, "__dk")
     return stream.join(
         renamed, stream[stream_key] == F.col("__dk"), how
