@@ -237,10 +237,13 @@ def _calibrate() -> dict:
       the host ACTUALLY gives 32 runnable threads — the same resource a
       local[32] Spark stage competes for. CPU steal that leaves one core
       untouched shows up here and nowhere else.
-    - ``mt_membw_s``: the same thread pool streaming over per-thread 32 MiB
-      arrays — aggregate memory bandwidth, the other shared resource a
+    - ``mt_membw_s``: the same thread pool, each thread streaming over its
+      own 16 MiB array against one shared read-only operand (~528 MiB live
+      total) — aggregate memory bandwidth, the other shared resource a
       noisy neighbor eats (shuffle/scan-heavy queries degrade on bandwidth
-      even when cycles are available).
+      even when cycles are available). Both mt probes are allocation-
+      guarded: on a memory-limited host they record null rather than
+      killing the bench before the first query runs.
 
     ``tools/compare_bench.py`` normalizes cross-run per-query ratios by the
     ``mt_matmul_s`` ratio and labels flags code-vs-host."""
@@ -272,37 +275,45 @@ def _calibrate() -> dict:
             th.join()
         return time.time() - t0
 
-    mats = [
-        np.random.default_rng(i).random((128, 128)) for i in range(n_thr)
-    ]
+    # allocation-guarded: ~0.5 GiB of probe buffers must degrade to null
+    # calib keys on a memory-limited host, never kill the bench itself
+    # (compare_bench treats missing mt keys as "not adjudicable")
+    mt_matmul = mt_membw = None
+    try:
+        mats = [
+            np.random.default_rng(i).random((128, 128)) for i in range(n_thr)
+        ]
 
-    def _mm(i: int) -> None:
-        m = mats[i]
-        for _ in range(400):
-            m = 0.5 * (m @ m)
-            m /= np.abs(m).max() + 1e-9
+        def _mm(i: int) -> None:
+            m = mats[i]
+            for _ in range(400):
+                m = 0.5 * (m @ m)
+                m /= np.abs(m).max() + 1e-9
 
-    _mm(0)  # page in BLAS once, off the clock
-    # min-of-3: single pool launches jitter ~30% on scheduler blips; the
-    # throttle this probe exists to catch is SUSTAINED (whole bench sets
-    # shift ~1.2x for minutes), which min-of-3 over ~7s still sees
-    mt_matmul = min(_pool(_mm) for _ in range(3))
+        _mm(0)  # page in BLAS once, off the clock
+        # min-of-3: single pool launches jitter ~30% on scheduler blips;
+        # the throttle this probe exists to catch is SUSTAINED (whole
+        # bench sets shift ~1.2x for minutes), which min-of-3 still sees
+        mt_matmul = min(_pool(_mm) for _ in range(3))
 
-    bufs = [
-        (
-            np.ones(4 * 1024 * 1024, dtype=np.float64),
-            np.full(4 * 1024 * 1024, 0.5, dtype=np.float64),
-        )
-        for _ in range(n_thr)
-    ]
+        # one private 16 MiB stream target per thread + ONE shared
+        # read-only operand: same bandwidth pressure, ~quarter the RSS of
+        # naive per-thread pairs
+        shared_y = np.full(2 * 1024 * 1024, 0.5, dtype=np.float64)
+        bufs = [
+            np.ones(2 * 1024 * 1024, dtype=np.float64)
+            for _ in range(n_thr)
+        ]
 
-    def _bw(i: int) -> None:
-        x, y = bufs[i]
-        for _ in range(20):
-            np.add(x, y, out=x)
-            np.multiply(x, 0.5, out=x)
+        def _bw(i: int) -> None:
+            x = bufs[i]
+            for _ in range(40):
+                np.add(x, shared_y, out=x)
+                np.multiply(x, 0.5, out=x)
 
-    mt_membw = min(_pool(_bw) for _ in range(3))
+        mt_membw = min(_pool(_bw) for _ in range(3))
+    except MemoryError:
+        pass
 
     cpu = ""
     try:
@@ -316,8 +327,8 @@ def _calibrate() -> dict:
     return {
         "single_core_loop_s": round(single, 3),
         "matmul_s": round(matmul, 3),
-        "mt_matmul_s": round(mt_matmul, 3),
-        "mt_membw_s": round(mt_membw, 3),
+        "mt_matmul_s": round(mt_matmul, 3) if mt_matmul else None,
+        "mt_membw_s": round(mt_membw, 3) if mt_membw else None,
         "mt_threads": n_thr,
         "cpu": cpu,
         "n_cpus": os.cpu_count(),
@@ -397,6 +408,17 @@ def main() -> int:
     subset_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
     subset = [q.strip() for q in subset_env.split(",") if q.strip()]
     headline = [q for q in HEADLINE if q in subset] if subset else HEADLINE
+    unknown = sorted(set(subset) - set(HEADLINE))
+    if unknown:
+        # a typo'd targeted re-measurement must not "succeed" silently
+        # with fewer (or zero) queries and feed an empty artifact into an
+        # adjudication step
+        print(
+            "ERROR: SPARK_GRAFT_BENCH_QUERIES entries not in HEADLINE: "
+            + ", ".join(unknown),
+            file=sys.stderr,
+        )
+        return 2
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in headline:

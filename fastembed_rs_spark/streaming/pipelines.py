@@ -545,10 +545,13 @@ def windowed_profile_registers(
 
     # backtick-quote the column reference (escaping embedded backticks):
     # user column names with spaces/hyphens/reserved words must melt, not
-    # misparse inside the stack() SQL expression
+    # misparse inside the stack() SQL expression; the label literal
+    # escapes backslashes BEFORE quotes or a trailing backslash would
+    # escape the closing quote
     stack_args = ", ".join(
         "'{label}', CAST(`{ref}` AS STRING)".format(
-            label=c.replace("'", "\\'"), ref=c.replace("`", "``")
+            label=c.replace("\\", "\\\\").replace("'", "\\'"),
+            ref=c.replace("`", "``"),
         )
         for c in cols
     )

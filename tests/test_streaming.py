@@ -805,6 +805,31 @@ def test_windowed_profile_stream_matches_batch(spark, stream_dir):
         assert r["distinct_est"] == expected, (w_start, col)
 
 
+def test_windowed_profile_handles_hostile_column_names(spark):
+    """The melt must survive names needing quoting in BOTH positions: the
+    backticked column reference (space) and the single-quoted label
+    literal (quote, backslash — escaped backslash-first or a trailing
+    backslash eats the closing quote)."""
+    from fastembed_rs_spark.streaming.pipelines import (
+        windowed_profile_registers,
+    )
+
+    cols = ["weird col", "it's", "a\\b", "select"]
+    df = spark.range(5).select(
+        F.col("id").alias("weird col"),
+        F.lit("x").alias("it's"),
+        F.col("id").alias("a\\b"),
+        F.lit("kw").alias("select"),
+        F.current_timestamp().alias("ts"),
+    )
+    got = {
+        r["column_name"]
+        for r in windowed_profile_registers(df, cols=cols)
+        .select("column_name").distinct().collect()
+    }
+    assert got == set(cols)
+
+
 def test_windowed_profile_stream_restart_exactly_once(spark, stream_dir):
     """Crash-recovery for the streaming profiler: run on a first file with a
     checkpoint, STOP, land a second file, restart against the SAME

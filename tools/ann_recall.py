@@ -324,14 +324,24 @@ def main() -> int:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "ANN_RECALL.md",
     )
+    import re as _re
+
+    existing = open(md_path).read() if os.path.exists(md_path) else ""
     if sf_dir.rstrip("/").endswith("sf0.1"):
-        # canonical run: rewrite the whole ladder
+        # canonical run: rewrite the canonical ladder but PRESERVE any
+        # appended "## <fixture>:" scale sections (they are separate
+        # measurements a canonical re-run must not silently delete)
+        m = _re.search(r"^## ", existing, _re.M)
+        tail = "\n" + existing[m.start():] if m else ""
         with open(md_path, "w") as f:
-            f.write("\n".join(lines) + "\n")
+            f.write("\n".join(lines) + "\n" + tail)
     else:
         # scale-fixture run (e.g. .localdata/sf1): append a labeled section
         # with the SAME configs so recall at 10x data reads side-by-side;
-        # replace any previous section with the same header on re-run
+        # replace any previous section with the same label on re-run
+        # (label-keyed, not n_corpus-keyed, so a regenerated fixture
+        # replaces rather than accumulates; only THAT section is removed,
+        # later sections survive)
         label = os.path.basename(sf_dir.rstrip("/"))
         header = f"## {label}: same configs at {n_corpus} vectors"
         section = [
@@ -342,9 +352,13 @@ def main() -> int:
             "| method | recall@10 | wall s |",
             "|---|---|---|",
         ] + [f"| {name} | {rec:.3f} | {sec:.2f} |" for name, rec, sec in rows]
-        existing = open(md_path).read() if os.path.exists(md_path) else ""
-        if header in existing:
-            existing = existing[: existing.index(header)].rstrip("\n") + "\n"
+        existing = _re.sub(
+            rf"\n## {_re.escape(label)}: same configs at \d+ vectors\n"
+            r"(?:(?!\n## ).)*",
+            "\n",
+            existing,
+            flags=_re.S,
+        )
         with open(md_path, "w") as f:
             f.write(existing.rstrip("\n") + "\n" + "\n".join(section) + "\n")
     print("\n".join(lines))

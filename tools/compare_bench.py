@@ -82,16 +82,24 @@ def main() -> int:
     # means the probe itself got descheduled, and an unbounded normalizer
     # would silently absolve (or invent) arbitrary regressions.
     host_mc = 1.0
+    norm = 1.0
     mc_known = bool(co.get("mt_matmul_s") and cn.get("mt_matmul_s"))
     if mc_known:
         host_mc = cn["mt_matmul_s"] / co["mt_matmul_s"]
         host_mc = min(4.0, max(0.5, host_mc))
+        # normalize only in the EXONERATING direction (new host slower):
+        # dividing by host_mc < 1 would inflate the times of queries that
+        # are not multicore-bound and mint phantom "code" flags on a
+        # faster host — the mirror image of the throttle blindness this
+        # exists to fix. A faster host keeps raw flagging and gets an
+        # advisory for possibly-masked regressions instead.
+        norm = max(1.0, host_mc)
         bw = ""
         if co.get("mt_membw_s") and cn.get("mt_membw_s"):
             bw = (f", 32-thread membw = "
                   f"{cn['mt_membw_s'] / co['mt_membw_s']:.2f}x")
         print(f"host calibration: new/old 32-thread matmul = {host_mc:.2f}x"
-              f"{bw} — per-query ratios normalized by {host_mc:.2f}")
+              f"{bw} — flags normalized by {norm:.2f}")
     else:
         print("host calibration: no mt_matmul_s in one/both artifacts "
               "(pre-r8 bench) — raw ratios, host-vs-code NOT adjudicable")
@@ -115,12 +123,13 @@ def main() -> int:
     removed = sorted(set(old) - set(new))
     regressions = []
     host_flags = []
+    masked = []
     for q in shared:
         o, n = old[q], new[q]
         r = n / o if o > 0 else float("inf")
         # host-normalized view: what the new time WOULD be at the old
-        # host's effective 32-thread speed
-        n_adj = n / host_mc
+        # host's effective 32-thread speed (exonerating direction only)
+        n_adj = n / norm
         r_adj = n_adj / o if o > 0 else float("inf")
         flag = ""
         if r_adj > ratio and (n_adj - o) > 0.3:
@@ -132,17 +141,28 @@ def main() -> int:
             host_flags.append(q)
         elif r_adj < 1 / ratio and (o - n_adj) > 0.3:
             flag = "  (improved)"
+        elif (
+            mc_known and host_mc < 0.9
+            and (n / host_mc) / o > ratio and (n / host_mc - o) > 0.3
+        ):
+            # advisory only: at the old host's slower multicore speed this
+            # query WOULD flag — a faster host may be masking a code
+            # regression; not a failure, but worth a look
+            flag = "  (possible regression masked by faster host: {:.2f}x at old-host speed)".format((n / host_mc) / o)
+            masked.append(q)
         if flag:
             print(f"{q}: {o:.2f}s -> {n:.2f}s ({r:.2f}x){flag}")
     so, sn = sum(old[q] for q in shared), sum(new[q] for q in shared)
     if shared and so > 0:
-        adj = f", host-adjusted {sn / host_mc / so:.2f}x" if mc_known else ""
+        adj = f", host-adjusted {sn / norm / so:.2f}x" if mc_known else ""
         print(f"shared {len(shared)} queries: {so:.1f}s -> {sn:.1f}s "
               f"({sn/so:.2f}x{adj})")
     else:
         print(f"shared {len(shared)} queries (no comparable total)")
     if host_flags:
         print(f"host-attributed ({len(host_flags)}): {', '.join(host_flags)}")
+    if masked:
+        print(f"masked-candidates ({len(masked)}): {', '.join(masked)}")
     if added:
         print(f"added ({len(added)}): " + ", ".join(f"{q}={new[q]:.2f}s" for q in added))
     if removed:
