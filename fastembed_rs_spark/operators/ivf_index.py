@@ -326,3 +326,171 @@ def audit_ivf_index(
     return spark.createDataFrame(
         rows, "check string, ok boolean, expected string, actual string"
     )
+
+
+def repair_ivf_index(
+    spark: SparkSession,
+    path: str,
+    drop_duplicate_ids: bool = False,
+    reassign_all: bool = False,
+) -> DataFrame:
+    """Repair the corruptions ``audit_ivf_index`` reports, in place,
+    touching only the affected bucket partitions. Returns one report row
+    per action ``(action, n_rows)`` — run the audit again afterwards to
+    confirm green.
+
+    Repairs, keyed to the audit's checks:
+
+    * rows whose vector is NULL or wrong-dim (``null_vectors`` /
+      ``corpus_vec_dim``) are DROPPED — they can never score and poison
+      kernel batches;
+    * rows filed under an out-of-range or NULL bucket
+      (``bucket_ids_in_range``) are SALVAGED when their vector is healthy:
+      re-assigned against the current centroids and appended into the
+      right bucket directory; the invalid partition directories are then
+      deleted wholesale (every row in them is by definition mis-filed);
+    * ``drop_duplicate_ids=True``: per duplicated id, one deterministic
+      winner survives (smallest ``xxhash64`` over the full row — content-
+      keyed, so identical replicas pick either and differing rows pick
+      stably) and the losers' partitions are rewritten without them;
+    * ``reassign_all=True``: the stale-centroids repair (a corpus written
+      against one centroid generation with ``centroids/`` later
+      overwritten by another — what the sampled re-assignment check
+      catches). Re-assigns EVERY healthy row against the current
+      centroids and rewrites the whole corpus layout; this is the one
+      O(index) repair, which is exactly why it is opt-in.
+    * the manifest count is re-written from the repaired corpus's parquet
+      footers either way (the ``manifest_n_vectors`` self-heal).
+
+    Scale shape: bad rows are classified in one corpus scan; the in-range
+    partitions that need rewriting are collected as a bucket-id list
+    (bounded by k — constant driver state) and rewritten through
+    ``partitionOverwriteMode=dynamic`` after a ``localCheckpoint`` (no
+    task may read a file the commit is about to replace — the
+    ``upsert_embeddings`` discipline in sources/io.py); untouched buckets
+    keep their exact files. Salvaged rows are a plain partitioned append.
+    """
+    manifest = _read_manifest(spark, path)
+    id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    k, dim = int(manifest["k"]), int(manifest["dim"])
+    corpus = spark.read.parquet(f"{path}/corpus")
+    data_cols = [c for c in corpus.columns if c != "centroid_id"]
+
+    bad_vec = F.col(vec_col).isNull() | (F.size(F.col(vec_col)) != dim)
+    bad_bucket = (
+        F.col("centroid_id").isNull()
+        | (F.col("centroid_id") < 0)
+        | (F.col("centroid_id") >= k)
+    )
+    actions: list[tuple[str, int]] = []
+
+    # ---- salvage healthy rows stranded in invalid bucket dirs ----------
+    # materialize BEFORE the dirs are deleted below
+    centroids = spark.read.parquet(f"{path}/centroids")
+    salvaged = assign_ivf_buckets_fast(
+        corpus.filter(bad_bucket & ~bad_vec).select(*data_cols),
+        centroids, id_col=id_col, vec_col=vec_col,
+    ).localCheckpoint()
+    n_salvaged = salvaged.count()
+
+    # ---- plan the in-range partition rewrites ---------------------------
+    in_range = corpus.filter(~bad_bucket)
+    remove = bad_vec
+    n_dup_losers = 0
+    if drop_duplicate_ids:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_col).orderBy(F.xxhash64(*corpus.columns))
+        in_range = in_range.withColumn("__rk", F.row_number().over(w))
+        remove = remove | (F.col("__rk") > 1)
+        n_dup_losers = in_range.filter(
+            (F.col("__rk") > 1) & ~bad_vec
+        ).count()
+    flagged = in_range.filter(remove)
+    # bucket ids needing a rewrite: bounded by k, constant driver state
+    affected = [
+        r["centroid_id"]
+        for r in flagged.select("centroid_id").distinct().collect()
+    ]
+    n_dropped_bad_vec = in_range.filter(bad_vec).count() + corpus.filter(
+        bad_bucket & bad_vec
+    ).count()
+    if affected:
+        keep = (
+            in_range.filter(F.col("centroid_id").isin(affected) & ~remove)
+            .drop("__rk")
+            .localCheckpoint()  # never read files the commit replaces
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                keep.repartition("centroid_id")
+                .write.mode("overwrite").partitionBy("centroid_id")
+                .parquet(f"{path}/corpus")
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    # ---- drop the invalid partition directories wholesale ---------------
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(conf)
+    n_bad_dirs = 0
+    corpus_dir = hpath(f"{path}/corpus")
+    for st in fs.listStatus(corpus_dir):
+        name = st.getPath().getName()
+        if not name.startswith("centroid_id="):
+            continue
+        val = name.split("=", 1)[1]
+        ok = val.isdigit() and 0 <= int(val) < k
+        if not ok:
+            fs.delete(st.getPath(), True)
+            n_bad_dirs += 1
+
+    # ---- append the salvaged rows into their correct buckets ------------
+    if n_salvaged:
+        (
+            salvaged.repartition("centroid_id")
+            .write.mode("append").partitionBy("centroid_id")
+            .parquet(f"{path}/corpus")
+        )
+
+    # ---- stale-centroids repair: re-assign everything (opt-in) ----------
+    n_reassigned = 0
+    if reassign_all:
+        healthy = spark.read.parquet(f"{path}/corpus").filter(~bad_vec)
+        fresh = assign_ivf_buckets_fast(
+            healthy.select(*data_cols), centroids,
+            id_col=id_col, vec_col=vec_col,
+        ).localCheckpoint()
+        n_reassigned = fresh.count()
+        (
+            fresh.repartition("centroid_id")
+            .write.mode("overwrite").partitionBy("centroid_id")
+            .parquet(f"{path}/corpus")
+        )
+
+    # ---- manifest self-heal (footer-metadata recount) --------------------
+    n_total = spark.read.parquet(f"{path}/corpus").count()
+    _write_manifest(
+        spark, path,
+        (
+            manifest["k"], manifest["dim"], manifest["iters"],
+            manifest["seed"], n_total, id_col, vec_col,
+        ),
+    )
+
+    actions = [
+        ("dropped_bad_vectors", n_dropped_bad_vec),
+        ("salvaged_reassigned", n_salvaged),
+        ("dropped_duplicate_ids", n_dup_losers),
+        ("deleted_invalid_partitions", n_bad_dirs),
+        ("reassigned_all", n_reassigned),
+        ("manifest_n_vectors", n_total),
+    ]
+    return spark.createDataFrame(actions, "action string, n_rows long")

@@ -313,3 +313,137 @@ def test_audit_flags_each_corruption(spark):
         assert int(rep4["bucket_ids_in_range"]["actual"]) >= 1
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_repair_fixes_every_audited_corruption(spark):
+    """Build an index, corrupt it FOUR independent ways (wrong-dim vector,
+    NULL vector, healthy row stranded in an out-of-range bucket dir,
+    healthy row in the NULL/hive-default dir), then repair and re-audit:
+    every check must come back green, the stranded healthy rows must
+    SURVIVE (salvaged into their correct buckets, findable by query), and
+    buckets untouched by the corruption must keep their exact files."""
+    import shutil
+    import tempfile
+
+    from fastembed_rs_spark.operators.ivf_index import (
+        audit_ivf_index,
+        repair_ivf_index,
+    )
+
+    d = tempfile.mkdtemp(prefix="ivf_repair_")
+    try:
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        build_ivf_index(emb, d, k=8, iters=2)
+        n0 = spark.read.parquet(f"{d}/corpus").count()
+        donor = spark.read.parquet(f"{d}/corpus").filter(
+            F.col("centroid_id") == 0
+        ).limit(1).drop("centroid_id").localCheckpoint()
+
+        def plant(vec_expr, vid, bucket):
+            df = donor
+            if vec_expr is not None:
+                df = df.withColumn("embedding", F.expr(vec_expr))
+            (
+                df.withColumn(
+                    "vec_id", F.lit(vid).cast(donor.schema["vec_id"].dataType)
+                )
+                .withColumn("centroid_id", bucket)
+                .write.mode("append").partitionBy("centroid_id")
+                .parquet(f"{d}/corpus")
+            )
+
+        plant("slice(embedding, 1, 32)", 990001, F.lit(5))      # wrong dim
+        plant("CAST(NULL AS ARRAY<FLOAT>)", 990002, F.lit(3))   # NULL vec
+        plant(None, 990003, F.lit(99))                          # out of range
+        plant(None, 990004, F.lit(None).cast("int"))            # NULL bucket
+
+        # record untouched-bucket files (bucket 7 got no corruption)
+        import os
+
+        b7 = sorted(os.listdir(f"{d}/corpus/centroid_id=7"))
+
+        rep = {r["action"]: r["n_rows"] for r in repair_ivf_index(
+            spark, d).collect()}
+        assert rep["dropped_bad_vectors"] == 2
+        assert rep["salvaged_reassigned"] == 2
+        assert rep["deleted_invalid_partitions"] == 2  # =99 and hive-default
+        assert rep["manifest_n_vectors"] == n0 + 2     # 4 planted, 2 dropped
+
+        audit = {r["check"]: r for r in audit_ivf_index(
+            spark, d, check_duplicate_ids=True, assignment_sample_mod=1,
+        ).collect()}
+        bad = [c for c, r in audit.items() if not r["ok"]]
+        assert not bad, bad
+
+        # salvaged rows live in their CORRECT buckets now
+        back = spark.read.parquet(f"{d}/corpus").filter(
+            F.col("vec_id").isin(990003, 990004)
+        ).collect()
+        assert len(back) == 2
+        assert all(0 <= r["centroid_id"] < 8 for r in back)
+        # both copies of the donor row must sit in the donor's true bucket
+        donor_bucket = spark.read.parquet(f"{d}/corpus").filter(
+            F.col("vec_id") == donor.first()["vec_id"]
+        ).first()["centroid_id"]
+        assert all(r["centroid_id"] == donor_bucket for r in back)
+
+        # untouched bucket kept its exact files (partition-scoped repair)
+        assert sorted(os.listdir(f"{d}/corpus/centroid_id=7")) == b7
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_repair_drop_duplicates_and_reassign_all(spark):
+    """The two opt-in repairs: (1) duplicate ids collapse to one
+    deterministic winner; (2) reassign_all fixes the stale-centroids
+    corruption (centroids/ overwritten by a different generation) that
+    the sampled audit check flags and the default repair leaves alone."""
+    import shutil
+    import tempfile
+
+    from fastembed_rs_spark.operators.ivf_index import (
+        audit_ivf_index,
+        build_ivf_index,
+        repair_ivf_index,
+    )
+    from fastembed_rs_spark.operators.topk import train_ivf_centroids
+
+    d = tempfile.mkdtemp(prefix="ivf_repair2_")
+    try:
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        build_ivf_index(emb, d, k=8, iters=2)
+        n0 = spark.read.parquet(f"{d}/corpus").count()
+
+        # duplicate: refile a bucket-0 row under bucket 6 with its own id
+        dup = spark.read.parquet(f"{d}/corpus").filter(
+            F.col("centroid_id") == 0
+        ).limit(1).drop("centroid_id").localCheckpoint()
+        dup.withColumn("centroid_id", F.lit(6)).write.mode(
+            "append"
+        ).partitionBy("centroid_id").parquet(f"{d}/corpus")
+
+        # stale centroids: overwrite with a different training generation
+        train_ivf_centroids(emb, k=8, iters=1, seed=7).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/centroids")
+
+        audit0 = {r["check"]: r["ok"] for r in audit_ivf_index(
+            spark, d, check_duplicate_ids=True, assignment_sample_mod=1,
+        ).collect()}
+        assert not audit0["duplicate_ids"]
+        assert not audit0["assignment_sample_mod_1"]
+
+        rep = {r["action"]: r["n_rows"] for r in repair_ivf_index(
+            spark, d, drop_duplicate_ids=True, reassign_all=True,
+        ).collect()}
+        assert rep["dropped_duplicate_ids"] == 1
+        assert rep["reassigned_all"] == n0
+        assert rep["manifest_n_vectors"] == n0
+
+        audit1 = {r["check"]: r for r in audit_ivf_index(
+            spark, d, check_duplicate_ids=True, assignment_sample_mod=1,
+        ).collect()}
+        bad = [c for c, r in audit1.items() if not r["ok"]]
+        assert not bad, bad
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
