@@ -494,3 +494,104 @@ def repair_ivf_index(
         ("manifest_n_vectors", n_total),
     ]
     return spark.createDataFrame(actions, "action string, n_rows long")
+
+
+def index_file_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-bucket physical layout report: ``(centroid_id, n_files, bytes)``
+    from filesystem metadata only — no data read, driver state bounded by
+    k directories. This is the fragmentation signal that schedules
+    ``compact_ivf_index``: every ``append_ivf_index`` / streaming
+    micro-batch adds at least one file per touched bucket, and a
+    1000-file bucket costs 1000 footer reads + task setups per probe that
+    lands on it."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(conf)
+    rows = []
+    for st in fs.listStatus(hpath(f"{path}/corpus")):
+        name = st.getPath().getName()
+        if not name.startswith("centroid_id="):
+            continue
+        val = name.split("=", 1)[1]
+        n_files = 0
+        n_bytes = 0
+        for f in fs.listStatus(st.getPath()):
+            fname = f.getPath().getName()
+            if fname.startswith(("_", ".")):
+                continue
+            n_files += 1
+            n_bytes += f.getLen()
+        rows.append((val, n_files, n_bytes))
+    return spark.createDataFrame(
+        rows, "centroid_id string, n_files long, bytes long"
+    )
+
+
+def compact_ivf_index(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 4,
+) -> DataFrame:
+    """Rewrite fragmented bucket partitions into ~``target_file_bytes``
+    files; buckets with ≤ ``min_files`` files are left byte-untouched.
+    Returns ``(centroid_id, files_before, files_target)`` for the buckets
+    it rewrote. Query results are unchanged (same rows, same layout, DPP
+    keeps pruning); only the file grain changes.
+
+    Scale shape: the affected-bucket list comes from ``index_file_stats``
+    (FS metadata, ≤ k entries of driver state). Affected rows are read
+    once, ``localCheckpoint``-ed (no task may read a file the commit
+    replaces), given a per-bucket salt ``pmod(xxhash64(id), files_target)``
+    and shuffled on ``(centroid_id, salt)`` so each bucket lands in
+    exactly ``files_target`` write tasks → files; the write goes through
+    ``partitionOverwriteMode=dynamic`` so untouched buckets keep their
+    exact files. This is ``sources/io.py::compact_parquet`` specialized
+    to the hive-bucketed index layout, preserving it.
+    """
+    manifest = _read_manifest(spark, path)
+    id_col = manifest["id_col"]
+    stats = index_file_stats(spark, path).collect()
+    plan = {}
+    for r in stats:
+        if r["n_files"] > min_files and r["centroid_id"].isdigit():
+            target = max(1, -(-int(r["bytes"]) // target_file_bytes))
+            if target < r["n_files"]:
+                plan[int(r["centroid_id"])] = (r["n_files"], target)
+    if not plan:
+        return spark.createDataFrame(
+            [], "centroid_id long, files_before long, files_target long"
+        )
+    targets = spark.createDataFrame(
+        [(b, t) for b, (_, t) in plan.items()],
+        "centroid_id int, __files long",
+    )
+    affected = (
+        spark.read.parquet(f"{path}/corpus")
+        .filter(F.col("centroid_id").isin(list(plan)))
+        .join(F.broadcast(targets), "centroid_id")
+        .withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("__files")).cast("int"),
+        )
+        .localCheckpoint()
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            affected.repartition("centroid_id", "__salt")
+            .drop("__files", "__salt")
+            .write.mode("overwrite").partitionBy("centroid_id")
+            .parquet(f"{path}/corpus")
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.createDataFrame(
+        [(b, n, t) for b, (n, t) in sorted(plan.items())],
+        "centroid_id long, files_before long, files_target long",
+    )

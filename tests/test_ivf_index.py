@@ -447,3 +447,90 @@ def test_repair_drop_duplicates_and_reassign_all(spark):
         assert not bad, bad
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compact_ivf_index_defragments_without_changing_results(spark):
+    """Fragment an index with repeated small appends, compact, and assert:
+    per-bucket file counts shrink to <= the plan's target, row set and
+    query results are IDENTICAL, buckets under the min_files threshold
+    keep their exact files, and the probe scan still carries dynamic
+    partition pruning."""
+    import os
+
+    from fastembed_rs_spark.operators.ivf_index import (
+        append_ivf_index,
+        compact_ivf_index,
+        index_file_stats,
+    )
+
+    d = tempfile.mkdtemp(prefix="ivf_compact_")
+    try:
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        build_ivf_index(emb.filter(F.col("vec_id") < 100), d, k=4, iters=1)
+        # 6 micro-appends -> every touched bucket gains >= 6 small files
+        for i in range(6):
+            batch = emb.filter(
+                (F.col("vec_id") >= 100 + i * 50)
+                & (F.col("vec_id") < 150 + i * 50)
+            ).select(
+                (F.col("vec_id") + 1000000).alias("vec_id"),
+                "embedding", "label",
+            )
+            append_ivf_index(batch, d)
+
+        before = {
+            r["centroid_id"]: r["n_files"]
+            for r in index_file_stats(spark, d).collect()
+        }
+        assert max(before.values()) > 4  # actually fragmented
+        listing_before = {
+            b: sorted(os.listdir(f"{d}/corpus/centroid_id={b}"))
+            for b in before
+        }
+        rows_before = sorted(
+            (r["vec_id"], r["centroid_id"])
+            for r in spark.read.parquet(f"{d}/corpus")
+            .select("vec_id", "centroid_id").collect()
+        )
+        probe = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        q_before = sorted(map(tuple, query_ivf_index(
+            spark, d, probe, k=5, nprobe=2).collect()))
+
+        # tiny target forces 1-2 files per fragmented bucket
+        rep = {r["centroid_id"]: (r["files_before"], r["files_target"])
+               for r in compact_ivf_index(
+                   spark, d, target_file_bytes=1 << 20, min_files=2
+               ).collect()}
+        assert rep, "nothing compacted"
+        after = {
+            r["centroid_id"]: r["n_files"]
+            for r in index_file_stats(spark, d).collect()
+        }
+        for b, (fb, ft) in rep.items():
+            assert before[str(b)] == fb
+            assert after[str(b)] <= ft < fb
+        # any bucket outside the plan keeps its exact files (the dynamic-
+        # overwrite preservation property is also pinned independently by
+        # the repair and upsert tests; with this uniform fixture all
+        # buckets usually compact, so this loop is a guard, not the pin)
+        for b, n in before.items():
+            if int(b) not in rep:
+                assert after[b] == n
+                assert sorted(os.listdir(f"{d}/corpus/centroid_id={b}")) \
+                    == listing_before[b]
+
+        rows_after = sorted(
+            (r["vec_id"], r["centroid_id"])
+            for r in spark.read.parquet(f"{d}/corpus")
+            .select("vec_id", "centroid_id").collect()
+        )
+        assert rows_after == rows_before
+        q_after_df = query_ivf_index(spark, d, probe, k=5, nprobe=2)
+        assert sorted(map(tuple, q_after_df.collect())) == q_before
+        plan = q_after_df._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
