@@ -99,7 +99,10 @@ def _write_manifest(spark: SparkSession, path: str, row: tuple) -> None:
 def _read_manifest(spark: SparkSession, path: str) -> dict:
     """Read the manifest, recovering from a crash between the delete and
     rename of ``_write_manifest`` (manifest absent, completed temp
-    present → finish the rename)."""
+    present → finish the rename), and rolling forward any retrain swap
+    the ``retrain_pending`` marker says was interrupted — every index
+    entry point (load/query/append/audit/repair) funnels through here,
+    so a crashed retrain self-heals before the layout is ever used."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path
@@ -108,6 +111,7 @@ def _read_manifest(spark: SparkSession, path: str) -> dict:
     tmp = hpath(f"{path}/manifest_tmp")
     if not fs.exists(dst) and fs.exists(tmp):
         fs.rename(tmp, dst)
+    _recover_retrain(spark, path)
     return spark.read.parquet(f"{path}/manifest").first().asDict()
 
 
@@ -595,3 +599,121 @@ def compact_ivf_index(
         [(b, n, t) for b, (n, t) in sorted(plan.items())],
         "centroid_id long, files_before long, files_target long",
     )
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _recover_retrain(spark: SparkSession, path: str) -> bool:
+    """Finish a retrain swap interrupted by a crash. The marker file
+    ``retrain_pending`` brackets the swap window; if it exists, each of
+    centroids/corpus is rolled FORWARD (the fully-written ``*_tmp``
+    generation wins — it was completed before the marker was created),
+    the manifest is rewritten against the recovered layout, and the old
+    generations + marker are removed. Returns True if a recovery ran."""
+    fs, hpath = _fs(spark, path)
+    marker = hpath(f"{path}/retrain_pending")
+    if not fs.exists(marker):
+        return False
+    for name in ("centroids", "corpus"):
+        main = hpath(f"{path}/{name}")
+        tmp = hpath(f"{path}/{name}_tmp")
+        old = hpath(f"{path}/{name}_old")
+        if fs.exists(tmp):
+            if fs.exists(main):
+                if fs.exists(old):
+                    fs.delete(old, True)
+                fs.rename(main, old)
+            fs.rename(tmp, main)
+    # manifest may predate the swap (old k / old count): rebuild it from
+    # the recovered layout + the old manifest's identity fields
+    old_manifest = spark.read.parquet(f"{path}/manifest").first().asDict()
+    k = spark.read.parquet(f"{path}/centroids").count()
+    n = spark.read.parquet(f"{path}/corpus").count()
+    _write_manifest(
+        spark, path,
+        (
+            int(k), old_manifest["dim"], old_manifest["iters"],
+            old_manifest["seed"], n,
+            old_manifest["id_col"], old_manifest["vec_col"],
+        ),
+    )
+    for name in ("centroids_old", "corpus_old"):
+        p = hpath(f"{path}/{name}")
+        if fs.exists(p):
+            fs.delete(p, True)
+    fs.delete(marker, False)
+    return True
+
+
+def retrain_ivf_index(
+    spark: SparkSession,
+    path: str,
+    k: int | None = None,
+    iters: int | None = None,
+    seed: int | None = None,
+) -> dict:
+    """Retrain the index's centroids from its CURRENT corpus and swap the
+    new generation in atomically — the action ``embedding_bucket_drift`` /
+    ``ann_recall_eval`` call for when appended data has drifted away from
+    the original centroid generation and recall sags. ``k`` may change
+    (the usual drift fix raises it as the corpus grows); defaults keep
+    the manifest's settings. Returns the new manifest dict.
+
+    Protocol (old index serves reads until the instant of the swap):
+
+    1. train + assign + fully WRITE the new generation to ``*_tmp`` dirs;
+    2. create the ``retrain_pending`` marker;
+    3. rename ``centroids``→``centroids_old``, ``centroids_tmp``→
+       ``centroids``; same for ``corpus``; rewrite the manifest;
+    4. delete the ``*_old`` generations and the marker.
+
+    A crash anywhere in 2-4 is rolled FORWARD by ``_recover_retrain``
+    (invoked from ``_read_manifest``, so every subsequent query/append/
+    audit self-heals first): the tmp generation was complete before the
+    marker existed, so finishing the swap is always safe. A crash in 1
+    leaves stale tmp dirs and no marker — the next retrain overwrites
+    them; the serving index was never touched.
+    """
+    manifest = _read_manifest(spark, path)
+    id_col, vec_col = manifest["id_col"], manifest["vec_col"]
+    k = int(k or manifest["k"])
+    iters = int(iters or manifest["iters"])
+    seed = int(seed if seed is not None else manifest["seed"])
+    corpus = spark.read.parquet(f"{path}/corpus").drop("centroid_id")
+
+    centroids = train_ivf_centroids(
+        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    assigned = assign_ivf_buckets_fast(
+        corpus, centroids, id_col=id_col, vec_col=vec_col
+    )
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(f"{path}/corpus_tmp")
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids_tmp")
+
+    fs, hpath = _fs(spark, path)
+    fs.create(hpath(f"{path}/retrain_pending"), True).close()
+    for name in ("centroids", "corpus"):
+        main = hpath(f"{path}/{name}")
+        old = hpath(f"{path}/{name}_old")
+        if fs.exists(old):
+            fs.delete(old, True)
+        fs.rename(main, old)
+        fs.rename(hpath(f"{path}/{name}_tmp"), main)
+    n = spark.read.parquet(f"{path}/corpus").count()
+    _write_manifest(
+        spark, path,
+        (k, manifest["dim"], iters, seed, n, id_col, vec_col),
+    )
+    for name in ("centroids_old", "corpus_old"):
+        fs.delete(hpath(f"{path}/{name}"), True)
+    fs.delete(hpath(f"{path}/retrain_pending"), False)
+    return _read_manifest(spark, path)

@@ -534,3 +534,93 @@ def test_compact_ivf_index_defragments_without_changing_results(spark):
         assert "dynamicpruning" in plan.lower()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_retrain_ivf_index_swaps_generation(spark):
+    """Drift response: retrain with a LARGER k from the current corpus —
+    manifest k updates, the full audit (including the stale-centroids
+    re-assignment check) comes back green, queries serve, and no tmp/old
+    generation dirs or marker are left behind."""
+    import os
+
+    from fastembed_rs_spark.operators.ivf_index import (
+        append_ivf_index,
+        audit_ivf_index,
+        retrain_ivf_index,
+    )
+
+    d = tempfile.mkdtemp(prefix="ivf_retrain_")
+    try:
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        build_ivf_index(emb.filter(F.col("vec_id") < 250), d, k=4, iters=1)
+        # drift in: append the other half (assigned to the OLD centroids)
+        append_ivf_index(
+            emb.filter(F.col("vec_id") >= 250).select(
+                "vec_id", "embedding", "label"
+            ),
+            d,
+        )
+        m = retrain_ivf_index(spark, d, k=8, iters=2)
+        assert m["k"] == 8 and m["n_vectors"] == emb.count()
+        audit = {r["check"]: r for r in audit_ivf_index(
+            spark, d, check_duplicate_ids=True, assignment_sample_mod=1,
+        ).collect()}
+        bad = [c for c, r in audit.items() if not r["ok"]]
+        assert not bad, bad
+        probe = emb.limit(1).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        top = query_ivf_index(spark, d, probe, k=1, nprobe=2).collect()
+        assert top and top[0]["vec_id"] == top[0]["query_id"]
+        left = {n for n in os.listdir(d)}
+        assert left == {"centroids", "corpus", "manifest"}, left
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_retrain_crash_mid_swap_rolls_forward(spark):
+    """Simulate a crash half-way through the swap window (new generation
+    fully written, marker present, centroids renamed but corpus NOT):
+    the next index operation must roll the swap FORWARD — new corpus in
+    place, coherent audit, marker and old generations gone."""
+    import os
+
+    from fastembed_rs_spark.operators.ivf_index import (
+        assign_ivf_buckets_fast as assign_fast,
+    )
+    from fastembed_rs_spark.operators.ivf_index import (
+        audit_ivf_index,
+        load_ivf_index,
+    )
+
+    d = tempfile.mkdtemp(prefix="ivf_crash_")
+    try:
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        build_ivf_index(emb, d, k=4, iters=1)
+
+        # hand-build the new generation exactly as retrain step 1 does
+        new_cent = train_ivf_centroids(emb, k=8, iters=2, seed=99)
+        assign_fast(emb, new_cent).repartition("centroid_id") \
+            .write.mode("overwrite").partitionBy("centroid_id") \
+            .parquet(f"{d}/corpus_tmp")
+        new_cent.write.mode("overwrite").parquet(f"{d}/centroids_tmp")
+
+        # crash state: marker down, centroids swapped, corpus NOT
+        open(f"{d}/retrain_pending", "w").close()
+        os.rename(f"{d}/centroids", f"{d}/centroids_old")
+        os.rename(f"{d}/centroids_tmp", f"{d}/centroids")
+        # (corpus still the OLD generation; corpus_tmp is the new one)
+
+        # any entry point funnels through _read_manifest -> roll-forward
+        corpus, centroids, manifest = load_ivf_index(spark, d)
+        assert manifest["k"] == 8 == centroids.count()
+        assert manifest["n_vectors"] == corpus.count() == emb.count()
+        audit = {r["check"]: r for r in audit_ivf_index(
+            spark, d, assignment_sample_mod=1).collect()}
+        bad = [c for c, r in audit.items() if not r["ok"]]
+        assert not bad, bad
+        left = {n for n in os.listdir(d)}
+        assert left == {"centroids", "corpus", "manifest"}, left
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
