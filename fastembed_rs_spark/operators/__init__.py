@@ -11,7 +11,13 @@ from fastembed_rs_spark.operators.chunk import (  # noqa: F401
     chunk_by_tokens,
 )
 from fastembed_rs_spark.operators.ivf_index import (  # noqa: F401
+    append_ivf_index,
+    audit_ivf_index,
     build_ivf_index,
+    compact_ivf_index,
+    index_file_stats,
     load_ivf_index,
     query_ivf_index,
+    repair_ivf_index,
+    retrain_ivf_index,
 )
