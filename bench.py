@@ -265,14 +265,29 @@ def _calibrate() -> dict:
     n_thr = min(32, os.cpu_count() or 1)
 
     def _pool(work) -> float:
+        # exceptions inside worker threads are swallowed by threading and
+        # the join returns instantly — which would record a bogus-FAST
+        # probe time that compare_bench then normalizes real ratios
+        # against; re-raise them on the caller thread instead so the
+        # outer guard degrades the probe to null
+        errs: list[BaseException] = []
+
+        def runner(i: int) -> None:
+            try:
+                work(i)
+            except BaseException as e:  # noqa: BLE001 — must not vanish
+                errs.append(e)
+
         threads = [
-            threading.Thread(target=work, args=(i,)) for i in range(n_thr)
+            threading.Thread(target=runner, args=(i,)) for i in range(n_thr)
         ]
         t0 = time.time()
         for th in threads:
             th.start()
         for th in threads:
             th.join()
+        if errs:
+            raise errs[0]
         return time.time() - t0
 
     # allocation-guarded: ~0.5 GiB of probe buffers must degrade to null
@@ -312,8 +327,11 @@ def _calibrate() -> dict:
                 np.multiply(x, 0.5, out=x)
 
         mt_membw = min(_pool(_bw) for _ in range(3))
-    except MemoryError:
-        pass
+    except Exception as e:  # noqa: BLE001 — a broken probe must degrade
+        # to null calib keys (compare_bench: "not adjudicable"), never
+        # kill the bench before the first query runs
+        print(f"# mt calib probe failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
     cpu = ""
     try:

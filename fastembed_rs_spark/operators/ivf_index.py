@@ -388,15 +388,6 @@ def repair_ivf_index(
     )
     actions: list[tuple[str, int]] = []
 
-    # ---- salvage healthy rows stranded in invalid bucket dirs ----------
-    # materialize BEFORE the dirs are deleted below
-    centroids = spark.read.parquet(f"{path}/centroids")
-    salvaged = assign_ivf_buckets_fast(
-        corpus.filter(bad_bucket & ~bad_vec).select(*data_cols),
-        centroids, id_col=id_col, vec_col=vec_col,
-    ).localCheckpoint()
-    n_salvaged = salvaged.count()
-
     # ---- plan the in-range partition rewrites ---------------------------
     in_range = corpus.filter(~bad_bucket)
     remove = bad_vec
@@ -404,12 +395,33 @@ def repair_ivf_index(
     if drop_duplicate_ids:
         from pyspark.sql import Window
 
-        w = Window.partitionBy(id_col).orderBy(F.xxhash64(*corpus.columns))
+        # healthy rows MUST rank ahead of corrupt ones: ordering by hash
+        # alone can crown a NULL/wrong-dim copy the winner, and the
+        # healthy copy would then be dropped as a "duplicate loser" — the
+        # id vanishing entirely from the index
+        w = Window.partitionBy(id_col).orderBy(
+            bad_vec.cast("int"), F.xxhash64(*corpus.columns)
+        )
         in_range = in_range.withColumn("__rk", F.row_number().over(w))
         remove = remove | (F.col("__rk") > 1)
         n_dup_losers = in_range.filter(
             (F.col("__rk") > 1) & ~bad_vec
         ).count()
+
+    # ---- salvage healthy rows stranded in invalid bucket dirs ----------
+    # materialized (localCheckpoint) BEFORE any mutation below; under
+    # drop_duplicate_ids a stranded copy whose id survives in range would
+    # re-create the duplicate on append — anti-join it away first
+    centroids = spark.read.parquet(f"{path}/centroids")
+    stranded = corpus.filter(bad_bucket & ~bad_vec).select(*data_cols)
+    if drop_duplicate_ids:
+        survivors = in_range.filter(~remove).select(id_col)
+        stranded = stranded.join(survivors, id_col, "left_anti")
+    salvaged = assign_ivf_buckets_fast(
+        stranded, centroids, id_col=id_col, vec_col=vec_col,
+    ).localCheckpoint()
+    n_salvaged = salvaged.count()
+
     flagged = in_range.filter(remove)
     # bucket ids needing a rewrite: bounded by k, constant driver state
     affected = [
@@ -419,31 +431,47 @@ def repair_ivf_index(
     n_dropped_bad_vec = in_range.filter(bad_vec).count() + corpus.filter(
         bad_bucket & bad_vec
     ).count()
+    fully_emptied: list[int] = []
     if affected:
         keep = (
             in_range.filter(F.col("centroid_id").isin(affected) & ~remove)
             .drop("__rk")
             .localCheckpoint()  # never read files the commit replaces
         )
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                keep.repartition("centroid_id")
-                .write.mode("overwrite").partitionBy("centroid_id")
-                .parquet(f"{path}/corpus")
+        # dynamic overwrite only replaces partitions PRESENT in the
+        # written data — a bucket whose every row is flagged produces no
+        # rows to write and would silently keep its corrupt files; those
+        # buckets are deleted through the FS below instead
+        present = {
+            r["centroid_id"]
+            for r in keep.select("centroid_id").distinct().collect()
+        }
+        fully_emptied = [b for b in affected if b not in present]
+        if present:
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", None
             )
-        finally:
-            if prev is None:
-                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-            else:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                (
+                    keep.repartition("centroid_id")
+                    .write.mode("overwrite").partitionBy("centroid_id")
+                    .parquet(f"{path}/corpus")
+                )
+            finally:
+                if prev is None:
+                    spark.conf.unset(
+                        "spark.sql.sources.partitionOverwriteMode"
+                    )
+                else:
+                    spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", prev
+                    )
 
-    # ---- drop the invalid partition directories wholesale ---------------
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(path).getFileSystem(conf)
+    # ---- drop invalid partition dirs + fully-emptied buckets ------------
+    fs, hpath = _fs(spark, path)
     n_bad_dirs = 0
     corpus_dir = hpath(f"{path}/corpus")
     for st in fs.listStatus(corpus_dir):
@@ -455,6 +483,10 @@ def repair_ivf_index(
         if not ok:
             fs.delete(st.getPath(), True)
             n_bad_dirs += 1
+    for b in fully_emptied:
+        p = hpath(f"{path}/corpus/centroid_id={b}")
+        if fs.exists(p):
+            fs.delete(p, True)
 
     # ---- append the salvaged rows into their correct buckets ------------
     if n_salvaged:
@@ -465,19 +497,32 @@ def repair_ivf_index(
         )
 
     # ---- stale-centroids repair: re-assign everything (opt-in) ----------
+    # the one full-corpus rewrite — protected by the SAME tmp + marker +
+    # idempotent-swap protocol as retrain_ivf_index, never an in-place
+    # overwrite (a crash mid-overwrite would destroy the index, and a
+    # cluster-level partitionOverwriteMode=dynamic default would leave
+    # rows that changed bucket duplicated in their old directories)
     n_reassigned = 0
     if reassign_all:
         healthy = spark.read.parquet(f"{path}/corpus").filter(~bad_vec)
         fresh = assign_ivf_buckets_fast(
             healthy.select(*data_cols), centroids,
             id_col=id_col, vec_col=vec_col,
-        ).localCheckpoint()
-        n_reassigned = fresh.count()
+        )
         (
             fresh.repartition("centroid_id")
             .write.mode("overwrite").partitionBy("centroid_id")
-            .parquet(f"{path}/corpus")
+            .parquet(f"{path}/corpus_tmp")
         )
+        n_reassigned = spark.read.parquet(f"{path}/corpus_tmp").count()
+        _write_retrain_marker(
+            spark, path, int(manifest["iters"]), int(manifest["seed"])
+        )
+        _swap_generations(spark, path)
+        old_p = hpath(f"{path}/corpus_old")
+        if fs.exists(old_p):
+            fs.delete(old_p, True)
+        fs.delete(hpath(f"{path}/retrain_pending"), False)
 
     # ---- manifest self-heal (footer-metadata recount) --------------------
     n_total = spark.read.parquet(f"{path}/corpus").count()
@@ -608,17 +653,14 @@ def _fs(spark: SparkSession, path: str):
     return fs, hpath
 
 
-def _recover_retrain(spark: SparkSession, path: str) -> bool:
-    """Finish a retrain swap interrupted by a crash. The marker file
-    ``retrain_pending`` brackets the swap window; if it exists, each of
-    centroids/corpus is rolled FORWARD (the fully-written ``*_tmp``
-    generation wins — it was completed before the marker was created),
-    the manifest is rewritten against the recovered layout, and the old
-    generations + marker are removed. Returns True if a recovery ran."""
+def _swap_generations(spark: SparkSession, path: str) -> None:
+    """Roll a fully-written ``*_tmp`` generation forward, idempotently:
+    each step is guarded on the tmp dir still existing, so a swap that a
+    concurrent recovery already completed (or half-completed) no-ops the
+    finished parts instead of renaming the NEW generation away. Shared by
+    the retrain writer and the crash-recovery path so both always execute
+    the identical, re-runnable sequence."""
     fs, hpath = _fs(spark, path)
-    marker = hpath(f"{path}/retrain_pending")
-    if not fs.exists(marker):
-        return False
     for name in ("centroids", "corpus"):
         main = hpath(f"{path}/{name}")
         tmp = hpath(f"{path}/{name}_tmp")
@@ -629,16 +671,51 @@ def _recover_retrain(spark: SparkSession, path: str) -> bool:
                     fs.delete(old, True)
                 fs.rename(main, old)
             fs.rename(tmp, main)
-    # manifest may predate the swap (old k / old count): rebuild it from
-    # the recovered layout + the old manifest's identity fields
+
+
+def _write_retrain_marker(
+    spark: SparkSession, path: str, iters: int, seed: int
+) -> None:
+    """The marker both brackets the swap window AND carries the new
+    generation's training settings, so a recovery can record true
+    provenance in the manifest (the old manifest only knows the PREVIOUS
+    generation's iters/seed)."""
+    fs, hpath = _fs(spark, path)
+    out = fs.create(hpath(f"{path}/retrain_pending"), True)
+    out.write(bytearray(f"{iters} {seed}".encode()))
+    out.close()
+
+
+def _recover_retrain(spark: SparkSession, path: str) -> bool:
+    """Finish a retrain swap interrupted by a crash. The marker file
+    ``retrain_pending`` brackets the swap window; if it exists, each of
+    centroids/corpus is rolled FORWARD (the fully-written ``*_tmp``
+    generation wins — it was completed before the marker was created),
+    the manifest is rewritten against the recovered layout with the
+    iters/seed the marker recorded, and the old generations + marker are
+    removed. Returns True if a recovery ran."""
+    fs, hpath = _fs(spark, path)
+    marker = hpath(f"{path}/retrain_pending")
+    if not fs.exists(marker):
+        return False
+    _swap_generations(spark, path)
     old_manifest = spark.read.parquet(f"{path}/manifest").first().asDict()
+    iters, seed = old_manifest["iters"], old_manifest["seed"]
+    try:
+        jvm = spark._jvm
+        text = jvm.org.apache.commons.io.IOUtils.toString(
+            fs.open(marker), "UTF-8"
+        ).strip()
+        if text:
+            iters, seed = (int(x) for x in text.split())
+    except Exception:  # noqa: BLE001 — pre-payload or torn marker: the
+        pass           # old manifest's settings are the best available
     k = spark.read.parquet(f"{path}/centroids").count()
     n = spark.read.parquet(f"{path}/corpus").count()
     _write_manifest(
         spark, path,
         (
-            int(k), old_manifest["dim"], old_manifest["iters"],
-            old_manifest["seed"], n,
+            int(k), old_manifest["dim"], int(iters), int(seed), n,
             old_manifest["id_col"], old_manifest["vec_col"],
         ),
     )
@@ -677,13 +754,19 @@ def retrain_ivf_index(
     audit self-heals first): the tmp generation was complete before the
     marker existed, so finishing the swap is always safe. A crash in 1
     leaves stale tmp dirs and no marker — the next retrain overwrites
-    them; the serving index was never touched.
+    them; the serving index was never touched. Concurrency contract:
+    ONE retrain/repair writer at a time (readers are fine — a reader
+    whose ``_read_manifest`` lands inside the swap window completes the
+    swap itself via the same tmp-guarded idempotent sequence, and the
+    writer's remaining steps no-op).
     """
     manifest = _read_manifest(spark, path)
     id_col, vec_col = manifest["id_col"], manifest["vec_col"]
-    k = int(k or manifest["k"])
-    iters = int(iters or manifest["iters"])
-    seed = int(seed if seed is not None else manifest["seed"])
+    # explicit-0 values are meaningful (iters=0 = deterministic init), so
+    # fall back on None, never on falsiness
+    k = int(manifest["k"] if k is None else k)
+    iters = int(manifest["iters"] if iters is None else iters)
+    seed = int(manifest["seed"] if seed is None else seed)
     corpus = spark.read.parquet(f"{path}/corpus").drop("centroid_id")
 
     centroids = train_ivf_centroids(
@@ -700,20 +783,16 @@ def retrain_ivf_index(
     centroids.write.mode("overwrite").parquet(f"{path}/centroids_tmp")
 
     fs, hpath = _fs(spark, path)
-    fs.create(hpath(f"{path}/retrain_pending"), True).close()
-    for name in ("centroids", "corpus"):
-        main = hpath(f"{path}/{name}")
-        old = hpath(f"{path}/{name}_old")
-        if fs.exists(old):
-            fs.delete(old, True)
-        fs.rename(main, old)
-        fs.rename(hpath(f"{path}/{name}_tmp"), main)
+    _write_retrain_marker(spark, path, iters, seed)
+    _swap_generations(spark, path)
     n = spark.read.parquet(f"{path}/corpus").count()
     _write_manifest(
         spark, path,
         (k, manifest["dim"], iters, seed, n, id_col, vec_col),
     )
     for name in ("centroids_old", "corpus_old"):
-        fs.delete(hpath(f"{path}/{name}"), True)
+        p = hpath(f"{path}/{name}")
+        if fs.exists(p):
+            fs.delete(p, True)
     fs.delete(hpath(f"{path}/retrain_pending"), False)
     return _read_manifest(spark, path)

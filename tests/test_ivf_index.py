@@ -624,3 +624,87 @@ def test_retrain_crash_mid_swap_rolls_forward(spark):
         assert left == {"centroids", "corpus", "manifest"}, left
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_repair_edge_cases_fully_bad_bucket_dup_winner_and_stranded_dup(spark):
+    """Three repair blind spots pinned after review: (1) a bucket whose
+    EVERY row is corrupt gets no rows in the dynamic overwrite (which
+    only replaces partitions present in the written data) and must be
+    deleted through the FS instead of silently surviving; (2) under
+    drop_duplicate_ids a corrupt copy must never win the dedup window
+    over a healthy copy of the same id; (3) a healthy row stranded in an
+    invalid bucket dir whose id ALSO survives in range must not be
+    re-appended as a duplicate."""
+    import os
+
+    from fastembed_rs_spark.operators.ivf_index import (
+        audit_ivf_index,
+        repair_ivf_index,
+    )
+
+    d = tempfile.mkdtemp(prefix="ivf_edge_")
+    try:
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        build_ivf_index(emb, d, k=4, iters=1)
+        corpus = spark.read.parquet(f"{d}/corpus")
+        donor = corpus.filter(F.col("centroid_id") == 0).limit(1) \
+            .drop("centroid_id").localCheckpoint()
+        donor_id = donor.first()["vec_id"]
+
+        # (1) make bucket 2 ALL-corrupt: replace its dir with NULL-vector
+        # copies of its own rows
+        b2 = corpus.filter(F.col("centroid_id") == 2).drop("centroid_id") \
+            .localCheckpoint()
+        n_b2 = b2.count()
+        assert n_b2 > 0
+        shutil.rmtree(f"{d}/corpus/centroid_id=2")
+        (
+            b2.withColumn(
+                "embedding", F.lit(None).cast(b2.schema["embedding"].dataType)
+            )
+            .withColumn("centroid_id", F.lit(2))
+            .write.mode("append").partitionBy("centroid_id")
+            .parquet(f"{d}/corpus")
+        )
+
+        # (2) a NULL-vector duplicate of the donor id, filed in range
+        (
+            donor.withColumn(
+                "embedding",
+                F.lit(None).cast(donor.schema["embedding"].dataType),
+            )
+            .withColumn("centroid_id", F.lit(1))
+            .write.mode("append").partitionBy("centroid_id")
+            .parquet(f"{d}/corpus")
+        )
+
+        # (3) a HEALTHY copy of the donor id stranded out of range
+        (
+            donor.withColumn("centroid_id", F.lit(77))
+            .write.mode("append").partitionBy("centroid_id")
+            .parquet(f"{d}/corpus")
+        )
+
+        rep = {r["action"]: r["n_rows"] for r in repair_ivf_index(
+            spark, d, drop_duplicate_ids=True).collect()}
+        # bucket 2's NULL copies + the in-range NULL dup
+        assert rep["dropped_bad_vectors"] == n_b2 + 1
+        # the stranded healthy copy was anti-joined away, NOT re-appended
+        assert rep["salvaged_reassigned"] == 0
+        assert rep["deleted_invalid_partitions"] == 1  # =77
+
+        back = spark.read.parquet(f"{d}/corpus")
+        # (1) the all-bad bucket is gone entirely
+        assert not os.path.exists(f"{d}/corpus/centroid_id=2")
+        assert back.filter(F.col("centroid_id") == 2).count() == 0
+        # (2)+(3) exactly ONE donor-id row survives, and it is healthy
+        rows = back.filter(F.col("vec_id") == donor_id).collect()
+        assert len(rows) == 1 and rows[0]["embedding"] is not None
+
+        audit = {r["check"]: r for r in audit_ivf_index(
+            spark, d, check_duplicate_ids=True, assignment_sample_mod=1,
+        ).collect()}
+        bad = [c for c, r in audit.items() if not r["ok"]]
+        assert not bad, bad
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
