@@ -215,6 +215,8 @@ HEADLINE = [
     "bigram_surprisal",
     "epoch_shuffle",
     "quality_classifier",
+    # round 9 additions
+    "index_lifecycle_audit",
 ]
 
 

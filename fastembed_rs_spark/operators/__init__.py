@@ -11,6 +11,7 @@ from fastembed_rs_spark.operators.chunk import (  # noqa: F401
     chunk_by_tokens,
 )
 from fastembed_rs_spark.operators.ivf_index import (  # noqa: F401
+    IndexWriterLockHeld,
     append_ivf_index,
     audit_ivf_index,
     build_ivf_index,

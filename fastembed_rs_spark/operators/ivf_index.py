@@ -25,6 +25,10 @@ index is the engine-native replacement at scale.
 
 from __future__ import annotations
 
+import functools
+import time
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -35,6 +39,171 @@ from fastembed_rs_spark.operators.topk import (
 )
 
 
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _read_text(spark: SparkSession, fs, p) -> str:
+    """Read a small FS file fully, ALWAYS closing the stream —
+    commons-io ``IOUtils.toString(InputStream)`` does not close its
+    argument, so the bare call leaked one filesystem stream handle per
+    marker/lock read."""
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+#: default writer-lock lease: a writer that has not refreshed its lock in
+#: this window is presumed dead and its lock may be fenced + taken over
+WRITER_LEASE_MS = 15 * 60 * 1000
+
+
+class IndexWriterLockHeld(RuntimeError):
+    """A second writer tried to mutate the index while another writer's
+    lease is live. The single-writer contract is now ENFORCED, not just
+    documented: every mutating entry point (build/append/repair/compact/
+    retrain) brackets its work in ``_acquire_writer_lock`` /
+    ``_release_writer_lock``."""
+
+
+def _acquire_writer_lock(
+    spark: SparkSession,
+    path: str,
+    lease_ms: int = WRITER_LEASE_MS,
+) -> str:
+    """Fenced single-writer lock for the index at ``path``.
+
+    Protocol (HDFS/posix semantics — atomic exclusive create + atomic
+    rename; on object stores substitute a conditional-put lock service):
+
+    1. exclusive-create ``<path>/writer_lock`` containing
+       ``<owner-token> <epoch-ms>``; success ⇒ we own it;
+    2. if it already exists and its payload timestamp is within
+       ``lease_ms``, raise :class:`IndexWriterLockHeld` — the holder is
+       live;
+    3. stale lease takeover is FENCED through rename: rename the stale
+       lock to a taker-unique name (exactly one of N racing takers wins
+       the rename; the losers' renames return false), delete the renamed
+       carcass, and go back to step 1 — where losing the re-create race
+       to yet another waiter again raises instead of double-owning;
+    4. after a successful create, read the lock back and verify OUR token
+       (belt-and-braces against a takeover that snuck between create and
+       verify when a pathological lease of 0 is configured).
+
+    Returns the owner token to pass to ``_release_writer_lock``.
+    """
+    fs, hpath = _fs(spark, path)
+    lock = hpath(f"{path}/writer_lock")
+    token = uuid.uuid4().hex
+    for _ in range(2):  # initial attempt + one post-takeover retry
+        try:
+            out = fs.create(lock, False)  # overwrite=False: atomic excl.
+            try:
+                out.write(
+                    bytearray(f"{token} {int(time.time() * 1000)}".encode())
+                )
+            finally:
+                out.close()
+        except Exception:  # noqa: BLE001 — lock exists (or create race)
+            try:
+                payload = _read_text(spark, fs, lock).strip()
+                held_ms = int(payload.split()[1])
+            except Exception:  # noqa: BLE001 — torn/vanished lock: treat
+                held_ms = 0    # as stale and contend for the takeover
+            age = int(time.time() * 1000) - held_ms
+            if age <= lease_ms:
+                raise IndexWriterLockHeld(
+                    f"index writer lock at {path}/writer_lock is held "
+                    f"(age {age} ms <= lease {lease_ms} ms); one index "
+                    f"writer at a time — retry after the holder finishes "
+                    f"or its lease expires"
+                ) from None
+            carcass = hpath(f"{path}/writer_lock.stale.{token}")
+            if not fs.rename(lock, carcass):
+                # another taker fenced it first; loop to contend for the
+                # fresh create (their create likely wins → we raise)
+                continue
+            fs.delete(carcass, False)
+            continue
+        # created: verify the fencing read-back
+        owner = _read_text(spark, fs, lock).strip().split()[0]
+        if owner != token:
+            raise IndexWriterLockHeld(
+                f"lost the writer-lock race at {path} (lock owned by "
+                f"{owner!r} after our create)"
+            )
+        return token
+    raise IndexWriterLockHeld(
+        f"could not acquire the index writer lock at {path} after a "
+        f"stale-lease takeover attempt"
+    )
+
+
+def _release_writer_lock(spark: SparkSession, path: str, token: str) -> None:
+    """Release only OUR lock: if the payload no longer starts with our
+    token (a stale-lease takeover happened mid-operation), leave the new
+    owner's lock untouched — deleting it would let a third writer in."""
+    fs, hpath = _fs(spark, path)
+    lock = hpath(f"{path}/writer_lock")
+    try:
+        owner = _read_text(spark, fs, lock).strip().split()[0]
+    except Exception:  # noqa: BLE001 — already gone
+        return
+    if owner == token:
+        fs.delete(lock, False)
+
+
+def _single_writer(fn):
+    """Bracket a mutating index entry point in the fenced writer lock.
+    The wrapped function's first parameter is either the SparkSession or
+    a DataFrame (build/append take the data first); ``path`` is the
+    second. Readers (load/query/audit) take no lock — a reader whose
+    ``_read_manifest`` lands inside a swap window completes the swap via
+    the tmp-guarded idempotent sequence, which is safe concurrently."""
+
+    @functools.wraps(fn)
+    def wrapper(first, *args, **kwargs):
+        path = kwargs.get("path", args[0] if args else None)
+        spark = (
+            first.sparkSession if isinstance(first, DataFrame) else first
+        )
+        token = _acquire_writer_lock(spark, path)
+        try:
+            return fn(first, *args, **kwargs)
+        finally:
+            _release_writer_lock(spark, path, token)
+
+    return wrapper
+
+
+def _clear_stale_tmp(spark: SparkSession, path: str) -> None:
+    """FS-delete leftover ``*_tmp`` generation dirs from a retrain/
+    reassign that crashed in step 1 (before its marker existed). Two
+    hazards if they survive into the next writer's run: (a) the
+    idempotent ``_swap_generations`` swaps BOTH names, so a reassign that
+    wrote only ``corpus_tmp`` would install a stale ``centroids_tmp`` as
+    serving centroids (k mismatch, silent wrong buckets); (b) under a
+    cluster-level ``partitionOverwriteMode=dynamic`` default a plain
+    ``mode=overwrite`` partitioned write only replaces the partitions
+    present in the new data, so a stale tmp written at a different k
+    keeps leftover bucket dirs that would be swapped into the live
+    index. Called at the start of every tmp-writing branch, under the
+    writer lock."""
+    fs, hpath = _fs(spark, path)
+    for name in ("centroids_tmp", "corpus_tmp"):
+        p = hpath(f"{path}/{name}")
+        if fs.exists(p):
+            fs.delete(p, True)
+
+
+@_single_writer
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -153,6 +322,7 @@ def query_ivf_index(
     )
 
 
+@_single_writer
 def append_ivf_index(
     new_vectors: DataFrame,
     path: str,
@@ -332,6 +502,7 @@ def audit_ivf_index(
     )
 
 
+@_single_writer
 def repair_ivf_index(
     spark: SparkSession,
     path: str,
@@ -415,8 +586,32 @@ def repair_ivf_index(
     centroids = spark.read.parquet(f"{path}/centroids")
     stranded = corpus.filter(bad_bucket & ~bad_vec).select(*data_cols)
     if drop_duplicate_ids:
+        # two healthy copies of ONE id can both be stranded in invalid
+        # bucket dirs — the in-range survivors anti-join below cannot see
+        # that pair, so dedupe INSIDE the stranded set first or both get
+        # salvaged and duplicate_ids audits red after its own repair
+        stranded = stranded.dropDuplicates([id_col])
         survivors = in_range.filter(~remove).select(id_col)
         stranded = stranded.join(survivors, id_col, "left_anti")
+    # crash-replay idempotence: the salvage append now happens BEFORE the
+    # invalid dirs are deleted (a crash in between loses nothing), so a
+    # re-run of repair would see the already-appended copies in range AND
+    # still see the stranded originals — skip any stranded row whose
+    # exact content (id + full row hash) already lives in a valid bucket
+    already = (
+        corpus.filter(~bad_bucket)
+        .select(
+            F.col(id_col),
+            F.xxhash64(*[F.col(c) for c in data_cols]).alias("__ch"),
+        )
+    )
+    stranded = (
+        stranded.withColumn(
+            "__ch", F.xxhash64(*[F.col(c) for c in data_cols])
+        )
+        .join(already, [id_col, "__ch"], "left_anti")
+        .drop("__ch")
+    )
     salvaged = assign_ivf_buckets_fast(
         stranded, centroids, id_col=id_col, vec_col=vec_col,
     ).localCheckpoint()
@@ -470,8 +665,32 @@ def repair_ivf_index(
                         "spark.sql.sources.partitionOverwriteMode", prev
                     )
 
-    # ---- drop invalid partition dirs + fully-emptied buckets ------------
+    # ---- drop fully-emptied in-range buckets -----------------------------
+    # safe BEFORE the salvage append: these dirs contain only flagged
+    # (corrupt) rows by construction, and a salvaged row assigned into one
+    # of them must not be deleted with the dir — so empty them first, then
+    # append
     fs, hpath = _fs(spark, path)
+    for b in fully_emptied:
+        p = hpath(f"{path}/corpus/centroid_id={b}")
+        if fs.exists(p):
+            fs.delete(p, True)
+
+    # ---- append the salvaged rows into their correct buckets ------------
+    # BEFORE deleting the invalid partition dirs they came from: the
+    # salvaged rows exist only as a localCheckpoint until this append
+    # commits, so a crash between a dir delete and the append would lose
+    # them permanently — append-first leaves a crash window whose worst
+    # case is a duplicate that the content-hash anti-join above skips on
+    # the re-run
+    if n_salvaged:
+        (
+            salvaged.repartition("centroid_id")
+            .write.mode("append").partitionBy("centroid_id")
+            .parquet(f"{path}/corpus")
+        )
+
+    # ---- drop invalid partition dirs (their healthy rows are now safe) ---
     n_bad_dirs = 0
     corpus_dir = hpath(f"{path}/corpus")
     for st in fs.listStatus(corpus_dir):
@@ -483,18 +702,6 @@ def repair_ivf_index(
         if not ok:
             fs.delete(st.getPath(), True)
             n_bad_dirs += 1
-    for b in fully_emptied:
-        p = hpath(f"{path}/corpus/centroid_id={b}")
-        if fs.exists(p):
-            fs.delete(p, True)
-
-    # ---- append the salvaged rows into their correct buckets ------------
-    if n_salvaged:
-        (
-            salvaged.repartition("centroid_id")
-            .write.mode("append").partitionBy("centroid_id")
-            .parquet(f"{path}/corpus")
-        )
 
     # ---- stale-centroids repair: re-assign everything (opt-in) ----------
     # the one full-corpus rewrite — protected by the SAME tmp + marker +
@@ -504,6 +711,14 @@ def repair_ivf_index(
     # rows that changed bucket duplicated in their old directories)
     n_reassigned = 0
     if reassign_all:
+        # a stale centroids_tmp/corpus_tmp from a retrain that crashed in
+        # step 1 MUST go first: _swap_generations swaps BOTH names, so a
+        # leftover centroids_tmp would be installed as serving centroids
+        # against a corpus we just reassigned to the OLD ones (k mismatch
+        # reported as a successful repair); and under a cluster-level
+        # partitionOverwriteMode=dynamic default the plain overwrite below
+        # would only partially replace a stale corpus_tmp
+        _clear_stale_tmp(spark, path)
         healthy = spark.read.parquet(f"{path}/corpus").filter(~bad_vec)
         fresh = assign_ivf_buckets_fast(
             healthy.select(*data_cols), centroids,
@@ -577,6 +792,7 @@ def index_file_stats(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+@_single_writer
 def compact_ivf_index(
     spark: SparkSession,
     path: str,
@@ -646,13 +862,6 @@ def compact_ivf_index(
     )
 
 
-def _fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, hpath
-
-
 def _swap_generations(spark: SparkSession, path: str) -> None:
     """Roll a fully-written ``*_tmp`` generation forward, idempotently:
     each step is guarded on the tmp dir still existing, so a swap that a
@@ -702,10 +911,7 @@ def _recover_retrain(spark: SparkSession, path: str) -> bool:
     old_manifest = spark.read.parquet(f"{path}/manifest").first().asDict()
     iters, seed = old_manifest["iters"], old_manifest["seed"]
     try:
-        jvm = spark._jvm
-        text = jvm.org.apache.commons.io.IOUtils.toString(
-            fs.open(marker), "UTF-8"
-        ).strip()
+        text = _read_text(spark, fs, marker).strip()
         if text:
             iters, seed = (int(x) for x in text.split())
     except Exception:  # noqa: BLE001 — pre-payload or torn marker: the
@@ -727,6 +933,7 @@ def _recover_retrain(spark: SparkSession, path: str) -> bool:
     return True
 
 
+@_single_writer
 def retrain_ivf_index(
     spark: SparkSession,
     path: str,
@@ -753,12 +960,17 @@ def retrain_ivf_index(
     (invoked from ``_read_manifest``, so every subsequent query/append/
     audit self-heals first): the tmp generation was complete before the
     marker existed, so finishing the swap is always safe. A crash in 1
-    leaves stale tmp dirs and no marker — the next retrain overwrites
-    them; the serving index was never touched. Concurrency contract:
-    ONE retrain/repair writer at a time (readers are fine — a reader
-    whose ``_read_manifest`` lands inside the swap window completes the
-    swap itself via the same tmp-guarded idempotent sequence, and the
-    writer's remaining steps no-op).
+    leaves stale tmp dirs and no marker — FS-deleted at the start of the
+    next retrain/reassign; the serving index was never touched.
+    Concurrency contract: ONE writer at a time, now ENFORCED by the
+    fenced ``writer_lock`` (``_acquire_writer_lock``) every mutating
+    entry point takes — a second concurrent writer raises
+    :class:`IndexWriterLockHeld` instead of interleaving tmp writes with
+    a swap; a writer dead past ``WRITER_LEASE_MS`` is fenced out via
+    rename-takeover. Readers are lock-free — a reader whose
+    ``_read_manifest`` lands inside the swap window completes the swap
+    itself via the same tmp-guarded idempotent sequence, and the
+    writer's remaining steps no-op.
     """
     manifest = _read_manifest(spark, path)
     id_col, vec_col = manifest["id_col"], manifest["vec_col"]
@@ -769,6 +981,12 @@ def retrain_ivf_index(
     seed = int(manifest["seed"] if seed is None else seed)
     corpus = spark.read.parquet(f"{path}/corpus").drop("centroid_id")
 
+    # stale *_tmp from a previous retrain that crashed in step 1: under a
+    # cluster-level partitionOverwriteMode=dynamic default the partitioned
+    # overwrite below only replaces partitions present in the new data, so
+    # a stale tmp written at a different k would keep leftover bucket dirs
+    # and get them swapped into the live index — FS-delete first
+    _clear_stale_tmp(spark, path)
     centroids = train_ivf_centroids(
         corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
     )

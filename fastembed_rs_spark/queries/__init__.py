@@ -355,6 +355,7 @@ from fastembed_rs_spark.queries.monitoring import (  # noqa: F401
     q_dedup_threshold_sweep,
     q_duplicate_cluster_profile,
     q_embedding_bucket_drift,
+    q_index_lifecycle_audit,
     q_kmeans_distortion_ladder,
     q_label_coherence,
     q_leakage_safe_split,
@@ -585,6 +586,8 @@ _DRIVER_PRIORITY: list[str] = [
     "bigram_surprisal",
     "epoch_shuffle",
     "quality_classifier",
+    # round-9 additions
+    "index_lifecycle_audit",
 ]
 
 
@@ -636,9 +639,8 @@ def _last_driver_round() -> dict[str, int]:
 #: CORRECTNESS round — sorted ahead of even never-seen queries so the
 #: driver's ~50-row window re-verifies them THIS round. Refresh per round.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "embedding_spectrum",  # r8: oracle degenerate-spectrum guards
-    "table_profile",       # r8: fill_permille zero-denominator guard
-    "shard_balance_plan",  # r8: load_permille zero-denominator guard
+    # r9: new query (never-seen keys -2 anyway; listed for the audit trail)
+    "index_lifecycle_audit",
 )
 
 

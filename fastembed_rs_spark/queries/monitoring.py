@@ -1978,3 +1978,114 @@ def q_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- synthesized partsupp: the one TPC-H table the driver testdata lacks.
+
+
+# --- persisted IVF index lifecycle, driver-verified -----------------------
+
+_LC_TRAIN_CTES, _LC_CENT = _ivf_train_ctes(k=8, iters=3)
+
+_LIFECYCLE_ORACLE = f"""{_LC_TRAIN_CTES},
+assign AS (
+  SELECT p.vec_id, CAST(c.centroid_id AS BIGINT) AS centroid_id
+  FROM pts p CROSS JOIN {_LC_CENT} c
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+                             ORDER BY round({_dk_cos('p.v', 'c.cv')}, 6) DESC,
+                                      c.centroid_id ASC) = 1
+),
+bat AS (SELECT -(vec_id + 1) AS bid, v FROM pts WHERE vec_id % 97 = 0),
+bassign AS (
+  SELECT b.bid, CAST(c.centroid_id AS BIGINT) AS centroid_id
+  FROM bat b CROSS JOIN {_LC_CENT} c
+  QUALIFY row_number() OVER (PARTITION BY b.bid
+                             ORDER BY round({_dk_cos('b.v', 'c.cv')}, 6) DESC,
+                                      c.centroid_id ASC) = 1
+),
+allrows AS (
+  SELECT centroid_id FROM assign UNION ALL SELECT centroid_id FROM bassign
+),
+tot AS (SELECT CAST(count(*) AS VARCHAR) AS n FROM allrows),
+dd AS (
+  SELECT CAST(min(len(embedding)) AS VARCHAR) AS mn,
+         CAST(max(len(embedding)) AS VARCHAR) AS mx
+  FROM embeddings
+)
+SELECT 'manifest_n_vectors' AS "check", true AS ok,
+       n AS expected, n AS actual FROM tot
+UNION ALL SELECT 'centroid_count', true, '8', '8'
+UNION ALL SELECT 'centroid_dim', true, mn, mn || '..' || mx FROM dd
+UNION ALL SELECT 'corpus_vec_dim', true, mn, mn || '..' || mx FROM dd
+UNION ALL SELECT 'null_vectors', true, '0', '0'
+UNION ALL SELECT 'bucket_ids_in_range', true, '0', '0'
+UNION ALL SELECT 'duplicate_ids', true, '0', '0'
+UNION ALL SELECT 'assignment_sample_mod_1', true, '0', '0'
+UNION ALL
+SELECT 'bucket_rows_' || CAST(centroid_id AS VARCHAR), true,
+       CAST(cnt AS VARCHAR), CAST(cnt AS VARCHAR)
+FROM (SELECT centroid_id, CAST(count(*) AS BIGINT) AS cnt
+      FROM allrows GROUP BY centroid_id)
+"""
+
+
+@q(
+    "index_lifecycle_audit",
+    _LIFECYCLE_ORACLE,
+    "persisted-IVF-index ops loop, driver-verified end-to-end: build "
+    "(k=8/iters=3 trained centroids, hive-partitioned bucket layout, "
+    "crash-safe manifest) -> append a deterministic re-keyed batch "
+    "against the EXISTING centroids (O(batch) ingest) -> full integrity "
+    "audit (manifest count, centroid count/dim, corpus dims, NULLs, "
+    "bucket range, duplicate ids, 100% re-assignment verification) plus "
+    "per-bucket row counts. The oracle replays training as the shared "
+    "chained CTEs (_ivf_train_ctes — same replay cluster_medoids pins), "
+    "re-derives every audited quantity in SQL (total rows, dims, "
+    "per-bucket assignment counts over original ∪ appended batch at "
+    "round-6 argmax with centroid-asc ties), and expects every check "
+    "green — so a wrong bucket assignment, a lost/duplicated appended "
+    "row, or a dim regression anywhere in build/append/audit "
+    "hash-mismatches. Exercises operators/ivf_index.py build_ivf_index/"
+    "append_ivf_index/audit_ivf_index (the repair/retrain arms are "
+    "pytest-pinned: tests/test_ivf_index.py)",
+)
+def q_index_lifecycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from fastembed_rs_spark.operators.ivf_index import (
+        append_ivf_index,
+        audit_ivf_index,
+        build_ivf_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_lifecycle_")
+    try:
+        build_ivf_index(emb, path, k=8, iters=3, seed=42)
+        # deterministic ingest batch: every 97th vector re-keyed to a
+        # fresh (negative) id — assignment is vector-only, so the oracle
+        # reproduces its buckets exactly
+        batch = emb.filter(F.col("vec_id") % 97 == 0).select(
+            (-(F.col("vec_id") + 1)).alias("vec_id"), "embedding"
+        )
+        append_ivf_index(batch, path, check_ids=True)
+        report = audit_ivf_index(
+            spark, path, check_duplicate_ids=True, assignment_sample_mod=1
+        )
+        rows = [
+            (r["check"], bool(r["ok"]), r["expected"], r["actual"])
+            for r in report.collect()
+        ]
+        # per-bucket row counts: bounded by k, read from the hive layout
+        per_bucket = (
+            spark.read.parquet(f"{path}/corpus")
+            .groupBy("centroid_id")
+            .count()
+            .collect()
+        )
+        for r in sorted(per_bucket, key=lambda x: int(x["centroid_id"])):
+            c = str(int(r["count"]))
+            rows.append((f"bucket_rows_{int(r['centroid_id'])}", True, c, c))
+        return spark.createDataFrame(
+            rows, "check string, ok boolean, expected string, actual string"
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

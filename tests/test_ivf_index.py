@@ -708,3 +708,193 @@ def test_repair_edge_cases_fully_bad_bucket_dup_winner_and_stranded_dup(spark):
         assert not bad, bad
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_writer_lock_blocks_second_writer_and_releases(spark):
+    """The single-writer contract is enforced, not documented: while one
+    writer's lease is live every mutating entry point raises
+    IndexWriterLockHeld (simulating a retrain/repair interleaving), and
+    once the holder releases, writers proceed again."""
+    from fastembed_rs_spark.operators.ivf_index import (
+        IndexWriterLockHeld,
+        _acquire_writer_lock,
+        _release_writer_lock,
+        append_ivf_index,
+        compact_ivf_index,
+        repair_ivf_index,
+        retrain_ivf_index,
+    )
+
+    d = tempfile.mkdtemp(prefix="ivf_lock_")
+    try:
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        build_ivf_index(emb, d, k=4, iters=1)
+        batch = emb.limit(3).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+        )
+
+        token = _acquire_writer_lock(spark, d)  # writer A mid-operation
+        for writer in (
+            lambda: append_ivf_index(batch, d),
+            lambda: repair_ivf_index(spark, d),
+            lambda: compact_ivf_index(spark, d),
+            lambda: retrain_ivf_index(spark, d),
+            lambda: build_ivf_index(emb, d, k=4, iters=1),
+        ):
+            with pytest.raises(IndexWriterLockHeld):
+                writer()
+        # the blocked writers must not have leaked a lock of their own
+        assert open(f"{d}/writer_lock").read().split()[0] == token
+
+        _release_writer_lock(spark, d, token)
+        assert append_ivf_index(batch, d) == 3  # lock free -> proceeds
+        import os
+
+        assert not os.path.exists(f"{d}/writer_lock")  # released after
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_writer_lock_stale_lease_takeover_and_foreign_release(spark):
+    """A lock whose lease expired (dead writer) is fenced out via the
+    rename-takeover and a new writer proceeds; releasing with a token
+    that no longer owns the lock leaves the current owner's lock
+    untouched."""
+    import os
+
+    from fastembed_rs_spark.operators.ivf_index import (
+        _acquire_writer_lock,
+        _release_writer_lock,
+    )
+
+    d = tempfile.mkdtemp(prefix="ivf_lock2_")
+    try:
+        os.makedirs(d, exist_ok=True)
+        # dead writer: payload timestamp far in the past
+        with open(f"{d}/writer_lock", "w") as fh:
+            fh.write("deadwriter 1000")
+        token = _acquire_writer_lock(spark, d)  # takeover succeeds
+        assert open(f"{d}/writer_lock").read().split()[0] == token
+
+        # the DEAD writer waking up must not release the new owner's lock
+        _release_writer_lock(spark, d, "deadwriter")
+        assert os.path.exists(f"{d}/writer_lock")
+        assert open(f"{d}/writer_lock").read().split()[0] == token
+
+        _release_writer_lock(spark, d, token)
+        assert not os.path.exists(f"{d}/writer_lock")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_repair_salvage_crash_replay_is_idempotent(spark):
+    """The salvage append now commits BEFORE the invalid dirs are
+    deleted; the crash window between the two leaves the stranded rows
+    duplicated (once appended, once still in the invalid dir). A re-run
+    of repair must skip re-salvaging them (content-hash anti-join) —
+    no duplicates even WITHOUT drop_duplicate_ids."""
+    from fastembed_rs_spark.operators.ivf_index import (
+        audit_ivf_index,
+        repair_ivf_index,
+    )
+
+    d = tempfile.mkdtemp(prefix="ivf_replay_")
+    try:
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        build_ivf_index(emb, d, k=4, iters=1)
+        n0 = spark.read.parquet(f"{d}/corpus").count()
+        donor = spark.read.parquet(f"{d}/corpus").filter(
+            F.col("centroid_id") == 0
+        ).limit(1).drop("centroid_id").localCheckpoint()
+
+        def strand():
+            donor.withColumn(
+                "vec_id", F.lit(990007).cast(donor.schema["vec_id"].dataType)
+            ).withColumn("centroid_id", F.lit(99)).write.mode(
+                "append"
+            ).partitionBy("centroid_id").parquet(f"{d}/corpus")
+
+        strand()
+        rep1 = {r["action"]: r["n_rows"] for r in repair_ivf_index(
+            spark, d).collect()}
+        assert rep1["salvaged_reassigned"] == 1
+
+        # crash replay: the SAME stranded row reappears in the invalid dir
+        # (as if the crash hit between the append and the dir delete)
+        strand()
+        rep2 = {r["action"]: r["n_rows"] for r in repair_ivf_index(
+            spark, d).collect()}
+        assert rep2["salvaged_reassigned"] == 0  # exact copy skipped
+        assert rep2["deleted_invalid_partitions"] == 1
+        assert rep2["manifest_n_vectors"] == n0 + 1
+
+        back = spark.read.parquet(f"{d}/corpus")
+        assert back.filter(F.col("vec_id") == 990007).count() == 1
+        audit = {r["check"]: r for r in audit_ivf_index(
+            spark, d, check_duplicate_ids=True).collect()}
+        bad = [c for c, r in audit.items() if not r["ok"]]
+        assert not bad, bad
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stranded_twin_copies_and_stale_tmp_generations(spark):
+    """Two review blind spots: (1) TWO healthy copies of one NEW id both
+    stranded in invalid bucket dirs — under drop_duplicate_ids exactly
+    one may be salvaged or duplicate_ids audits red after its own
+    repair; (2) stale *_tmp dirs from a retrain that crashed in step 1
+    must be FS-deleted by the next reassign_all/retrain, never swapped
+    in (a stale centroids_tmp at a different k would become the serving
+    centroids)."""
+    import os
+
+    from fastembed_rs_spark.operators.ivf_index import (
+        audit_ivf_index,
+        repair_ivf_index,
+    )
+
+    d = tempfile.mkdtemp(prefix="ivf_twin_")
+    try:
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        build_ivf_index(emb, d, k=8, iters=1)
+        n0 = spark.read.parquet(f"{d}/corpus").count()
+        donor = spark.read.parquet(f"{d}/corpus").filter(
+            F.col("centroid_id") == 0
+        ).limit(1).drop("centroid_id").localCheckpoint()
+
+        # (1) twin healthy copies of a NEW id in two invalid dirs
+        for bucket in (77, 88):
+            donor.withColumn(
+                "vec_id", F.lit(880001).cast(donor.schema["vec_id"].dataType)
+            ).withColumn("centroid_id", F.lit(bucket)).write.mode(
+                "append"
+            ).partitionBy("centroid_id").parquet(f"{d}/corpus")
+
+        # (2) stale tmp generations from a crashed k=3 retrain attempt
+        train_ivf_centroids(emb, k=3, iters=0, seed=9).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/centroids_tmp")
+        donor.withColumn("centroid_id", F.lit(1)).limit(1).write.mode(
+            "overwrite"
+        ).partitionBy("centroid_id").parquet(f"{d}/corpus_tmp")
+
+        rep = {r["action"]: r["n_rows"] for r in repair_ivf_index(
+            spark, d, drop_duplicate_ids=True, reassign_all=True,
+        ).collect()}
+        assert rep["salvaged_reassigned"] == 1  # one twin, not both
+        assert rep["manifest_n_vectors"] == n0 + 1
+
+        # stale tmp was purged, NOT installed: still k=8 serving centroids
+        assert spark.read.parquet(f"{d}/centroids").count() == 8
+        assert not os.path.exists(f"{d}/centroids_tmp")
+        assert not os.path.exists(f"{d}/corpus_tmp")
+        back = spark.read.parquet(f"{d}/corpus")
+        assert back.filter(F.col("vec_id") == 880001).count() == 1
+
+        audit = {r["check"]: r for r in audit_ivf_index(
+            spark, d, check_duplicate_ids=True, assignment_sample_mod=1,
+        ).collect()}
+        bad = [c for c, r in audit.items() if not r["ok"]]
+        assert not bad, bad
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
