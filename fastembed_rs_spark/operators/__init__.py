@@ -10,6 +10,16 @@ from fastembed_rs_spark.operators.chunk import (  # noqa: F401
     chunk_by_chars,
     chunk_by_tokens,
 )
+from fastembed_rs_spark.operators.curation_store import (  # noqa: F401
+    CurationStore,
+    build_curation_store,
+    cluster_profile_from_store,
+    component_summary_from_store,
+    keep_best_from_store,
+    leakage_safe_split_from_store,
+    load_curation_store,
+    soft_dedup_weights_from_store,
+)
 from fastembed_rs_spark.operators.ivf_index import (  # noqa: F401
     IndexWriterLockHeld,
     append_ivf_index,

@@ -861,6 +861,7 @@ def keep_best_representative(
     pairs: DataFrame,
     id_col: str = "doc_id",
     score_col: str = "quality",
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster near-dup ``pairs`` and keep the highest-``score_col`` doc of
     every cluster — the curation step that decides WHICH duplicate survives.
@@ -883,7 +884,15 @@ def keep_best_representative(
 
     from fastembed_rs_spark.operators.components import connected_components
 
-    labels = connected_components(pairs.select("id_a", "id_b"))
+    # ``labels``: precomputed (node, comp) — e.g. read from a persisted
+    # curation store (operators/curation_store.py) so N downstream
+    # consumers pay the pair+CC cost once, not once each; must be the CC
+    # labels OF ``pairs`` (identical semantics either way — pinned by
+    # tests/test_curation_store.py parity)
+    if labels is None:
+        labels = connected_components(pairs.select("id_a", "id_b"))
+    else:
+        labels = labels.select("node", "comp")
     base = docs.select(id_col, score_col).join(
         labels, docs[id_col] == labels["node"], "left"
     )
