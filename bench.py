@@ -217,7 +217,44 @@ HEADLINE = [
     "quality_classifier",
     # round 9 additions
     "index_lifecycle_audit",
+    "index_repair_audit",
 ]
+
+
+def mt_matmul_probe() -> float:
+    """Just the 32-thread matmul wall-clock (the ``mt_matmul_s`` calib
+    key), standalone — importable by measurement tools (tools/
+    scale_proof.py) that gate each measurement window on the host being
+    at floor instead of discovering a throttle window after the fact.
+    Min-of-3 pools, identical math to the `_calibrate` probe."""
+    import threading
+
+    import numpy as np
+
+    n_thr = min(32, os.cpu_count() or 1)
+    mats = [
+        np.random.default_rng(i).random((128, 128)) for i in range(n_thr)
+    ]
+
+    def _mm(i: int) -> None:
+        m = mats[i]
+        for _ in range(400):
+            m = 0.5 * (m @ m)
+            m /= np.abs(m).max() + 1e-9
+
+    def _pool() -> float:
+        threads = [
+            threading.Thread(target=_mm, args=(i,)) for i in range(n_thr)
+        ]
+        t0 = time.time()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        return time.time() - t0
+
+    _mm(0)  # page in BLAS once, off the clock
+    return min(_pool() for _ in range(3))
 
 
 def _calibrate() -> dict:

@@ -356,6 +356,7 @@ from fastembed_rs_spark.queries.monitoring import (  # noqa: F401
     q_duplicate_cluster_profile,
     q_embedding_bucket_drift,
     q_index_lifecycle_audit,
+    q_index_repair_audit,
     q_kmeans_distortion_ladder,
     q_label_coherence,
     q_leakage_safe_split,
@@ -588,6 +589,7 @@ _DRIVER_PRIORITY: list[str] = [
     "quality_classifier",
     # round-9 additions
     "index_lifecycle_audit",
+    "index_repair_audit",
 ]
 
 
@@ -639,8 +641,9 @@ def _last_driver_round() -> dict[str, int]:
 #: CORRECTNESS round — sorted ahead of even never-seen queries so the
 #: driver's ~50-row window re-verifies them THIS round. Refresh per round.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # r9: new query (never-seen keys -2 anyway; listed for the audit trail)
+    # r9: new queries (never-seen keys -2 anyway; listed for the audit trail)
     "index_lifecycle_audit",
+    "index_repair_audit",
 )
 
 

@@ -2089,3 +2089,141 @@ def q_index_lifecycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+_RA_TRAIN_CTES, _RA_CENT = _ivf_train_ctes(k=4, iters=1, prefix="ra")
+
+_REPAIR_ORACLE = f"""{_RA_TRAIN_CTES},
+assign AS (
+  SELECT p.vec_id, CAST(c.centroid_id AS BIGINT) AS centroid_id
+  FROM pts p CROSS JOIN {_RA_CENT} c
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+                             ORDER BY round({_dk_cos('p.v', 'c.cv')}, 6) DESC,
+                                      c.centroid_id ASC) = 1
+),
+tot AS (SELECT CAST(count(*) + 1 AS VARCHAR) AS n FROM assign),
+dd AS (
+  SELECT CAST(min(len(embedding)) AS VARCHAR) AS mn,
+         CAST(max(len(embedding)) AS VARCHAR) AS mx
+  FROM embeddings
+),
+b0 AS (SELECT centroid_id AS c0 FROM assign WHERE vec_id = 0),
+counts AS (
+  SELECT centroid_id,
+         CAST(count(*) + CASE WHEN centroid_id = (SELECT c0 FROM b0)
+                              THEN 1 ELSE 0 END AS BIGINT) AS cnt
+  FROM assign GROUP BY centroid_id
+)
+SELECT 'repair_dropped_bad_vectors' AS "check", true AS ok,
+       '2' AS expected, '2' AS actual
+UNION ALL SELECT 'repair_salvaged_reassigned', true, '1', '1'
+UNION ALL SELECT 'repair_dropped_duplicate_ids', true, '0', '0'
+UNION ALL SELECT 'repair_deleted_invalid_partitions', true, '1', '1'
+UNION ALL SELECT 'repair_reassigned_all', true, '0', '0'
+UNION ALL SELECT 'repair_manifest_n_vectors', true, n, n FROM tot
+UNION ALL SELECT 'manifest_n_vectors', true, n, n FROM tot
+UNION ALL SELECT 'centroid_count', true, '4', '4'
+UNION ALL SELECT 'centroid_dim', true, mn, mn || '..' || mx FROM dd
+UNION ALL SELECT 'corpus_vec_dim', true, mn, mn || '..' || mx FROM dd
+UNION ALL SELECT 'null_vectors', true, '0', '0'
+UNION ALL SELECT 'bucket_ids_in_range', true, '0', '0'
+UNION ALL SELECT 'duplicate_ids', true, '0', '0'
+UNION ALL SELECT 'assignment_sample_mod_1', true, '0', '0'
+UNION ALL
+SELECT 'bucket_rows_' || CAST(centroid_id AS VARCHAR), true,
+       CAST(cnt AS VARCHAR), CAST(cnt AS VARCHAR)
+FROM counts
+"""
+
+
+@q(
+    "index_repair_audit",
+    _REPAIR_ORACLE,
+    "persisted-IVF-index REPAIR arm, driver-verified end-to-end: build "
+    "(k=4/iters=1), plant three deterministic corruptions (a wrong-dim "
+    "vector filed in-range, a NULL vector filed in-range, a healthy row "
+    "stranded in an out-of-range bucket dir), run repair_ivf_index, then "
+    "re-audit + per-bucket counts. Output rows carry the repair action "
+    "report (the two bad vectors DROPPED, the stranded healthy row "
+    "SALVAGED into its correct bucket, the invalid partition dir "
+    "deleted, manifest recounted) followed by the full post-repair "
+    "integrity audit — every check must be green — and the final bucket "
+    "occupancy. The oracle replays the k=4 training CTEs, re-derives the "
+    "post-repair corpus in SQL (original assignment + the salvaged "
+    "copy of vec 0 landing in vec 0's bucket), and pins every action "
+    "count as a constant — so a repair that loses the stranded row, "
+    "keeps a corrupt one, or mis-buckets the salvage hash-mismatches. "
+    "Exercises operators/ivf_index.py repair_ivf_index (crash-window "
+    "ordering + content-hash replay idempotence are pytest-pinned: "
+    "tests/test_ivf_index.py)",
+)
+def q_index_repair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from fastembed_rs_spark.operators.ivf_index import (
+        audit_ivf_index,
+        build_ivf_index,
+        repair_ivf_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    n_emb = emb.count()
+    path = tempfile.mkdtemp(prefix="ivf_repair_audit_")
+    try:
+        build_ivf_index(emb, path, k=4, iters=1, seed=42)
+        donor = emb.filter(F.col("vec_id") == 0)
+
+        def plant(vid: int, vec_expr, bucket: int) -> None:
+            (
+                donor.select(
+                    F.lit(vid).cast("long").alias("vec_id"),
+                    vec_expr.alias("embedding"),
+                    "label",
+                )
+                .withColumn("centroid_id", F.lit(bucket))
+                .write.mode("append")
+                .partitionBy("centroid_id")
+                .parquet(f"{path}/corpus")
+            )
+
+        plant(-1, F.slice("embedding", 1, 32), 0)              # wrong dim
+        plant(-2, F.lit(None).cast("array<float>"), 1)         # NULL vec
+        plant(-3, F.col("embedding"), 99)                      # stranded
+
+        expect = {
+            "dropped_bad_vectors": 2,
+            "salvaged_reassigned": 1,
+            "dropped_duplicate_ids": 0,
+            "deleted_invalid_partitions": 1,
+            "reassigned_all": 0,
+            "manifest_n_vectors": n_emb + 1,
+        }
+        rows = []
+        for r in repair_ivf_index(spark, path).collect():
+            want = expect[r["action"]]
+            rows.append((
+                f"repair_{r['action']}", int(r["n_rows"]) == want,
+                str(want), str(int(r["n_rows"])),
+            ))
+        report = audit_ivf_index(
+            spark, path, check_duplicate_ids=True, assignment_sample_mod=1
+        )
+        rows += [
+            (r["check"], bool(r["ok"]), r["expected"], r["actual"])
+            for r in report.collect()
+        ]
+        per_bucket = (
+            spark.read.parquet(f"{path}/corpus")
+            .groupBy("centroid_id")
+            .count()
+            .collect()
+        )
+        for r in sorted(per_bucket, key=lambda x: int(x["centroid_id"])):
+            c = str(int(r["count"]))
+            rows.append((f"bucket_rows_{int(r['centroid_id'])}", True, c, c))
+        return spark.createDataFrame(
+            rows, "check string, ok boolean, expected string, actual string"
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

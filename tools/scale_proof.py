@@ -83,15 +83,60 @@ QUERIES = [
     "shard_balance_plan",
     "embedding_spectrum",
     "label_coherence",
+    # r9 addition: the persisted-index lifecycle (build -> append ->
+    # full audit incl. 100% re-assignment) — train is fixed-cost, the
+    # assign/audit scans are linear in the corpus, writes are
+    # partitioned appends; expect job-count-dominated, far below 10x
+    "index_lifecycle_audit",
 ]
 
 MARKER = "## sf1 scale proof"
+
+
+#: refuse to measure on a throttled host: above this 32-thread matmul
+#: probe reading the ratios are host noise, not shapes (r8 finding — a
+#: throttle-window run produced a self-evidently bogus 0.5x leg). The
+#: floor on the round-7/8/9 hosts is ~2.07 but idles at 2.2-2.35 for
+#: long stretches; 2.6 (~1.25x floor) still excludes every observed
+#: throttle regime (3-7x floor), and because BOTH legs of a ratio sit
+#: inside one floor-to-floor bracketed window, sub-1.25x drift cancels
+#: in the ratio.
+MT_MATMUL_GATE_S = 2.6
 
 
 def main() -> int:
     if not os.path.exists(f"{SF1}/documents.parquet"):
         print("run tools/gen_scale_fixture.py first", file=sys.stderr)
         return 1
+
+    from bench import _calibrate, mt_matmul_probe
+
+    def wait_floor(max_wait_s: float = 1800.0) -> float:
+        """Block until the 32-thread probe reads at/below the gate; this
+        host flips between floor (~2.07) and 3-7x throttle on a minutes
+        scale, so refusing once and giving up wastes the calm windows."""
+        waited = 0.0
+        while True:
+            mt = mt_matmul_probe()
+            if mt <= MT_MATMUL_GATE_S:
+                return mt
+            if waited >= max_wait_s:
+                print(
+                    f"REFUSED: host still throttled after {waited:.0f}s "
+                    f"(last mt_matmul_s={mt:.2f} > {MT_MATMUL_GATE_S})",
+                    file=sys.stderr,
+                )
+                raise SystemExit(3)
+            print(
+                f"# throttled (mt_matmul_s={mt:.2f}); sleeping 45s",
+                file=sys.stderr,
+            )
+            time.sleep(45.0)
+            waited += 45.0
+
+    wait_floor()
+    calib = _calibrate()
+    print(f"# calib: {calib}", file=sys.stderr)
 
     from fastembed_rs_spark.queries import all_queries
     from fastembed_rs_spark.session import get_spark
@@ -104,16 +149,35 @@ def main() -> int:
     rows = []
     for name in QUERIES:
         spec = catalog[name]
-        times = []
-        for sf_dir in (SF01, SF1):
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                spec.spark(spark, sf_dir).write.mode("overwrite").format(
-                    "noop"
-                ).save()
-                best = min(best, time.time() - t0)
-            times.append(best)
+        # gate EVERY measurement window, and re-measure if the window went
+        # dirty mid-flight: the r8 re-run landed in a throttle window and
+        # recorded a self-evidently bogus 0.5x ratio — floor-to-floor
+        # bracketing per query makes that structurally impossible (up to
+        # 3 attempts; a window that never comes clean aborts the proof
+        # rather than committing a poisoned row)
+        for attempt in range(3):
+            wait_floor()
+            times = []
+            for sf_dir in (SF01, SF1):
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    spec.spark(spark, sf_dir).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+                    best = min(best, time.time() - t0)
+                times.append(best)
+            mt_after = mt_matmul_probe()
+            if mt_after <= MT_MATMUL_GATE_S:
+                break
+            print(
+                f"# {name}: window went dirty (mt_matmul_s={mt_after:.2f}"
+                f" after run) — re-measuring", file=sys.stderr,
+            )
+        else:
+            print(f"REFUSED: {name} never measured in a clean window",
+                  file=sys.stderr)
+            return 3
         rows.append((name, *times, times[1] / max(times[0], 1e-9)))
         print(f"# {name}: sf0.1 {times[0]:.2f}s  sf1 {times[1]:.2f}s  "
               f"x{times[1] / max(times[0], 1e-9):.1f}", file=sys.stderr)
@@ -127,7 +191,11 @@ def main() -> int:
         "session, min of 2 runs, noop sink. `x/10x` reads like the main",
         "table: ≪10 = still fixed-cost dominated, ≈10 = linear, ≫10 =",
         "super-linear shape that would not survive 100 TB. Generated by",
-        "`python tools/scale_proof.py`.",
+        "`python tools/scale_proof.py`; every query's measurement window",
+        "is floor-to-floor bracketed by the 32-thread `mt_matmul_s` probe",
+        f"(gate ≤ {MT_MATMUL_GATE_S}; dirty windows re-measured), so no",
+        "row can be a throttle artifact (the r8 failure mode).",
+        f"Start-of-run calib: `{calib}`.",
         "",
         "| query | sf0.1 s | sf1 s | x/10x |",
         "|---|---|---|---|",
