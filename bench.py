@@ -221,12 +221,15 @@ HEADLINE = [
 ]
 
 
-def mt_matmul_probe() -> float:
+def mt_matmul_probe(pools: int = 3) -> float:
     """Just the 32-thread matmul wall-clock (the ``mt_matmul_s`` calib
     key), standalone — importable by measurement tools (tools/
     scale_proof.py) that gate each measurement window on the host being
     at floor instead of discovering a throttle window after the fact.
-    Min-of-3 pools, identical math to the `_calibrate` probe."""
+    Min-of-``pools`` pools (default 3, identical math to the
+    `_calibrate` probe); pass ``pools=1`` for a cheap is-it-still-
+    throttled poll — on a usage-credit host a spinning 3-pool probe
+    while throttled can itself prolong the throttle."""
     import threading
 
     import numpy as np
@@ -254,7 +257,7 @@ def mt_matmul_probe() -> float:
         return time.time() - t0
 
     _mm(0)  # page in BLAS once, off the clock
-    return min(_pool() for _ in range(3))
+    return min(_pool() for _ in range(pools))
 
 
 def _calibrate() -> dict:
