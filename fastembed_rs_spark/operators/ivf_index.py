@@ -85,9 +85,10 @@ def _acquire_writer_lock(
 
     1. exclusive-create ``<path>/writer_lock`` containing
        ``<owner-token> <epoch-ms>``; success ⇒ we own it;
-    2. if it already exists and its payload timestamp is within
-       ``lease_ms``, raise :class:`IndexWriterLockHeld` — the holder is
-       live;
+    2. if it already exists and its lease is live — the LATER of the
+       payload timestamp and the file's modification time (the heartbeat
+       refreshes mtime via ``setTimes``, never content) is within
+       ``lease_ms`` — raise :class:`IndexWriterLockHeld`;
     3. stale lease takeover is FENCED through rename: rename the stale
        lock to a taker-unique name (exactly one of N racing takers wins
        the rename; the losers' renames return false), delete the renamed
@@ -112,11 +113,20 @@ def _acquire_writer_lock(
             finally:
                 out.close()
         except Exception:  # noqa: BLE001 — lock exists (or create race)
+            held_ms = 0
             try:
                 payload = _read_text(spark, fs, lock).strip()
                 held_ms = int(payload.split()[1])
             except Exception:  # noqa: BLE001 — torn/vanished lock: treat
-                held_ms = 0    # as stale and contend for the takeover
+                pass           # as stale and contend for the takeover
+            try:
+                # the heartbeat refreshes mtime, not content: a live
+                # long-running writer keeps its lease through setTimes
+                held_ms = max(
+                    held_ms, fs.getFileStatus(lock).getModificationTime()
+                )
+            except Exception:  # noqa: BLE001 — vanished mid-race
+                pass
             age = int(time.time() * 1000) - held_ms
             if age <= lease_ms:
                 raise IndexWriterLockHeld(
@@ -160,8 +170,57 @@ def _release_writer_lock(spark: SparkSession, path: str, token: str) -> None:
         fs.delete(lock, False)
 
 
+def _start_lock_heartbeat(
+    spark: SparkSession,
+    path: str,
+    token: str,
+    interval_s: float | None = None,
+):
+    """Keep a held lock's lease fresh for as long as the operation runs —
+    a retrain over a 100 TB corpus can easily outlive a fixed lease, and
+    without a heartbeat a WAITING writer would fence out the LIVE one
+    mid-write. A daemon thread refreshes the lock's mtime with
+    ``fs.setTimes`` every ``lease/3`` — mtime-only, never content, so a
+    concurrent staleness read can never observe a torn payload; if the
+    lock vanished or changed owner (we were fenced while genuinely
+    stalled past a full lease), the heartbeat stops silently — the
+    token-guarded release then leaves the new owner's lock alone.
+    Clock note: lease staleness compares this process's clock against
+    payload/mtime stamps written by (possibly) another machine — keep
+    ``WRITER_LEASE_MS`` margins far above any realistic skew.
+
+    Returns a ``stop()`` callable; call it before releasing."""
+    import threading
+
+    if interval_s is None:
+        interval_s = WRITER_LEASE_MS / 3000.0
+    stop = threading.Event()
+    fs, hpath = _fs(spark, path)
+    lock = hpath(f"{path}/writer_lock")
+
+    def beat() -> None:
+        while not stop.wait(interval_s):
+            try:
+                if _read_text(spark, fs, lock).strip().split()[0] != token:
+                    return  # fenced out: never refresh someone else's lock
+                now = int(time.time() * 1000)
+                fs.setTimes(lock, now, now)
+            except Exception:  # noqa: BLE001 — lock gone / FS hiccup:
+                return         # stop beating; the lease will just expire
+
+    th = threading.Thread(target=beat, daemon=True, name="ivf-lock-hb")
+    th.start()
+
+    def stopper() -> None:
+        stop.set()
+        th.join(timeout=5.0)
+
+    return stopper
+
+
 def _single_writer(fn):
-    """Bracket a mutating index entry point in the fenced writer lock.
+    """Bracket a mutating index entry point in the fenced writer lock,
+    with a lease heartbeat for the duration of the operation.
     The wrapped function's first parameter is either the SparkSession or
     a DataFrame (build/append take the data first); ``path`` is the
     second. Readers (load/query/audit) take no lock — a reader whose
@@ -175,9 +234,11 @@ def _single_writer(fn):
             first.sparkSession if isinstance(first, DataFrame) else first
         )
         token = _acquire_writer_lock(spark, path)
+        stop_hb = _start_lock_heartbeat(spark, path, token)
         try:
             return fn(first, *args, **kwargs)
         finally:
+            stop_hb()
             _release_writer_lock(spark, path, token)
 
     return wrapper

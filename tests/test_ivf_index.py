@@ -770,9 +770,12 @@ def test_writer_lock_stale_lease_takeover_and_foreign_release(spark):
     d = tempfile.mkdtemp(prefix="ivf_lock2_")
     try:
         os.makedirs(d, exist_ok=True)
-        # dead writer: payload timestamp far in the past
+        # dead writer: payload timestamp AND mtime far in the past (the
+        # heartbeat keeps a live writer's mtime fresh, so staleness is
+        # max(payload ts, mtime) — both must be old for a takeover)
         with open(f"{d}/writer_lock", "w") as fh:
             fh.write("deadwriter 1000")
+        os.utime(f"{d}/writer_lock", (1.0, 1.0))
         token = _acquire_writer_lock(spark, d)  # takeover succeeds
         assert open(f"{d}/writer_lock").read().split()[0] == token
 
@@ -896,5 +899,42 @@ def test_stranded_twin_copies_and_stale_tmp_generations(spark):
         ).collect()}
         bad = [c for c, r in audit.items() if not r["ok"]]
         assert not bad, bad
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_writer_lock_heartbeat_extends_live_lease(spark):
+    """A LIVE long-running writer must never be fenced out by a waiting
+    writer: the heartbeat refreshes the lock's mtime (content untouched),
+    so staleness — max(payload ts, mtime) — stays fresh past the payload
+    timestamp. Once the heartbeat stops, the lease expires and takeover
+    proceeds."""
+    import os
+    import time as _time
+
+    from fastembed_rs_spark.operators.ivf_index import (
+        IndexWriterLockHeld,
+        _acquire_writer_lock,
+        _release_writer_lock,
+        _start_lock_heartbeat,
+    )
+
+    d = tempfile.mkdtemp(prefix="ivf_hb_")
+    try:
+        os.makedirs(d, exist_ok=True)
+        token = _acquire_writer_lock(spark, d)
+        stop = _start_lock_heartbeat(spark, d, token, interval_s=0.2)
+        _time.sleep(1.2)  # payload ts is now > 1.0s old, mtime is fresh
+        with pytest.raises(IndexWriterLockHeld):
+            _acquire_writer_lock(spark, d, lease_ms=1000)
+        stop()
+        _time.sleep(1.2)  # no more beats: lease 1000ms expires
+        token2 = _acquire_writer_lock(spark, d, lease_ms=1000)
+        assert token2 != token
+        # the fenced original must not release the new owner's lock
+        _release_writer_lock(spark, d, token)
+        assert open(f"{d}/writer_lock").read().split()[0] == token2
+        _release_writer_lock(spark, d, token2)
+        assert not os.path.exists(f"{d}/writer_lock")
     finally:
         shutil.rmtree(d, ignore_errors=True)
