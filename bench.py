@@ -218,6 +218,7 @@ HEADLINE = [
     # round 9 additions
     "index_lifecycle_audit",
     "index_repair_audit",
+    "index_retrain_compact_audit",
 ]
 
 

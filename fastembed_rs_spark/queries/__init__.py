@@ -357,6 +357,7 @@ from fastembed_rs_spark.queries.monitoring import (  # noqa: F401
     q_embedding_bucket_drift,
     q_index_lifecycle_audit,
     q_index_repair_audit,
+    q_index_retrain_compact_audit,
     q_kmeans_distortion_ladder,
     q_label_coherence,
     q_leakage_safe_split,
@@ -590,6 +591,7 @@ _DRIVER_PRIORITY: list[str] = [
     # round-9 additions
     "index_lifecycle_audit",
     "index_repair_audit",
+    "index_retrain_compact_audit",
 ]
 
 
@@ -644,6 +646,7 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # r9: new queries (never-seen keys -2 anyway; listed for the audit trail)
     "index_lifecycle_audit",
     "index_repair_audit",
+    "index_retrain_compact_audit",
 )
 
 

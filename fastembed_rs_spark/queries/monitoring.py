@@ -2227,3 +2227,140 @@ def q_index_repair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+_RT_TRAIN_CTES, _RT_CENT = _ivf_train_ctes(k=8, iters=1, prefix="rt")
+
+_RETRAIN_ORACLE = f"""{_RT_TRAIN_CTES},
+assign AS (
+  SELECT p.vec_id, CAST(c.centroid_id AS BIGINT) AS centroid_id
+  FROM pts p CROSS JOIN {_RT_CENT} c
+  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+                             ORDER BY round({_dk_cos('p.v', 'c.cv')}, 6) DESC,
+                                      c.centroid_id ASC) = 1
+),
+bat AS (SELECT -(vec_id + 1) AS bid, v FROM pts WHERE vec_id % 101 = 0),
+bassign AS (
+  SELECT b.bid, CAST(c.centroid_id AS BIGINT) AS centroid_id
+  FROM bat b CROSS JOIN {_RT_CENT} c
+  QUALIFY row_number() OVER (PARTITION BY b.bid
+                             ORDER BY round({_dk_cos('b.v', 'c.cv')}, 6) DESC,
+                                      c.centroid_id ASC) = 1
+),
+allrows AS (
+  SELECT centroid_id FROM assign UNION ALL SELECT centroid_id FROM bassign
+),
+tot AS (SELECT CAST(count(*) AS VARCHAR) AS n FROM allrows),
+dd AS (
+  SELECT CAST(min(len(embedding)) AS VARCHAR) AS mn,
+         CAST(max(len(embedding)) AS VARCHAR) AS mx
+  FROM embeddings
+),
+counts AS (
+  SELECT centroid_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM allrows GROUP BY centroid_id
+)
+SELECT 'retrained_k' AS "check", true AS ok, '8' AS expected, '8' AS actual
+UNION ALL SELECT 'manifest_n_vectors', true, n, n FROM tot
+UNION ALL SELECT 'centroid_count', true, '8', '8'
+UNION ALL SELECT 'centroid_dim', true, mn, mn || '..' || mx FROM dd
+UNION ALL SELECT 'corpus_vec_dim', true, mn, mn || '..' || mx FROM dd
+UNION ALL SELECT 'null_vectors', true, '0', '0'
+UNION ALL SELECT 'bucket_ids_in_range', true, '0', '0'
+UNION ALL SELECT 'duplicate_ids', true, '0', '0'
+UNION ALL SELECT 'assignment_sample_mod_1', true, '0', '0'
+UNION ALL
+SELECT 'bucket_rows_' || CAST(centroid_id AS VARCHAR), true,
+       CAST(cnt AS VARCHAR), CAST(cnt AS VARCHAR)
+FROM counts
+UNION ALL
+SELECT 'bucket_files_' || CAST(centroid_id AS VARCHAR), true, '1', '1'
+FROM counts
+"""
+
+
+@q(
+    "index_retrain_compact_audit",
+    _RETRAIN_ORACLE,
+    "persisted-IVF-index RETRAIN + COMPACT arms, driver-verified: build "
+    "at k=4/iters=1, retrain to k=8/iters=1 (full generation swap: new "
+    "centroids trained on the current corpus, corpus re-assigned and "
+    "re-written through the tmp+marker protocol, manifest rewritten), "
+    "append a deterministic re-keyed batch against the NEW centroids, "
+    "then compact the two-file buckets the append fragmented back to one "
+    "file each, and audit. The oracle replays the k=8 training CTEs over "
+    "the SAME corpus the retrain saw (retrain-before-append, so training "
+    "input = the original embeddings) and pins the end state: k=8 "
+    "centroids serving (a swap that installed a stale generation or "
+    "failed mid-way leaves k=4 or mismatched assignments — hash "
+    "mismatch), every row in its k=8 bucket (100% re-assignment check), "
+    "per-bucket occupancy over original ∪ batch, and exactly ONE file "
+    "per bucket after compaction (retrain writes one file per bucket, "
+    "the append adds a second to touched buckets, compact's salted "
+    "rewrite collapses them; rows byte-identical, pinned by the same "
+    "audit). Exercises retrain_ivf_index + compact_ivf_index + "
+    "index_file_stats end-to-end (crash/swap protocol itself is "
+    "pytest-pinned: tests/test_ivf_index.py)",
+)
+def q_index_retrain_compact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from fastembed_rs_spark.operators.ivf_index import (
+        append_ivf_index,
+        audit_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        index_file_stats,
+        retrain_ivf_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_retrain_audit_")
+    try:
+        # the build generation is immediately replaced by the retrain, so
+        # train it with iters=0 (deterministic init, no Lloyd's rounds) —
+        # the oracle only replays the SERVING k=8 generation
+        build_ivf_index(emb, path, k=4, iters=0, seed=42)
+        manifest = retrain_ivf_index(spark, path, k=8, iters=1, seed=42)
+        rows = [(
+            "retrained_k", int(manifest["k"]) == 8, "8",
+            str(int(manifest["k"])),
+        )]
+        batch = emb.filter(F.col("vec_id") % 101 == 0).select(
+            (-(F.col("vec_id") + 1)).alias("vec_id"), "embedding", "label"
+        )
+        append_ivf_index(batch, path)  # check_ids path is covered by
+        #                                 index_lifecycle_audit
+        # the append fragmented its touched buckets to 2 files; compact
+        # everything back to the 1-file-per-bucket grain retrain left
+        compact_ivf_index(spark, path, min_files=1)
+        report = audit_ivf_index(
+            spark, path, check_duplicate_ids=True, assignment_sample_mod=1
+        )
+        rows += [
+            (r["check"], bool(r["ok"]), r["expected"], r["actual"])
+            for r in report.collect()
+        ]
+        per_bucket = (
+            spark.read.parquet(f"{path}/corpus")
+            .groupBy("centroid_id")
+            .count()
+            .collect()
+        )
+        for r in sorted(per_bucket, key=lambda x: int(x["centroid_id"])):
+            c = str(int(r["count"]))
+            rows.append((f"bucket_rows_{int(r['centroid_id'])}", True, c, c))
+        for r in sorted(
+            index_file_stats(spark, path).collect(),
+            key=lambda x: int(x["centroid_id"]),
+        ):
+            rows.append((
+                f"bucket_files_{int(r['centroid_id'])}",
+                int(r["n_files"]) == 1, "1", str(int(r["n_files"])),
+            ))
+        return spark.createDataFrame(
+            rows, "check string, ok boolean, expected string, actual string"
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
