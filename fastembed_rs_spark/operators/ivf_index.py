@@ -26,6 +26,7 @@ index is the engine-native replacement at scale.
 from __future__ import annotations
 
 import functools
+import inspect
 import time
 import uuid
 
@@ -104,8 +105,11 @@ def _acquire_writer_lock(
     lock = hpath(f"{path}/writer_lock")
     token = uuid.uuid4().hex
     for _ in range(2):  # initial attempt + one post-takeover retry
+        created = False
         try:
             out = fs.create(lock, False)  # overwrite=False: atomic excl.
+            created = True  # from here on, a failure is OUR torn lock,
+            #                 not contention — never misreport it as held
             try:
                 out.write(
                     bytearray(f"{token} {int(time.time() * 1000)}".encode())
@@ -113,6 +117,15 @@ def _acquire_writer_lock(
             finally:
                 out.close()
         except Exception:  # noqa: BLE001 — lock exists (or create race)
+            if created:
+                # create succeeded but the payload write failed: without
+                # cleanup our ownerless fresh-mtime lock would block every
+                # writer for a full lease with a misleading "held" error
+                try:
+                    fs.delete(lock, False)
+                except Exception:  # noqa: BLE001 — best-effort
+                    pass
+                raise
             held_ms = 0
             try:
                 payload = _read_text(spark, fs, lock).strip()
@@ -181,32 +194,52 @@ def _start_lock_heartbeat(
     without a heartbeat a WAITING writer would fence out the LIVE one
     mid-write. A daemon thread refreshes the lock's mtime with
     ``fs.setTimes`` every ``lease/3`` — mtime-only, never content, so a
-    concurrent staleness read can never observe a torn payload; if the
-    lock vanished or changed owner (we were fenced while genuinely
-    stalled past a full lease), the heartbeat stops silently — the
-    token-guarded release then leaves the new owner's lock alone.
+    concurrent staleness read can never observe a torn payload.
+
+    Failure policy: a transient FS/py4j hiccup must NOT end renewal —
+    the exact scenario the heartbeat exists for is a retrain outliving
+    the lease, and one flaky read stopping the beat would let a waiting
+    writer fence out the still-live holder (the interleaving the lock
+    prevents). So exceptions are retried indefinitely at the normal
+    cadence; the beat stops only on CONFIRMED loss — a successful read
+    shows a different owner, or ``fs.exists`` confirms the lock is gone
+    — and then records it on ``stopper.lease_lost`` so the wrapper can
+    surface it instead of finishing as if nothing happened.
     Clock note: lease staleness compares this process's clock against
     payload/mtime stamps written by (possibly) another machine — keep
     ``WRITER_LEASE_MS`` margins far above any realistic skew.
 
-    Returns a ``stop()`` callable; call it before releasing."""
+    Returns a ``stop()`` callable (with a ``lease_lost``
+    ``threading.Event`` attribute); call it before releasing."""
     import threading
 
     if interval_s is None:
         interval_s = WRITER_LEASE_MS / 3000.0
     stop = threading.Event()
+    lease_lost = threading.Event()
     fs, hpath = _fs(spark, path)
     lock = hpath(f"{path}/writer_lock")
 
     def beat() -> None:
         while not stop.wait(interval_s):
             try:
-                if _read_text(spark, fs, lock).strip().split()[0] != token:
-                    return  # fenced out: never refresh someone else's lock
+                owner = _read_text(spark, fs, lock).strip().split()[0]
+            except Exception:  # noqa: BLE001 — read failed: gone, or a
+                try:           # transient hiccup? only exists() decides
+                    if not fs.exists(lock):
+                        lease_lost.set()  # confirmed gone: we were fenced
+                        return            # (or the lock was deleted)
+                except Exception:  # noqa: BLE001 — FS still flaky:
+                    pass           # transient — keep beating next tick
+                continue
+            if owner != token:
+                lease_lost.set()  # fenced out while stalled past a lease
+                return            # — never refresh someone else's lock
+            try:
                 now = int(time.time() * 1000)
                 fs.setTimes(lock, now, now)
-            except Exception:  # noqa: BLE001 — lock gone / FS hiccup:
-                return         # stop beating; the lease will just expire
+            except Exception:  # noqa: BLE001 — transient: the next tick
+                continue       # retries; one miss never ends renewal
 
     th = threading.Thread(target=beat, daemon=True, name="ivf-lock-hb")
     th.start()
@@ -215,31 +248,63 @@ def _start_lock_heartbeat(
         stop.set()
         th.join(timeout=5.0)
 
+    stopper.lease_lost = lease_lost
     return stopper
+
+
+class IndexWriterLeaseLost(RuntimeError):
+    """The heartbeat CONFIRMED the writer lease was lost mid-operation
+    (lock gone, or re-owned by a fencing taker after this writer stalled
+    past a full lease). The operation's writes may have interleaved with
+    another writer's — raised AFTER the operation body so the caller
+    audits the index (``audit_ivf_index`` / ``repair_ivf_index``) instead
+    of trusting a result that silently raced."""
 
 
 def _single_writer(fn):
     """Bracket a mutating index entry point in the fenced writer lock,
     with a lease heartbeat for the duration of the operation.
-    The wrapped function's first parameter is either the SparkSession or
-    a DataFrame (build/append take the data first); ``path`` is the
-    second. Readers (load/query/audit) take no lock — a reader whose
-    ``_read_manifest`` lands inside a swap window completes the swap via
-    the tmp-guarded idempotent sequence, which is safe concurrently."""
+    Arguments are bound through ``inspect.signature`` so positional and
+    keyword calling styles both work (``build_ivf_index(corpus=df,
+    path=p)`` is as valid as ``build_ivf_index(df, p)``); a call without
+    ``path`` raises a clear ``TypeError`` up front instead of a confusing
+    JVM error. The first declared parameter is the SparkSession or a
+    DataFrame (build/append take the data first). Readers (load/query/
+    audit) take no lock — a reader whose ``_read_manifest`` lands inside
+    a swap window completes the swap via the tmp-guarded idempotent
+    sequence, which is safe concurrently. If the heartbeat confirms the
+    lease was lost mid-operation, :class:`IndexWriterLeaseLost` is raised
+    after the body finishes — loud, never a silent double-writer."""
+    sig = inspect.signature(fn)
 
     @functools.wraps(fn)
-    def wrapper(first, *args, **kwargs):
-        path = kwargs.get("path", args[0] if args else None)
+    def wrapper(*args, **kwargs):
+        bound = sig.bind(*args, **kwargs)
+        path = bound.arguments.get("path")
+        if path is None:
+            raise TypeError(
+                f"{fn.__name__}() requires 'path' (the index directory)"
+            )
+        first = next(iter(bound.arguments.values()))
         spark = (
             first.sparkSession if isinstance(first, DataFrame) else first
         )
         token = _acquire_writer_lock(spark, path)
         stop_hb = _start_lock_heartbeat(spark, path, token)
         try:
-            return fn(first, *args, **kwargs)
+            result = fn(*args, **kwargs)
         finally:
             stop_hb()
             _release_writer_lock(spark, path, token)
+        if stop_hb.lease_lost.is_set():
+            raise IndexWriterLeaseLost(
+                f"{fn.__name__} completed but its writer lease at "
+                f"{path}/writer_lock was lost mid-operation (fenced or "
+                f"deleted); another writer may have mutated the index "
+                f"concurrently — run audit_ivf_index/repair_ivf_index "
+                f"before trusting this index"
+            )
+        return result
 
     return wrapper
 
@@ -408,8 +473,13 @@ def append_ivf_index(
     index, so opt-in; at serving scale keep ids unique upstream or
     maintain a Bloom sidecar instead.
 
-    Schema guard: the batch's vector dim must match the manifest's (a
-    mixed-dim index would poison every downstream kernel scan).
+    Schema guards: the batch's vector dim must match the manifest's (a
+    mixed-dim index would poison every downstream kernel scan), and the
+    batch's COLUMN SET must match the corpus's (minus ``centroid_id``) —
+    ``mergeSchema`` is off, so appending files with a different column
+    set makes the corpus's inferred read schema depend on which file
+    Spark samples: a silent, nondeterministic corruption. Both guards
+    are parquet-footer / limit-1 reads, never a data scan.
     """
     spark = new_vectors.sparkSession
     manifest = _read_manifest(spark, path)
@@ -421,6 +491,15 @@ def append_ivf_index(
         raise ValueError(
             f"append_ivf_index: batch contains vectors whose dim != "
             f"manifest dim {manifest['dim']}"
+        )
+    corpus_cols = set(spark.read.parquet(f"{path}/corpus").columns)
+    expected = corpus_cols - {"centroid_id"}
+    if set(new_vectors.columns) != expected:
+        raise ValueError(
+            f"append_ivf_index: batch columns {sorted(new_vectors.columns)}"
+            f" != corpus columns {sorted(expected)} — a mixed-schema "
+            f"corpus reads nondeterministically (mergeSchema is off); "
+            f"select the corpus's exact column set in the batch"
         )
     if check_ids:
         # intra-batch duplicates first (the disk anti-join can't see them:

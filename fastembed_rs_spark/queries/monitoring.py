@@ -2063,8 +2063,11 @@ def q_index_lifecycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # deterministic ingest batch: every 97th vector re-keyed to a
         # fresh (negative) id — assignment is vector-only, so the oracle
         # reproduces its buckets exactly
+        # full corpus column set (vec_id, embedding, label): append now
+        # ENFORCES set-equality with the on-disk corpus schema — a
+        # label-less batch would raise, not silently mix schemas
         batch = emb.filter(F.col("vec_id") % 97 == 0).select(
-            (-(F.col("vec_id") + 1)).alias("vec_id"), "embedding"
+            (-(F.col("vec_id") + 1)).alias("vec_id"), "embedding", "label"
         )
         append_ivf_index(batch, path, check_ids=True)
         report = audit_ivf_index(

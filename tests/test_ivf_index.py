@@ -730,7 +730,8 @@ def test_writer_lock_blocks_second_writer_and_releases(spark):
         emb = spark.read.parquet(f"{SF}/embeddings.parquet")
         build_ivf_index(emb, d, k=4, iters=1)
         batch = emb.limit(3).select(
-            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            "embedding", "label",
         )
 
         token = _acquire_writer_lock(spark, d)  # writer A mid-operation
@@ -936,5 +937,190 @@ def test_writer_lock_heartbeat_extends_live_lease(spark):
         assert open(f"{d}/writer_lock").read().split()[0] == token2
         _release_writer_lock(spark, d, token2)
         assert not os.path.exists(f"{d}/writer_lock")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_heartbeat_survives_transient_errors_and_confirms_fence(spark):
+    """r10 (ADVICE): a transient FS/py4j hiccup must NOT end lease
+    renewal — the heartbeat exists precisely for operations that outlive
+    the lease, and one flaky read stopping it would let a waiting writer
+    fence out the still-live holder. The beat retries transient errors
+    indefinitely and stops ONLY on confirmed loss (owner changed / lock
+    confirmed gone), recording it on ``stopper.lease_lost``."""
+    import os
+    import time as _time
+
+    import fastembed_rs_spark.operators.ivf_index as ivf
+
+    d = tempfile.mkdtemp(prefix="ivf_hb_flaky_")
+    real_read = ivf._read_text
+    try:
+        os.makedirs(d, exist_ok=True)
+        token = ivf._acquire_writer_lock(spark, d)
+        fails = {"n": 0}
+
+        def flaky_read(spark_, fs_, lock_):
+            if fails["n"] < 3:
+                fails["n"] += 1
+                raise RuntimeError("transient py4j hiccup")
+            return real_read(spark_, fs_, lock_)
+
+        ivf._read_text = flaky_read
+        stop = ivf._start_lock_heartbeat(spark, d, token, interval_s=0.1)
+        deadline = _time.time() + 5.0
+        # wait until the beat has recovered past the 3 injected failures
+        # AND refreshed the mtime at least once
+        while _time.time() < deadline:
+            if (
+                fails["n"] >= 3
+                and _time.time() - os.path.getmtime(f"{d}/writer_lock") < 0.5
+            ):
+                break
+            _time.sleep(0.05)
+        assert fails["n"] >= 3
+        assert _time.time() - os.path.getmtime(f"{d}/writer_lock") < 1.0, (
+            "heartbeat died on a transient error instead of retrying"
+        )
+        assert not stop.lease_lost.is_set()
+        # now CONFIRMED loss: another owner's payload appears (a fencing
+        # takeover); the beat must stop and flag lease_lost, and must
+        # never refresh the intruder's mtime again. Drop the Hadoop
+        # LocalFileSystem CRC sidecar — an out-of-band plain write would
+        # otherwise make every FS read a ChecksumException, which the
+        # beat rightly treats as transient (real takeovers go through
+        # the FS API and keep the sidecar consistent).
+        with open(f"{d}/writer_lock", "w") as fh:
+            fh.write(f"intruder {int(_time.time() * 1000)}")
+        try:
+            os.remove(f"{d}/.writer_lock.crc")
+        except OSError:
+            pass
+        old = (1.0, 1.0)
+        deadline = _time.time() + 5.0
+        while _time.time() < deadline and not stop.lease_lost.is_set():
+            _time.sleep(0.05)
+        assert stop.lease_lost.is_set()
+        os.utime(f"{d}/writer_lock", old)
+        _time.sleep(0.3)
+        assert os.path.getmtime(f"{d}/writer_lock") == 1.0, (
+            "a fenced-out heartbeat refreshed the new owner's lock"
+        )
+        stop()
+    finally:
+        ivf._read_text = real_read
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_single_writer_surfaces_lease_loss(spark, monkeypatch):
+    """r10 (ADVICE): an operation whose lease was CONFIRMED lost must not
+    return as if nothing happened — the index may hold interleaved writes
+    from the fencing writer. The wrapper raises IndexWriterLeaseLost
+    after the body so the caller audits instead of trusting the result."""
+    import os
+    import time as _time
+
+    import fastembed_rs_spark.operators.ivf_index as ivf
+
+    d = tempfile.mkdtemp(prefix="ivf_lease_lost_")
+    try:
+        # shrink the lease so the wrapper's default heartbeat interval
+        # (lease/3) ticks within the test window
+        monkeypatch.setattr(ivf, "WRITER_LEASE_MS", 600)
+
+        @ivf._single_writer
+        def myop(spark, path):
+            with open(f"{path}/writer_lock", "w") as fh:
+                fh.write(f"intruder {int(_time.time() * 1000)}")
+            try:  # keep the CRC sidecar consistent with the plain write
+                os.remove(f"{path}/.writer_lock.crc")
+            except OSError:
+                pass
+            _time.sleep(1.0)  # >= several 0.2s beats observe the intruder
+            return "ran"
+
+        with pytest.raises(ivf.IndexWriterLeaseLost, match="audit"):
+            myop(spark, d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_single_writer_keyword_calling_and_missing_path(spark):
+    """r10 (ADVICE): the lock wrapper binds through inspect.signature, so
+    keyword calling styles work identically to positional ones, and a
+    call without ``path`` fails with a clear TypeError up front."""
+    from fastembed_rs_spark.operators.ivf_index import append_ivf_index
+
+    d = tempfile.mkdtemp(prefix="ivf_kw_")
+    try:
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+        build_ivf_index(corpus=emb, path=d, k=4, iters=1, seed=7)
+        assert spark.read.parquet(f"{d}/manifest").first()["k"] == 4
+        batch = emb.select(
+            (F.col("vec_id") + 5000000).alias("vec_id"), "embedding", "label"
+        ).limit(5)
+        assert append_ivf_index(new_vectors=batch, path=d) == 5
+        with pytest.raises(TypeError):
+            build_ivf_index(emb)  # no path: clear error, no JVM noise
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_acquire_cleans_up_torn_lock(spark, monkeypatch):
+    """r10 (ADVICE): if the exclusive create succeeds but the payload
+    write fails, the torn lock must be best-effort deleted and the
+    ORIGINAL error raised — not misreported as IndexWriterLockHeld, which
+    would block every writer for a full lease on an ownerless file."""
+    import fastembed_rs_spark.operators.ivf_index as ivf
+
+    class FailingOut:
+        def write(self, b):
+            raise IOError("disk full")
+
+        def close(self):
+            pass
+
+    class FakeFS:
+        def __init__(self):
+            self.created = []
+            self.deleted = []
+
+        def create(self, p, overwrite):
+            self.created.append(str(p))
+            return FailingOut()
+
+        def delete(self, p, recursive):
+            self.deleted.append(str(p))
+            return True
+
+    fake = FakeFS()
+    monkeypatch.setattr(ivf, "_fs", lambda s, p: (fake, lambda x: x))
+    with pytest.raises(IOError, match="disk full"):
+        ivf._acquire_writer_lock(spark, "/nowhere/idx")
+    assert fake.deleted == fake.created, "torn lock not cleaned up"
+
+
+def test_append_rejects_mismatched_column_set(spark):
+    """r10 (ADVICE): a batch whose column set differs from the corpus's
+    (e.g. label dropped) must be rejected — with mergeSchema off, a
+    mixed-schema corpus reads nondeterministically depending on which
+    file Spark samples."""
+    from fastembed_rs_spark.operators.ivf_index import append_ivf_index
+
+    d = tempfile.mkdtemp(prefix="ivf_colset_")
+    try:
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(300)
+        build_ivf_index(emb, d, k=4, iters=1)
+        label_less = emb.select(
+            (F.col("vec_id") + 7000000).alias("vec_id"), "embedding"
+        ).limit(3)
+        with pytest.raises(ValueError, match="column"):
+            append_ivf_index(label_less, d)
+        extra_col = emb.select(
+            (F.col("vec_id") + 7000000).alias("vec_id"),
+            "embedding", "label", F.lit(1).alias("surprise"),
+        ).limit(3)
+        with pytest.raises(ValueError, match="column"):
+            append_ivf_index(extra_col, d)
     finally:
         shutil.rmtree(d, ignore_errors=True)

@@ -152,16 +152,37 @@ def main() -> int:
     catalog = all_queries()
 
     # resume file: completed rows survive an abort/restart (each clean
-    # floor window is expensive on this host — never re-spend one)
+    # floor window is expensive on this host — never re-spend one).
+    # Rows are keyed by git SHA so a later run after ANY code change can
+    # never resurrect stale timings into a freshly-stamped proof (the r8
+    # failure mode the floor gating exists to prevent); the file is
+    # deleted once SCALING.md is written, so a SUCCESSFUL proof can never
+    # seed the next one either.
     import json as _json
+    import subprocess as _sp
 
+    try:
+        run_sha = _sp.check_output(
+            ["git", "-C", REPO, "rev-parse", "HEAD"], text=True
+        ).strip()
+    except Exception:  # noqa: BLE001 — not a repo? never match → no reuse
+        run_sha = f"no-git-{time.time()}"
     resume_path = "/tmp/scale_proof_rows.jsonl"
     done: dict[str, list] = {}
     if os.environ.get("SPARK_GRAFT_PROOF_RESUME", "1") == "1" and             os.path.exists(resume_path):
+        stale = 0
         with open(resume_path) as f:
             for ln in f:
                 r = _json.loads(ln)
-                done[r[0]] = r
+                # current format: {"sha": ..., "row": [...]}; legacy bare
+                # lists carry no provenance — stale by definition
+                if isinstance(r, dict) and r.get("sha") == run_sha:
+                    done[r["row"][0]] = r["row"]
+                else:
+                    stale += 1
+        if stale:
+            print(f"# resume: dropped {stale} rows from a different git "
+                  f"SHA / legacy format ({resume_path})", file=sys.stderr)
         if done:
             print(f"# resuming: {len(done)} rows from {resume_path}",
                   file=sys.stderr)
@@ -208,7 +229,7 @@ def main() -> int:
         row = (name + flagged, *times, times[1] / max(times[0], 1e-9))
         rows.append(row)
         with open(resume_path, "a") as f:
-            f.write(_json.dumps(list(row)) + "\n")
+            f.write(_json.dumps({"sha": run_sha, "row": list(row)}) + "\n")
         print(f"# {name}: sf0.1 {times[0]:.2f}s  sf1 {times[1]:.2f}s  "
               f"x{times[1] / max(times[0], 1e-9):.1f}", file=sys.stderr)
 
@@ -326,6 +347,12 @@ def main() -> int:
         content = content.rstrip() + "\n\n"
     open(path, "w").write(content + "\n".join(lines) + "\n")
     print(f"wrote {path} ({len(rows)} sf1 rows)")
+    # proof landed: retire the resume file so no future run — same code
+    # or not — can resume from this one's rows
+    try:
+        os.remove(resume_path)
+    except OSError:
+        pass
     return 0
 
 
