@@ -219,6 +219,8 @@ HEADLINE = [
     "index_lifecycle_audit",
     "index_repair_audit",
     "index_retrain_compact_audit",
+    # round 10 addition
+    "curation_store_audit",
 ]
 
 

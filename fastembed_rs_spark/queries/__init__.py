@@ -353,6 +353,7 @@ from fastembed_rs_spark.queries.monitoring import (  # noqa: F401
     q_ann_recall_eval,
     q_cross_source_contamination,
     q_dedup_threshold_sweep,
+    q_curation_store_audit,
     q_duplicate_cluster_profile,
     q_embedding_bucket_drift,
     q_index_lifecycle_audit,
@@ -592,6 +593,8 @@ _DRIVER_PRIORITY: list[str] = [
     "index_lifecycle_audit",
     "index_repair_audit",
     "index_retrain_compact_audit",
+    # round-10 addition
+    "curation_store_audit",
 ]
 
 
@@ -643,10 +646,10 @@ def _last_driver_round() -> dict[str, int]:
 #: CORRECTNESS round — sorted ahead of even never-seen queries so the
 #: driver's ~50-row window re-verifies them THIS round. Refresh per round.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # r9: new queries (never-seen keys -2 anyway; listed for the audit trail)
+    # r10: new query (never-seen key -2 anyway; listed for the audit trail)
+    "curation_store_audit",
+    # r10: append_ivf_index column-set guard changed the lifecycle batch
     "index_lifecycle_audit",
-    "index_repair_audit",
-    "index_retrain_compact_audit",
 )
 
 

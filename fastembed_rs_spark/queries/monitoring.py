@@ -39,7 +39,7 @@ from fastembed_rs_spark.queries.similarity import (
 from fastembed_rs_spark.queries.relational import _BPE_RE
 from fastembed_rs_spark.queries.model_stubs import _ivf_train_ctes
 from fastembed_rs_spark.queries.timeseries_sketches import _EDGE_SQL
-from fastembed_rs_spark.queries.lm_tokenizer import _dk_sqdist
+from fastembed_rs_spark.queries.lm_tokenizer import _QUAL_SRC_CTE, _dk_sqdist
 from fastembed_rs_spark.queries.graph_mining import (
     _GRAMS_CTE,
     _KMV_K,
@@ -2365,5 +2365,232 @@ def q_index_retrain_compact_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         return spark.createDataFrame(
             rows, "check string, ok boolean, expected string, actual string"
         )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+_CURATION_STORE_ORACLE = f"""
+WITH RECURSIVE {_QUAL_SRC_CTE},
+{_GRAMS_CTE},
+p AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE round(CASE WHEN (len(a.grams) = 0 AND len(b.grams) = 0) THEN 0.0 ELSE
+      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / (CAST(len(a.grams) AS DOUBLE) + CAST(len(b.grams) AS DOUBLE)
+         - CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)) END, 6)
+      >= 0.5
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM p
+        UNION SELECT id_b, id_a FROM p),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s2.b, reach.r FROM reach JOIN sym s2 ON s2.a = reach.node
+),
+comp AS MATERIALIZED (SELECT node, min(r) AS component FROM reach GROUP BY node),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY component),
+members AS MATERIALIZED (SELECT comp.node, comp.component, sizes.cluster_size
+            FROM comp JOIN sizes ON comp.component = sizes.component),
+prof AS MATERIALIZED (
+  SELECT comp.component,
+         CAST(count(*) AS BIGINT) AS cluster_size,
+         CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+         CAST(max(d.n_chars) - min(d.n_chars) AS BIGINT) AS chars_span
+  FROM comp JOIN documents d ON comp.node = d.doc_id
+  GROUP BY comp.component
+),
+w AS (SELECT coalesce(d.lang, '__none') AS lang,
+             coalesce(m.cluster_size, 1) AS csz
+      FROM documents d LEFT JOIN members m ON d.doc_id = m.node),
+soft AS MATERIALIZED (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_docs,
+                CAST(sum(10000 // csz) AS BIGINT) AS eff
+         FROM w GROUP BY lang),
+reps AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+         FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+s AS MATERIALIZED (SELECT doc_id, rep, {_GSPLIT_CASE_SQL} AS split FROM reps),
+doc_agg AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT rep) AS BIGINT) AS n_groups
+  FROM s GROUP BY split
+),
+pair_agg AS (
+  SELECT least(sa.split, sb.split) AS split,
+         CAST(count(*) AS BIGINT) AS n_dup_pairs,
+         CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_leaking
+  FROM p JOIN s sa ON p.id_a = sa.doc_id JOIN s sb ON p.id_b = sb.doc_id
+  GROUP BY least(sa.split, sb.split)
+),
+splits AS MATERIALIZED (
+  SELECT d.split, d.n_docs, d.n_groups,
+         coalesce(pa.n_dup_pairs, 0) AS n_dup_pairs,
+         coalesce(pa.n_leaking, 0) AS n_leaking
+  FROM doc_agg d LEFT JOIN pair_agg pa ON d.split = pa.split
+),
+labeled AS (
+  SELECT q.doc_id, q.quality, coalesce(c.component, q.doc_id) AS component
+  FROM qual q LEFT JOIN comp c ON q.doc_id = c.node
+),
+kb AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN row_number() OVER (
+           PARTITION BY component ORDER BY quality DESC, doc_id ASC) = 1
+         THEN 1 ELSE 0 END AS keep
+  FROM labeled
+)
+SELECT 'manifest_n_pairs' AS metric,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS "value"
+UNION ALL SELECT 'manifest_n_nodes',
+       CAST((SELECT count(*) FROM comp) AS BIGINT)
+UNION ALL SELECT 'manifest_n_components',
+       CAST((SELECT count(*) FROM sizes) AS BIGINT)
+UNION ALL SELECT 'pairs_id_sum',
+       CAST((SELECT coalesce(sum(id_a + id_b), 0) FROM p) AS BIGINT)
+UNION ALL SELECT 'members_node_sum',
+       CAST((SELECT coalesce(sum(node), 0) FROM members) AS BIGINT)
+UNION ALL SELECT 'members_comp_sum',
+       CAST((SELECT coalesce(sum(component), 0) FROM members) AS BIGINT)
+UNION ALL SELECT 'members_size_sq_sum',
+       CAST((SELECT coalesce(sum(cluster_size * cluster_size), 0)
+             FROM members) AS BIGINT)
+UNION ALL SELECT 'profile_sum_langs',
+       CAST((SELECT coalesce(sum(n_langs), 0) FROM prof) AS BIGINT)
+UNION ALL SELECT 'profile_sum_sources',
+       CAST((SELECT coalesce(sum(n_sources), 0) FROM prof) AS BIGINT)
+UNION ALL SELECT 'profile_sum_chars_span',
+       CAST((SELECT coalesce(sum(chars_span), 0) FROM prof) AS BIGINT)
+UNION ALL SELECT 'profile_weighted_comp_sum',
+       CAST((SELECT coalesce(sum(component * cluster_size), 0) FROM prof)
+            AS BIGINT)
+UNION ALL SELECT 'keep_n_kept', CAST((SELECT sum(keep) FROM kb) AS BIGINT)
+UNION ALL SELECT 'keep_kept_id_sum',
+       CAST((SELECT sum(doc_id * keep) FROM kb) AS BIGINT)
+UNION ALL SELECT 'soft_docs_' || lang, n_docs FROM soft
+UNION ALL SELECT 'soft_dup_' || lang, n_dup_docs FROM soft
+UNION ALL SELECT 'soft_eff_' || lang, eff FROM soft
+UNION ALL SELECT 'split_docs_' || split, n_docs FROM splits
+UNION ALL SELECT 'split_groups_' || split, n_groups FROM splits
+UNION ALL SELECT 'split_pairs_' || split, n_dup_pairs FROM splits
+UNION ALL SELECT 'split_leak_' || split, n_leaking FROM splits
+"""
+
+
+@q(
+    "curation_store_audit",
+    _CURATION_STORE_ORACLE,
+    "persisted curation-artifact store, driver-verified end-to-end: build "
+    "the store ONCE from the adaptive-jaccard pair generator (pairs + "
+    "connected-component labels + reps persisted as hash-bucketed "
+    "parquet, manifest-last commit — operators/curation_store.py), then "
+    "serve FOUR downstream consumers from the artifact instead of "
+    "recomputing pairs/CC per query: cluster profile, SoftDeDup per-lang "
+    "weights, leakage-safe split, keep-best survivor selection. Output is "
+    "a long-format (metric, value) audit: manifest counts, exact integer "
+    "checksums of the stored pair set and labeling (id sums / size "
+    "squares pin WHICH pairs and WHICH labels, not just how many), and "
+    "each consumer's aggregate. The oracle re-derives every number from "
+    "raw documents via the same chained CTEs the inline queries use — a "
+    "store that dropped a pair, mislabeled a node, or served a consumer "
+    "stale data hash-mismatches. This is the 100 TB shape: pair gen + CC "
+    "is the dominant fixed cost and is paid exactly once per corpus "
+    "snapshot; every report/split/weight table is a cheap join downstream",
+)
+def q_curation_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from fastembed_rs_spark.operators.curation_store import (
+        build_curation_store,
+        cluster_profile_from_store,
+        keep_best_from_store,
+        leakage_safe_split_from_store,
+        load_curation_store,
+        soft_dedup_weights_from_store,
+    )
+    from fastembed_rs_spark.operators.dedup import jaccard_pairs_adaptive
+    from fastembed_rs_spark.queries.lm_tokenizer import _scored_docs
+
+    docs = t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="curation_store_audit_")
+    try:
+        pairs = jaccard_pairs_adaptive(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).select("id_a", "id_b")
+        manifest = build_curation_store(
+            pairs, path, generator="jaccard_adaptive n=3 t=0.5",
+            collect_threshold=1_000_000,
+        )
+        store = load_curation_store(spark, path)
+        m = store.members()
+        pr = cluster_profile_from_store(store, docs)
+        soft = soft_dedup_weights_from_store(
+            store, docs, id_col="doc_id", label_col="lang"
+        )
+        splits = leakage_safe_split_from_store(store, docs)
+        kb = keep_best_from_store(store, _scored_docs(spark, sf_dir))
+
+        lit = F.lit
+
+        def one(df, metric, expr):
+            return df.agg(expr.cast("long").alias("value")).select(
+                lit(metric).alias("metric"), "value"
+            )
+
+        parts = [
+            one(store.pairs(), "pairs_id_sum",
+                F.coalesce(F.sum(F.col("id_a") + F.col("id_b")), lit(0))),
+            one(m, "members_node_sum", F.coalesce(F.sum("node"), lit(0))),
+            one(m, "members_comp_sum",
+                F.coalesce(F.sum("component"), lit(0))),
+            one(m, "members_size_sq_sum",
+                F.coalesce(F.sum(F.col("cluster_size")
+                                 * F.col("cluster_size")), lit(0))),
+            one(pr, "profile_sum_langs", F.coalesce(F.sum("n_langs"), lit(0))),
+            one(pr, "profile_sum_sources",
+                F.coalesce(F.sum("n_sources"), lit(0))),
+            one(pr, "profile_sum_chars_span",
+                F.coalesce(F.sum(F.col("max_chars") - F.col("min_chars")),
+                           lit(0))),
+            one(pr, "profile_weighted_comp_sum",
+                F.coalesce(F.sum(F.col("component") * F.col("cluster_size")),
+                           lit(0))),
+            one(kb, "keep_n_kept", F.sum("keep")),
+            one(kb, "keep_kept_id_sum",
+                F.sum(F.col("doc_id") * F.col("keep"))),
+            soft.select(F.explode(F.array(
+                F.struct(F.concat(lit("soft_docs_"), F.col("lang"))
+                         .alias("metric"), F.col("n_docs").alias("value")),
+                F.struct(F.concat(lit("soft_dup_"), F.col("lang"))
+                         .alias("metric"), F.col("n_dup_docs").alias("value")),
+                F.struct(F.concat(lit("soft_eff_"), F.col("lang"))
+                         .alias("metric"),
+                         F.col("effective_size_tenk").alias("value")),
+            )).alias("kv")).select("kv.metric", "kv.value"),
+            splits.select(F.explode(F.array(
+                F.struct(F.concat(lit("split_docs_"), F.col("split"))
+                         .alias("metric"), F.col("n_docs").alias("value")),
+                F.struct(F.concat(lit("split_groups_"), F.col("split"))
+                         .alias("metric"), F.col("n_groups").alias("value")),
+                F.struct(F.concat(lit("split_pairs_"), F.col("split"))
+                         .alias("metric"), F.col("n_dup_pairs").alias("value")),
+                F.struct(F.concat(lit("split_leak_"), F.col("split"))
+                         .alias("metric"), F.col("n_leaking").alias("value")),
+            )).alias("kv")).select("kv.metric", "kv.value"),
+        ]
+        out = parts[0]
+        for df_ in parts[1:]:
+            out = out.unionByName(df_)
+        # materialize before the tempdir store is deleted — the result is
+        # bounded (3 manifest + 11 checksum + 3*|langs| + 4*|splits| rows)
+        rows = [("manifest_n_pairs", int(manifest["n_pairs"])),
+                ("manifest_n_nodes", int(manifest["n_nodes"])),
+                ("manifest_n_components", int(manifest["n_components"]))]
+        rows += [(r["metric"], int(r["value"])) for r in out.collect()]
+        return spark.createDataFrame(rows, "metric string, value long")
     finally:
         shutil.rmtree(path, ignore_errors=True)
