@@ -1002,15 +1002,21 @@ def compact_ivf_index(
     )
 
 
-def _swap_generations(spark: SparkSession, path: str) -> None:
+def _swap_generations(
+    spark: SparkSession,
+    path: str,
+    names: tuple[str, ...] = ("centroids", "corpus"),
+) -> None:
     """Roll a fully-written ``*_tmp`` generation forward, idempotently:
     each step is guarded on the tmp dir still existing, so a swap that a
     concurrent recovery already completed (or half-completed) no-ops the
     finished parts instead of renaming the NEW generation away. Shared by
     the retrain writer and the crash-recovery path so both always execute
-    the identical, re-runnable sequence."""
+    the identical, re-runnable sequence. ``names`` exists so the race
+    test can stop the writer BETWEEN the two renames and interleave a
+    lock-free reader there; production callers always swap both."""
     fs, hpath = _fs(spark, path)
-    for name in ("centroids", "corpus"):
+    for name in names:
         main = hpath(f"{path}/{name}")
         tmp = hpath(f"{path}/{name}_tmp")
         old = hpath(f"{path}/{name}_old")

@@ -1124,3 +1124,106 @@ def test_append_rejects_mismatched_column_set(spark):
             append_ivf_index(extra_col, d)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_reader_mid_swap_sees_coherent_generation(spark):
+    """r10 (VERDICT #6): readers are deliberately lock-free — a reader
+    whose ``_read_manifest`` lands INSIDE a retrain swap window must see
+    a coherent generation (old or new, never a mix). The recovery design
+    makes the answer always NEW: the ``retrain_pending`` marker is only
+    written after the tmp generation is complete, so the reader's own
+    ``_recover_retrain`` rolls the swap forward before serving. This test
+    interleaves a reader at every point of the swap window — after the
+    marker write, BETWEEN the centroids and corpus renames, and after
+    both renames but before the writer's manifest rewrite — and proves
+    each read returns exactly the rows a cleanly retrained twin index
+    serves, and that the writer's remaining steps then no-op into the
+    same final state."""
+    import os
+
+    import fastembed_rs_spark.operators.ivf_index as ivf
+    from fastembed_rs_spark.operators.ivf_index import (
+        audit_ivf_index,
+        query_ivf_index,
+        retrain_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
+        F.col("vec_id") < 400
+    )
+    probe = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+    def reader_rows(path):
+        return sorted(
+            map(tuple,
+                query_ivf_index(spark, path, probe, k=3, nprobe=6).collect())
+        )
+
+    # ground truth: a cleanly retrained twin (identical build + retrain
+    # settings — training is seed-deterministic)
+    twin = tempfile.mkdtemp(prefix="ivf_race_twin_")
+    real_swap = ivf._swap_generations
+    try:
+        build_ivf_index(emb, twin, k=4, iters=1, seed=7)
+        retrain_ivf_index(spark, twin, k=6, iters=2, seed=11)
+        expected = reader_rows(twin)
+        assert expected
+
+        # interleave point: 0 = marker written / nothing renamed,
+        # 1 = centroids renamed / corpus still old, 2 = both renamed /
+        # manifest not yet rewritten
+        for point in (0, 1, 2):
+            d = tempfile.mkdtemp(prefix=f"ivf_race_{point}_")
+            seen = {}
+            try:
+                build_ivf_index(emb, d, k=4, iters=1, seed=7)
+
+                def interleaved(spark_, path_, names=("centroids", "corpus")):
+                    # the reader below must use the REAL swap inside its
+                    # own _recover_retrain — restore before reading
+                    ivf._swap_generations = real_swap
+                    done = ()
+                    if point >= 1:
+                        real_swap(spark_, path_, names=("centroids",))
+                        done = ("centroids",)
+                    if point >= 2:
+                        real_swap(spark_, path_, names=("corpus",))
+                        done = ("centroids", "corpus")
+                    # lock-free reader lands in the window NOW; its
+                    # recovery must roll the swap forward to the NEW
+                    # generation, never serve a centroids/corpus mix
+                    seen["rows"] = reader_rows(path_)
+                    # writer resumes: its remaining renames no-op (tmp
+                    # dirs are gone once recovery completed the swap)
+                    rest = tuple(n for n in ("centroids", "corpus")
+                                 if n not in done)
+                    if rest:
+                        real_swap(spark_, path_, names=rest)
+
+                ivf._swap_generations = interleaved
+                m = retrain_ivf_index(spark, d, k=6, iters=2, seed=11)
+                assert m["k"] == 6
+                assert seen["rows"] == expected, (
+                    f"reader at swap point {point} saw a mixed/old "
+                    f"generation"
+                )
+                # final state: same rows as the clean twin, audit green,
+                # no tmp/old/marker debris
+                assert reader_rows(d) == expected
+                audit = {r["check"]: r for r in audit_ivf_index(
+                    spark, d, check_duplicate_ids=True,
+                    assignment_sample_mod=1,
+                ).collect()}
+                bad = [c for c, r in audit.items() if not r["ok"]]
+                assert not bad, (point, bad)
+                left = set(os.listdir(d)) - {"writer_lock"}
+                assert left == {"centroids", "corpus", "manifest"}, left
+            finally:
+                ivf._swap_generations = real_swap
+                shutil.rmtree(d, ignore_errors=True)
+    finally:
+        ivf._swap_generations = real_swap
+        shutil.rmtree(twin, ignore_errors=True)
