@@ -570,26 +570,44 @@ def audit_ivf_index(
     centroids = spark.read.parquet(f"{path}/centroids")
     rows: list[tuple] = []
 
-    n_actual = corpus.count()
+    # centroid-side checks share ONE aggregate job (count + dim min/max),
+    # and corpus-side checks share one scan below — r10: the audit is the
+    # hot fixed cost of every lifecycle query, and each separate tiny job
+    # pays scheduler overhead locally and a full metadata/data pass at
+    # scale; the vec-column scan dominates either way, so count(*) and
+    # the bucket-range sum ride it for free
+    cd = centroids.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size("centroid_vec")).alias("mn"),
+        F.max(F.size("centroid_vec")).alias("mx"),
+    ).first()
+    vd = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size(vec_col)).alias("mn"),
+        F.max(F.size(vec_col)).alias("mx"),
+        F.sum(F.col(vec_col).isNull().cast("long")).alias("nnull"),
+        # a NULL centroid_id is invisible to a range FILTER ((NULL < 0)
+        # is NULL, filter drops it) — include isNull explicitly, same
+        # blind-spot class the null_vectors check closes for the vector
+        F.sum(
+            (
+                F.col("centroid_id").isNull()
+                | (F.col("centroid_id") < 0)
+                | (F.col("centroid_id") >= k)
+            ).cast("long")
+        ).alias("noob"),
+    ).first()
+    n_actual = int(vd["n"])
     rows.append((
         "manifest_n_vectors", n_actual == int(manifest["n_vectors"]),
         str(int(manifest["n_vectors"])), str(n_actual),
     ))
-    n_cent = centroids.count()
+    n_cent = int(cd["n"])
     rows.append(("centroid_count", n_cent == k, str(k), str(n_cent)))
-    cd = centroids.agg(
-        F.min(F.size("centroid_vec")).alias("mn"),
-        F.max(F.size("centroid_vec")).alias("mx"),
-    ).first()
     rows.append((
         "centroid_dim", cd["mn"] == dim and cd["mx"] == dim,
         str(dim), f"{cd['mn']}..{cd['mx']}",
     ))
-    vd = corpus.agg(
-        F.min(F.size(vec_col)).alias("mn"),
-        F.max(F.size(vec_col)).alias("mx"),
-        F.sum(F.col(vec_col).isNull().cast("long")).alias("nnull"),
-    ).first()
     rows.append((
         "corpus_vec_dim", vd["mn"] == dim and vd["mx"] == dim,
         str(dim), f"{vd['mn']}..{vd['mx']}",
@@ -599,14 +617,7 @@ def audit_ivf_index(
     # sample — they need their own check or a nulled column audits green
     n_null = int(vd["nnull"] or 0)
     rows.append(("null_vectors", n_null == 0, "0", str(n_null)))
-    # a NULL centroid_id is invisible to the range predicate ((NULL < 0)
-    # is NULL, filter drops it) — the same blind-spot class null_vectors
-    # closes for the vector column, so include isNull explicitly
-    n_oob = corpus.filter(
-        F.col("centroid_id").isNull()
-        | (F.col("centroid_id") < 0)
-        | (F.col("centroid_id") >= k)
-    ).count()
+    n_oob = int(vd["noob"] or 0)
     rows.append(("bucket_ids_in_range", n_oob == 0, "0", str(n_oob)))
     if check_duplicate_ids:
         n_dup = (

@@ -648,8 +648,12 @@ def _last_driver_round() -> dict[str, int]:
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # r10: new query (never-seen key -2 anyway; listed for the audit trail)
     "curation_store_audit",
-    # r10: append_ivf_index column-set guard changed the lifecycle batch
+    # r10: append_ivf_index column-set guard changed the lifecycle batch;
+    # audit_ivf_index collapsed its per-check jobs into two shared
+    # aggregates (same report rows) — re-verify all three lifecycle arms
     "index_lifecycle_audit",
+    "index_repair_audit",
+    "index_retrain_compact_audit",
 )
 
 

@@ -88,6 +88,14 @@ QUERIES = [
     # assign/audit scans are linear in the corpus, writes are
     # partitioned appends; expect job-count-dominated, far below 10x
     "index_lifecycle_audit",
+    # r10 additions: the other two lifecycle arms (the #1-#2 slowest
+    # catalog rows — their scale-flatness claim was argued, not measured,
+    # until now) and the persisted curation store (pair gen + CC paid
+    # once into the artifact; expect the adaptive-jaccard pair cost to
+    # dominate, like dedup_keep_best)
+    "index_repair_audit",
+    "index_retrain_compact_audit",
+    "curation_store_audit",
 ]
 
 MARKER = "## sf1 scale proof"
@@ -187,8 +195,27 @@ def main() -> int:
             print(f"# resuming: {len(done)} rows from {resume_path}",
                   file=sys.stderr)
 
+    # SPARK_GRAFT_PROOF_ONLY=a,b — measure only the named queries this
+    # session and MERGE their rows into SCALING.md's existing table
+    # (same-name rows replaced, all others kept verbatim). Sound because
+    # every row's window is independently floor-to-floor bracketed: a
+    # row's validity never depends on which session measured it. This is
+    # how a round that ADDS proof queries avoids re-spending ~45 clean
+    # floor windows on unchanged rows.
+    only = [
+        n for n in os.environ.get("SPARK_GRAFT_PROOF_ONLY", "").split(",")
+        if n.strip()
+    ]
+    run_names = [n for n in QUERIES if n in only] if only else list(QUERIES)
+    if only:
+        unknown = sorted(set(only) - set(run_names))
+        if unknown:
+            print(f"PROOF_ONLY names not in QUERIES: {unknown}",
+                  file=sys.stderr)
+            return 1
+
     rows = []
-    for name in QUERIES:
+    for name in run_names:
         if name in done:
             rows.append(tuple(done[name]))
             continue
@@ -233,6 +260,31 @@ def main() -> int:
         print(f"# {name}: sf0.1 {times[0]:.2f}s  sf1 {times[1]:.2f}s  "
               f"x{times[1] / max(times[0], 1e-9):.1f}", file=sys.stderr)
 
+    if only:
+        # merge: keep every existing table row whose (†-stripped) name was
+        # not re-measured this session, in QUERIES order
+        prev: dict[str, str] = {}
+        scaling_path = os.path.join(REPO, "SCALING.md")
+        if os.path.exists(scaling_path):
+            prior = open(scaling_path).read()
+            if MARKER in prior:
+                for ln in prior[prior.index(MARKER):].splitlines():
+                    cells = [c.strip() for c in ln.strip().strip("|").split("|")]
+                    if len(cells) == 4 and cells[0] not in ("query", "---"):
+                        prev[cells[0].rstrip(" †")] = ln.strip()
+        measured = {r[0].rstrip(" †") for r in rows}
+        merged = []
+        for name in QUERIES:
+            if name in measured:
+                merged.append(next(r for r in rows
+                                   if r[0].rstrip(" †") == name))
+            elif name in prev:
+                cells = [c.strip() for c in
+                         prev[name].strip("|").split("|")]
+                merged.append((cells[0], float(cells[1]), float(cells[2]),
+                               float(cells[3])))
+        rows = merged
+
     lines = [
         MARKER,
         "",
@@ -247,7 +299,11 @@ def main() -> int:
         f"(gate ≤ {MT_MATMUL_GATE_S}; dirty windows re-measured; a row",
         "whose window never came clean in 3 attempts is marked †), so",
         "no row can be a silent throttle artifact (the r8 failure mode).",
-        f"Start-of-run calib: `{calib}`.",
+        f"Start-of-run calib: `{calib}`."
+        + (" Rows measured across sessions (PROOF_ONLY merge) — each"
+           " row's window is independently floor-bracketed, so"
+           " per-session calib differences cannot leak into a ratio."
+           if only else ""),
         "",
         "| query | sf0.1 s | sf1 s | x/10x |",
         "|---|---|---|---|",
@@ -336,6 +392,17 @@ def main() -> int:
         "  `label_coherence` is dead flat — its cost is the posexplode",
         "  centroid pass whose output is labels x dim regardless of",
         "  corpus size.",
+        "* the persisted-index lifecycle trio (`index_lifecycle_audit`,",
+        "  `index_repair_audit`, `index_retrain_compact_audit`): cost is",
+        "  ~25 sequential tiny Spark jobs + FS swaps per query — fixed",
+        "  orchestration, not data work — so their ratios sit far below",
+        "  10x (the assign/audit scans are the only linear terms).",
+        "* `curation_store_audit` builds the store from the adaptive",
+        "  jaccard generator + CC and then serves four consumers as",
+        "  cheap joins — its ratio tracks `dedup_keep_best` (same pair",
+        "  machinery, inheriting the fixture's designed pair explosion",
+        "  and the adaptive tier flip), NOT four times it: the pair+CC",
+        "  cost is paid once into the artifact.",
         "",
     ]
 
