@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import inspect
+import json
 import time
 import uuid
 
@@ -346,49 +347,83 @@ def build_ivf_index(
     ``centroid_id`` so each bucket lands in its own hive directory and
     files are clustered for the probe-side join.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     centroids = train_ivf_centroids(
         corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
     )
     assigned = assign_ivf_buckets_fast(
         corpus, centroids, id_col=id_col, vec_col=vec_col
     )
-    (
-        assigned.repartition("centroid_id")
-        .write.mode("overwrite")
-        .partitionBy("centroid_id")
-        .parquet(f"{path}/corpus")
-    )
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     spark = corpus.sparkSession
-    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
-    n = corpus.count()
+    # the three jobs below are independent (different outputs / read-only)
+    # — submit them concurrently so the two tiny ones back-fill the
+    # cluster while the corpus write's tail finishes (guide §2.6 overlap);
+    # dim comes from a centroid row (k-row local scan), never a corpus scan
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fut_corpus = pool.submit(
+            lambda: assigned.repartition("centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(f"{path}/corpus")
+        )
+        fut_cent = pool.submit(
+            lambda: centroids.write.mode("overwrite")
+            .parquet(f"{path}/centroids")
+        )
+        fut_n = pool.submit(corpus.count)
+        fut_corpus.result()
+        fut_cent.result()
+        n = fut_n.result()
+    dim = len(centroids.first()["centroid_vec"])
     _write_manifest(spark, path, (k, int(dim), iters, seed, n, id_col, vec_col))
+
+
+#: manifest field order (the `row` tuple every writer passes)
+_MANIFEST_KEYS = ("k", "dim", "iters", "seed", "n_vectors", "id_col", "vec_col")
 
 
 def _write_manifest(spark: SparkSession, path: str, row: tuple) -> None:
     """Write the 1-row manifest via write-to-temp + FS rename so a crash
-    never leaves a torn manifest: a plain ``mode=overwrite`` DELETES the
-    old manifest before the new one is committed, and a crash in that
-    window bricks the index (``load_ivf_index`` would raise on the missing
-    file). With the temp+rename protocol every crash window leaves either
-    the old manifest, or the completed temp that ``_read_manifest``
+    never leaves a torn manifest: writing the destination in place would
+    DELETE the old manifest before the new one is committed, and a crash
+    in that window bricks the index (``load_ivf_index`` would raise on the
+    missing file). With the temp+rename protocol every crash window leaves
+    either the old manifest, or the completed temp that ``_read_manifest``
     recovers on next load. Rename is atomic on HDFS/posix, best-effort on
     object stores — where a conditional-put manifest service replaces
-    this file, same contract."""
-    tmp = f"{path}/manifest_tmp"
-    spark.createDataFrame(
-        [row],
-        "k int, dim int, iters int, seed int, n_vectors long, "
-        "id_col string, vec_col string",
-    ).coalesce(1).write.mode("overwrite").parquet(tmp)
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(path).getFileSystem(conf)
+    this file, same contract.
+
+    The manifest is a control-plane record, so it is a driver-side JSON
+    file through the Hadoop FS API — no Spark job. (It used to be a 1-row
+    ``coalesce(1)`` parquet write, which drains all 32 pickled local
+    partitions sequentially in ONE task: measured 5-6 s per write at
+    local[32], i.e. 10-17 s of every lifecycle query, and a pointless
+    cluster round-trip at scale.)"""
+    payload = json.dumps(dict(zip(_MANIFEST_KEYS, row)))
+    fs, hpath = _fs(spark, path)
+    tmp = hpath(f"{path}/manifest_tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(payload.encode()))
+    finally:
+        out.close()
     dst = hpath(f"{path}/manifest")
     if fs.exists(dst):
         fs.delete(dst, True)
-    fs.rename(hpath(tmp), dst)
+    fs.rename(tmp, dst)
+
+
+def _load_manifest_dict(spark: SparkSession, path: str) -> dict:
+    """Parse the manifest at ``<path>/manifest``: a JSON file since r10;
+    a 1-row parquet DIRECTORY for indexes written by earlier rounds —
+    both shapes load to the identical dict, so old indexes on disk keep
+    working and are silently upgraded on their next manifest write."""
+    fs, hpath = _fs(spark, path)
+    p = hpath(f"{path}/manifest")
+    if fs.getFileStatus(p).isDirectory():
+        return spark.read.parquet(f"{path}/manifest").first().asDict()
+    return json.loads(_read_text(spark, fs, p))
 
 
 def _read_manifest(spark: SparkSession, path: str) -> dict:
@@ -398,16 +433,13 @@ def _read_manifest(spark: SparkSession, path: str) -> dict:
     the ``retrain_pending`` marker says was interrupted — every index
     entry point (load/query/append/audit/repair) funnels through here,
     so a crashed retrain self-heals before the layout is ever used."""
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(path).getFileSystem(conf)
+    fs, hpath = _fs(spark, path)
     dst = hpath(f"{path}/manifest")
     tmp = hpath(f"{path}/manifest_tmp")
     if not fs.exists(dst) and fs.exists(tmp):
         fs.rename(tmp, dst)
     _recover_retrain(spark, path)
-    return spark.read.parquet(f"{path}/manifest").first().asDict()
+    return _load_manifest_dict(spark, path)
 
 
 def load_ivf_index(
@@ -542,6 +574,7 @@ def audit_ivf_index(
     path: str,
     check_duplicate_ids: bool = False,
     assignment_sample_mod: int = 0,
+    include_bucket_rows: bool = False,
 ) -> DataFrame:
     """Integrity audit of a persisted index: one report row per check,
     ``(check, ok, expected, actual)`` — the pre-flight you run after a
@@ -562,69 +595,53 @@ def audit_ivf_index(
     directory later overwritten by another (the one corruption the
     manifest cannot see, and the one that silently destroys recall).
     Sampling keeps it O(corpus/m); pass 1 to re-verify everything.
+
+    ``include_bucket_rows=True`` appends one ``bucket_rows_<id>`` report
+    row per bucket (ascending id), always-ok, carrying the bucket's row
+    count — the occupancy table the lifecycle queries report. It rides
+    the SAME corpus scan as the integrity checks (the corpus-side
+    aggregate is grouped by ``centroid_id`` and reduced driver-side, ≤ k
+    + invalid-dir groups of driver state), so opting in costs no extra
+    job; without it callers paid a second full groupBy scan.
+
+    The centroid aggregate, corpus aggregate and the two opt-in scans
+    are independent jobs — they run CONCURRENTLY from a small driver
+    thread pool so the tiny jobs back-fill the big scans' straggler
+    tails (guide §2.6); with everything opted in the audit costs ~one
+    corpus-scan wall-clock instead of four sequential jobs.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     manifest = _read_manifest(spark, path)
     id_col, vec_col = manifest["id_col"], manifest["vec_col"]
     k, dim = int(manifest["k"]), int(manifest["dim"])
     corpus = spark.read.parquet(f"{path}/corpus")
     centroids = spark.read.parquet(f"{path}/centroids")
-    rows: list[tuple] = []
 
-    # centroid-side checks share ONE aggregate job (count + dim min/max),
-    # and corpus-side checks share one scan below — r10: the audit is the
-    # hot fixed cost of every lifecycle query, and each separate tiny job
-    # pays scheduler overhead locally and a full metadata/data pass at
-    # scale; the vec-column scan dominates either way, so count(*) and
-    # the bucket-range sum ride it for free
-    cd = centroids.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(F.size("centroid_vec")).alias("mn"),
-        F.max(F.size("centroid_vec")).alias("mx"),
-    ).first()
-    vd = corpus.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(F.size(vec_col)).alias("mn"),
-        F.max(F.size(vec_col)).alias("mx"),
-        F.sum(F.col(vec_col).isNull().cast("long")).alias("nnull"),
-        # a NULL centroid_id is invisible to a range FILTER ((NULL < 0)
-        # is NULL, filter drops it) — include isNull explicitly, same
-        # blind-spot class the null_vectors check closes for the vector
-        F.sum(
-            (
-                F.col("centroid_id").isNull()
-                | (F.col("centroid_id") < 0)
-                | (F.col("centroid_id") >= k)
-            ).cast("long")
-        ).alias("noob"),
-    ).first()
-    n_actual = int(vd["n"])
-    rows.append((
-        "manifest_n_vectors", n_actual == int(manifest["n_vectors"]),
-        str(int(manifest["n_vectors"])), str(n_actual),
-    ))
-    n_cent = int(cd["n"])
-    rows.append(("centroid_count", n_cent == k, str(k), str(n_cent)))
-    rows.append((
-        "centroid_dim", cd["mn"] == dim and cd["mx"] == dim,
-        str(dim), f"{cd['mn']}..{cd['mx']}",
-    ))
-    rows.append((
-        "corpus_vec_dim", vd["mn"] == dim and vd["mx"] == dim,
-        str(dim), f"{vd['mn']}..{vd['mx']}",
-    ))
-    # NULL vectors are invisible to the min/max dim check (size(NULL) is
-    # NULL and aggregates skip it) and are excluded from the re-assign
-    # sample — they need their own check or a nulled column audits green
-    n_null = int(vd["nnull"] or 0)
-    rows.append(("null_vectors", n_null == 0, "0", str(n_null)))
-    n_oob = int(vd["noob"] or 0)
-    rows.append(("bucket_ids_in_range", n_oob == 0, "0", str(n_oob)))
-    if check_duplicate_ids:
-        n_dup = (
+    def _centroid_side():
+        return centroids.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.size("centroid_vec")).alias("mn"),
+            F.max(F.size("centroid_vec")).alias("mx"),
+        ).first()
+
+    def _corpus_side():
+        # grouped by bucket and reduced on the driver: same totals as the
+        # flat aggregate, plus per-bucket occupancy for free (bounded by
+        # k + however many invalid bucket dirs exist — driver-safe)
+        return corpus.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.size(vec_col)).alias("mn"),
+            F.max(F.size(vec_col)).alias("mx"),
+            F.sum(F.col(vec_col).isNull().cast("long")).alias("nnull"),
+        ).collect()
+
+    def _dup_count():
+        return (
             corpus.groupBy(id_col).count().filter(F.col("count") > 1).count()
         )
-        rows.append(("duplicate_ids", n_dup == 0, "0", str(n_dup)))
-    if assignment_sample_mod:
+
+    def _assign_mismatch():
         # wrong-dim rows are already flagged by corpus_vec_dim and would
         # poison the kernel batch (ragged np.stack) — audit the rest
         # hash-based deterministic sample (works for string ids too, and a
@@ -639,15 +656,74 @@ def audit_ivf_index(
         ).select(id_col, F.col("centroid_id").alias("__fresh"))
         # null-safe inequality: a NULL __stored must count as a mismatch,
         # not silently drop out of the filter
-        n_bad = (
+        return (
             sample.join(re, id_col)
             .filter(~F.col("__stored").eqNullSafe(F.col("__fresh")))
             .count()
         )
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        fut_cd = pool.submit(_centroid_side)
+        fut_groups = pool.submit(_corpus_side)
+        fut_dup = pool.submit(_dup_count) if check_duplicate_ids else None
+        fut_mis = (
+            pool.submit(_assign_mismatch) if assignment_sample_mod else None
+        )
+        cd = fut_cd.result()
+        groups = fut_groups.result()
+        n_dup = fut_dup.result() if fut_dup is not None else None
+        n_bad = fut_mis.result() if fut_mis is not None else None
+
+    # driver-side reduction of the grouped corpus aggregate — identical
+    # totals to the old flat aggregate (min/max skip all-NULL groups;
+    # a NULL centroid_id group counts as out-of-range explicitly, the
+    # blind spot a range FILTER would drop)
+    n_actual = sum(int(g["n"]) for g in groups)
+    dims = [g for g in groups if g["mn"] is not None]
+    mn = min((g["mn"] for g in dims), default=None)
+    mx = max((g["mx"] for g in dims), default=None)
+    n_null = sum(int(g["nnull"] or 0) for g in groups)
+    n_oob = sum(
+        int(g["n"])
+        for g in groups
+        if g["centroid_id"] is None or not (0 <= int(g["centroid_id"]) < k)
+    )
+
+    rows: list[tuple] = []
+    rows.append((
+        "manifest_n_vectors", n_actual == int(manifest["n_vectors"]),
+        str(int(manifest["n_vectors"])), str(n_actual),
+    ))
+    n_cent = int(cd["n"])
+    rows.append(("centroid_count", n_cent == k, str(k), str(n_cent)))
+    rows.append((
+        "centroid_dim", cd["mn"] == dim and cd["mx"] == dim,
+        str(dim), f"{cd['mn']}..{cd['mx']}",
+    ))
+    rows.append((
+        "corpus_vec_dim", mn == dim and mx == dim,
+        str(dim), f"{mn}..{mx}",
+    ))
+    # NULL vectors are invisible to the min/max dim check (size(NULL) is
+    # NULL and aggregates skip it) and are excluded from the re-assign
+    # sample — they need their own check or a nulled column audits green
+    rows.append(("null_vectors", n_null == 0, "0", str(n_null)))
+    rows.append(("bucket_ids_in_range", n_oob == 0, "0", str(n_oob)))
+    if n_dup is not None:
+        rows.append(("duplicate_ids", n_dup == 0, "0", str(n_dup)))
+    if n_bad is not None:
         rows.append((
             f"assignment_sample_mod_{assignment_sample_mod}",
             n_bad == 0, "0", str(n_bad),
         ))
+    if include_bucket_rows:
+        occupancy = sorted(
+            (int(g["centroid_id"]), int(g["n"]))
+            for g in groups
+            if g["centroid_id"] is not None
+        )
+        for cid, cnt in occupancy:
+            rows.append((f"bucket_rows_{cid}", True, str(cnt), str(cnt)))
     return spark.createDataFrame(
         rows, "check string, ok boolean, expected string, actual string"
     )
@@ -710,6 +786,29 @@ def repair_ivf_index(
     )
     actions: list[tuple[str, int]] = []
 
+    # ---- ONE grouped corpus aggregate drives the always-on planning ----
+    # per bucket (driver state bounded by k + invalid dirs): total rows
+    # and bad-vector rows. From it, driver-side: the total bad-vector
+    # drop count (previously TWO separate count jobs), the affected
+    # in-range bucket list (previously a distinct+collect job) and which
+    # affected buckets keep any healthy row (previously a second
+    # distinct+collect) — four jobs collapsed into one scan. The
+    # duplicate-id path still derives its row ranks per id below (a
+    # window can't ride a groupBy).
+    grp = (
+        corpus.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(bad_vec.cast("long")).alias("nbad"),
+        )
+        .collect()
+    )
+
+    def _cid_in_range(cid) -> bool:
+        return cid is not None and 0 <= int(cid) < k
+
+    n_dropped_bad_vec = sum(int(g["nbad"] or 0) for g in grp)
+
     # ---- plan the in-range partition rewrites ---------------------------
     in_range = corpus.filter(~bad_bucket)
     remove = bad_vec
@@ -768,15 +867,23 @@ def repair_ivf_index(
     ).localCheckpoint()
     n_salvaged = salvaged.count()
 
-    flagged = in_range.filter(remove)
-    # bucket ids needing a rewrite: bounded by k, constant driver state
-    affected = [
-        r["centroid_id"]
-        for r in flagged.select("centroid_id").distinct().collect()
-    ]
-    n_dropped_bad_vec = in_range.filter(bad_vec).count() + corpus.filter(
-        bad_bucket & bad_vec
-    ).count()
+    if drop_duplicate_ids:
+        # duplicate losers extend the flag set beyond bad vectors, and
+        # they are only visible to the per-id window — fall back to the
+        # distinct+collect plan for the affected buckets (bounded by k)
+        flagged = in_range.filter(remove)
+        affected = [
+            r["centroid_id"]
+            for r in flagged.select("centroid_id").distinct().collect()
+        ]
+    else:
+        # remove == bad_vec: the grouped aggregate already knows which
+        # in-range buckets hold flagged rows
+        affected = [
+            int(g["centroid_id"])
+            for g in grp
+            if _cid_in_range(g["centroid_id"]) and int(g["nbad"] or 0) > 0
+        ]
     fully_emptied: list[int] = []
     if affected:
         keep = (
@@ -788,10 +895,18 @@ def repair_ivf_index(
         # written data — a bucket whose every row is flagged produces no
         # rows to write and would silently keep its corrupt files; those
         # buckets are deleted through the FS below instead
-        present = {
-            r["centroid_id"]
-            for r in keep.select("centroid_id").distinct().collect()
-        }
+        if drop_duplicate_ids:
+            present = {
+                r["centroid_id"]
+                for r in keep.select("centroid_id").distinct().collect()
+            }
+        else:
+            present = {
+                int(g["centroid_id"])
+                for g in grp
+                if _cid_in_range(g["centroid_id"])
+                and int(g["n"]) - int(g["nbad"] or 0) > 0
+            }
         fully_emptied = [b for b in affected if b not in present]
         if present:
             prev = spark.conf.get(
@@ -1065,7 +1180,7 @@ def _recover_retrain(spark: SparkSession, path: str) -> bool:
     if not fs.exists(marker):
         return False
     _swap_generations(spark, path)
-    old_manifest = spark.read.parquet(f"{path}/manifest").first().asDict()
+    old_manifest = _load_manifest_dict(spark, path)
     iters, seed = old_manifest["iters"], old_manifest["seed"]
     try:
         text = _read_text(spark, fs, marker).strip()

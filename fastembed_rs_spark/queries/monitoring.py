@@ -2070,23 +2070,16 @@ def q_index_lifecycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-(F.col("vec_id") + 1)).alias("vec_id"), "embedding", "label"
         )
         append_ivf_index(batch, path, check_ids=True)
+        # per-bucket occupancy rows ride the audit's own grouped corpus
+        # scan (include_bucket_rows) — no second groupBy job
         report = audit_ivf_index(
-            spark, path, check_duplicate_ids=True, assignment_sample_mod=1
+            spark, path, check_duplicate_ids=True, assignment_sample_mod=1,
+            include_bucket_rows=True,
         )
         rows = [
             (r["check"], bool(r["ok"]), r["expected"], r["actual"])
             for r in report.collect()
         ]
-        # per-bucket row counts: bounded by k, read from the hive layout
-        per_bucket = (
-            spark.read.parquet(f"{path}/corpus")
-            .groupBy("centroid_id")
-            .count()
-            .collect()
-        )
-        for r in sorted(per_bucket, key=lambda x: int(x["centroid_id"])):
-            c = str(int(r["count"]))
-            rows.append((f"bucket_rows_{int(r['centroid_id'])}", True, c, c))
         return spark.createDataFrame(
             rows, "check string, ok boolean, expected string, actual string"
         )
@@ -2210,21 +2203,13 @@ def q_index_repair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 str(want), str(int(r["n_rows"])),
             ))
         report = audit_ivf_index(
-            spark, path, check_duplicate_ids=True, assignment_sample_mod=1
+            spark, path, check_duplicate_ids=True, assignment_sample_mod=1,
+            include_bucket_rows=True,
         )
         rows += [
             (r["check"], bool(r["ok"]), r["expected"], r["actual"])
             for r in report.collect()
         ]
-        per_bucket = (
-            spark.read.parquet(f"{path}/corpus")
-            .groupBy("centroid_id")
-            .count()
-            .collect()
-        )
-        for r in sorted(per_bucket, key=lambda x: int(x["centroid_id"])):
-            c = str(int(r["count"]))
-            rows.append((f"bucket_rows_{int(r['centroid_id'])}", True, c, c))
         return spark.createDataFrame(
             rows, "check string, ok boolean, expected string, actual string"
         )
@@ -2339,21 +2324,13 @@ def q_index_retrain_compact_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         # everything back to the 1-file-per-bucket grain retrain left
         compact_ivf_index(spark, path, min_files=1)
         report = audit_ivf_index(
-            spark, path, check_duplicate_ids=True, assignment_sample_mod=1
+            spark, path, check_duplicate_ids=True, assignment_sample_mod=1,
+            include_bucket_rows=True,
         )
         rows += [
             (r["check"], bool(r["ok"]), r["expected"], r["actual"])
             for r in report.collect()
         ]
-        per_bucket = (
-            spark.read.parquet(f"{path}/corpus")
-            .groupBy("centroid_id")
-            .count()
-            .collect()
-        )
-        for r in sorted(per_bucket, key=lambda x: int(x["centroid_id"])):
-            c = str(int(r["count"]))
-            rows.append((f"bucket_rows_{int(r['centroid_id'])}", True, c, c))
         for r in sorted(
             index_file_stats(spark, path).collect(),
             key=lambda x: int(x["centroid_id"]),

@@ -130,7 +130,10 @@ def test_append_ivf_index_no_retrain(spark):
 
 def test_append_ivf_index_guards(spark):
     """Dim-mismatched batches are rejected; check_ids drops id collisions."""
-    from fastembed_rs_spark.operators.ivf_index import append_ivf_index
+    from fastembed_rs_spark.operators.ivf_index import (
+        _read_manifest,
+        append_ivf_index,
+    )
 
     d = tempfile.mkdtemp(prefix="ivf_guard_")
     try:
@@ -146,7 +149,7 @@ def test_append_ivf_index_guards(spark):
         dup = emb.limit(10)  # ids already in the index
         assert append_ivf_index(dup, d, check_ids=True) == 0
         assert (
-            spark.read.parquet(f"{d}/manifest").first()["n_vectors"]
+            _read_manifest(spark, d)["n_vectors"]
             == emb.count()
         )
     finally:
@@ -206,7 +209,7 @@ def test_append_manifest_self_heals_and_recovers(spark):
         # simulate the torn-rename crash: manifest deleted, temp complete
         os.rename(os.path.join(d, "manifest"), os.path.join(d, "manifest_tmp"))
         assert _read_manifest(spark, d)["n_vectors"] == 110  # recovered
-        assert os.path.isdir(os.path.join(d, "manifest"))
+        assert os.path.exists(os.path.join(d, "manifest"))
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -223,6 +226,37 @@ def test_audit_passes_on_healthy_index(spark, index_path):
             "duplicate_ids", "assignment_sample_mod_1"} == set(rep)
     bad = [c for c, r in rep.items() if not r["ok"]]
     assert not bad, bad
+
+
+def test_audit_bucket_rows_ride_the_same_scan(spark, index_path):
+    """r10 optimization pin: ``include_bucket_rows=True`` appends one
+    always-ok ``bucket_rows_<id>`` row per bucket (ascending id) whose
+    count matches an independent groupBy over the corpus, AFTER the
+    unchanged check rows — the lifecycle queries dropped their own
+    per-bucket groupBy job on the strength of this equivalence."""
+    from fastembed_rs_spark.operators.ivf_index import audit_ivf_index
+
+    base = audit_ivf_index(
+        spark, index_path, check_duplicate_ids=True, assignment_sample_mod=1
+    ).collect()
+    full = audit_ivf_index(
+        spark, index_path, check_duplicate_ids=True, assignment_sample_mod=1,
+        include_bucket_rows=True,
+    ).collect()
+    # prefix identical to the no-bucket-rows report, in order
+    assert [tuple(r) for r in full[: len(base)]] == [tuple(r) for r in base]
+    expected = {
+        int(r["centroid_id"]): int(r["count"])
+        for r in spark.read.parquet(f"{index_path}/corpus")
+        .groupBy("centroid_id").count().collect()
+    }
+    tail = full[len(base):]
+    assert [r["check"] for r in tail] == [
+        f"bucket_rows_{cid}" for cid in sorted(expected)
+    ]
+    for r in tail:
+        cid = int(r["check"].rsplit("_", 1)[1])
+        assert r["ok"] and r["expected"] == r["actual"] == str(expected[cid])
 
 
 def test_audit_flags_each_corruption(spark):
@@ -573,7 +607,9 @@ def test_retrain_ivf_index_swaps_generation(spark):
         )
         top = query_ivf_index(spark, d, probe, k=1, nprobe=2).collect()
         assert top and top[0]["vec_id"] == top[0]["query_id"]
-        left = {n for n in os.listdir(d)}
+        # Hadoop-hidden sidecars (.crc checksums of the local
+        # ChecksumFS) are invisible to every reader by convention
+        left = {n for n in os.listdir(d) if not n.startswith(".")}
         assert left == {"centroids", "corpus", "manifest"}, left
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -620,7 +656,9 @@ def test_retrain_crash_mid_swap_rolls_forward(spark):
             spark, d, assignment_sample_mod=1).collect()}
         bad = [c for c, r in audit.items() if not r["ok"]]
         assert not bad, bad
-        left = {n for n in os.listdir(d)}
+        # Hadoop-hidden sidecars (.crc checksums of the local
+        # ChecksumFS) are invisible to every reader by convention
+        left = {n for n in os.listdir(d) if not n.startswith(".")}
         assert left == {"centroids", "corpus", "manifest"}, left
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -1049,13 +1087,16 @@ def test_single_writer_keyword_calling_and_missing_path(spark):
     """r10 (ADVICE): the lock wrapper binds through inspect.signature, so
     keyword calling styles work identically to positional ones, and a
     call without ``path`` fails with a clear TypeError up front."""
-    from fastembed_rs_spark.operators.ivf_index import append_ivf_index
+    from fastembed_rs_spark.operators.ivf_index import (
+        _read_manifest,
+        append_ivf_index,
+    )
 
     d = tempfile.mkdtemp(prefix="ivf_kw_")
     try:
         emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
         build_ivf_index(corpus=emb, path=d, k=4, iters=1, seed=7)
-        assert spark.read.parquet(f"{d}/manifest").first()["k"] == 4
+        assert _read_manifest(spark, d)["k"] == 4
         batch = emb.select(
             (F.col("vec_id") + 5000000).alias("vec_id"), "embedding", "label"
         ).limit(5)
@@ -1219,7 +1260,9 @@ def test_reader_mid_swap_sees_coherent_generation(spark):
                 ).collect()}
                 bad = [c for c, r in audit.items() if not r["ok"]]
                 assert not bad, (point, bad)
-                left = set(os.listdir(d)) - {"writer_lock"}
+                left = {
+                    n for n in os.listdir(d) if not n.startswith(".")
+                } - {"writer_lock"}
                 assert left == {"centroids", "corpus", "manifest"}, left
             finally:
                 ivf._swap_generations = real_swap
