@@ -303,3 +303,118 @@ def gram_fixed_fast(
             })
 
     return src.mapInPandas(gen, schema="i int, j int, g_fixed long")
+
+
+def lloyd_assign_partials_fast(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    targets: Sequence[tuple[int, Sequence[float]]],
+    stride: int | None = None,
+) -> DataFrame:
+    """One FUSED Lloyd's-iteration pass: score + argmax-assign + partial
+    mean sums in a single corpus scan with no wide shuffle.
+
+    Scores every row against ``targets`` with the exact
+    ``pairwise_cosine_fast`` fold (bit-identical raw doubles), takes the
+    per-row argmax on those RAW scores — ties to the LOWEST target id,
+    the same order as ``max(struct(score, -id))`` and the oracle's
+    ``ORDER BY s DESC, centroid_id ASC`` (targets must be sorted by
+    ascending id, which the training loops guarantee) — and accumulates,
+    per task, the member-vector sums and counts of every chosen target.
+    Emits one row per (target_id, dim) per task:
+    ``(__tid long, __d int, __s double, __n long)``; the caller collapses
+    them with one tiny ``groupBy(__tid, __d)`` into
+    ``round(sum(__s)/sum(__n), 9)`` — arithmetically the same
+    count-weighted mean as the previous assign-join-posexplode-avg plan,
+    with summation order differing only the way it already differs
+    across partitionings/engines (the round-to-9 pins it, the same
+    argument that makes the DuckDB replay match).
+
+    ``stride``: when set, targets encode (config, centroid) as
+    ``config*stride + centroid_id`` and the argmax runs independently
+    within each config's contiguous block — the joint multi-k shape of
+    ``train_ivf_centroids_multi``.
+
+    Replaces the per-iteration 3-exchange plan (argmax shuffle + member
+    join + exploded-mean shuffle) with scan → k×dim×tasks partial rows →
+    one tiny exchange: at 100 TB each Lloyd's iteration moves k×dim×tasks
+    doubles instead of re-shuffling the corpus twice.
+    """
+    import numpy as np
+
+    tids = np.asarray([int(t[0]) for t in targets], dtype=np.int64)
+    tvecs = [np.asarray(t[1], dtype=np.float64) for t in targets]
+    tnorms = []
+    for tv in tvecs:
+        acc = 0.0
+        for x in tv:
+            acc = acc + x * x
+        tnorms.append(float(np.sqrt(acc)))
+    # contiguous per-config blocks for the grouped argmax
+    if stride is None:
+        blocks = [(0, len(tids))]
+    else:
+        blocks = []
+        lo = 0
+        for i in range(1, len(tids) + 1):
+            if i == len(tids) or tids[i] // stride != tids[lo] // stride:
+                blocks.append((lo, i))
+                lo = i
+    src = df.select(id_col, vec_col)
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        t_cnt = len(tids)
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n, dim = V.shape
+            nacc = np.zeros(n, dtype=np.float64)
+            for j in range(dim):
+                nacc = nacc + V[:, j] * V[:, j]
+            vnorm = np.sqrt(nacc)
+            scores = np.empty((n, t_cnt), dtype=np.float64)
+            for ti, (tv, tn) in enumerate(zip(tvecs, tnorms)):
+                d = min(dim, len(tv))
+                acc = np.zeros(n, dtype=np.float64)
+                for j in range(d):
+                    acc = acc + V[:, j] * tv[j]
+                denom = vnorm * tn
+                scores[:, ti] = np.where(
+                    (vnorm == 0.0) | (tn == 0.0),
+                    0.0,
+                    acc / np.where(denom == 0.0, 1.0, denom),
+                )
+            for lo, hi in blocks:
+                # first max = lowest target id (ids ascend within a block)
+                choice = lo + np.argmax(scores[:, lo:hi], axis=1)
+                for ti in np.unique(choice):
+                    members = V[choice == ti]
+                    tid = int(tids[ti])
+                    if tid in sums:
+                        sums[tid] = sums[tid] + members.sum(axis=0)
+                        counts[tid] += len(members)
+                    else:
+                        sums[tid] = members.sum(axis=0)
+                        counts[tid] = len(members)
+        if sums:
+            tid_out, d_out, s_out, n_out = [], [], [], []
+            for tid in sorted(sums):
+                sv = sums[tid]
+                tid_out.extend([tid] * len(sv))
+                d_out.extend(range(len(sv)))
+                s_out.extend(sv.tolist())
+                n_out.extend([counts[tid]] * len(sv))
+            yield pd.DataFrame({
+                "__tid": np.asarray(tid_out, dtype=np.int64),
+                "__d": np.asarray(d_out, dtype=np.int32),
+                "__s": np.asarray(s_out, dtype=np.float64),
+                "__n": np.asarray(n_out, dtype=np.int64),
+            })
+
+    return src.mapInPandas(gen, schema="__tid long, __d int, __s double, __n long")

@@ -121,17 +121,21 @@ def train_ivf_centroids(
     """Lloyd's k-means over a vector column — the training step that turns
     ``ivf_top_k`` from "modulo-sampled anchors" into a real IVF index.
 
-    Per iteration: assign every vector to its nearest centroid (the
-    corpus × k scoring runs through the NumPy kernel,
-    operators/fast_vector.py — bit-identical raw cosines to the expression
-    path, and the dominant per-iteration cost before the switch), argmax
-    via map-side-combined ``max(struct)``, then recompute each centroid as
-    the per-dim mean of its members (posexplode → keyed avg). The k×dim
-    means come back to the DRIVER between iterations (constant-size state
-    — the same bound that makes centroids broadcastable) and ship into the
-    next iteration's kernel closure: no per-iteration localCheckpoint jobs
-    and no lineage growth. Measured 2.5s → 1.6s per (k=8, iters=3) train
-    at sf0.1; the win compounds across every trained-centroid query.
+    Per iteration: ONE fused corpus scan
+    (``fast_vector.lloyd_assign_partials_fast``) scores every vector
+    against the centroids with the bit-identical NumPy fold, argmax-
+    assigns on the raw scores (ties to the lowest centroid id — the
+    ``max(struct)`` / oracle order), and emits per-task partial member
+    sums; one tiny ``groupBy(centroid_id, dim)`` turns them into the
+    rounded means. The k×dim means come back to the DRIVER between
+    iterations (constant-size state — the same bound that makes centroids
+    broadcastable) and ship into the next iteration's kernel closure: no
+    per-iteration localCheckpoint jobs and no lineage growth. The fused
+    pass replaced the previous 3-exchange iteration (argmax shuffle +
+    member join + posexplode-mean shuffle): per iteration the cluster now
+    moves k×dim×tasks partial doubles instead of re-shuffling the corpus
+    twice (r10; ~25 → ~13 Spark jobs per trained-centroid query at
+    sf0.1, same hashes).
 
     Cross-engine determinism (the DuckDB oracle replays these exact
     iterations as chained CTEs): init orders by the engine-shared rolling
@@ -144,7 +148,9 @@ def train_ivf_centroids(
     Returns a k-row DataFrame (centroid_id int, centroid_vec array<double>).
     """
     from fastembed_rs_spark.functions.text import token_hash
-    from fastembed_rs_spark.operators.fast_vector import pairwise_cosine_fast
+    from fastembed_rs_spark.operators.fast_vector import (
+        lloyd_assign_partials_fast,
+    )
 
     hashed = corpus.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"),
@@ -162,24 +168,17 @@ def train_ivf_centroids(
         # and scanned once per iteration
         points = points.persist()
     for _ in range(iters):
-        scored = pairwise_cosine_fast(
-            points, id_col, "__v", targets,
-            target_id_name="centroid_id", score_name="__s",
-        )
-        best = argmax_assign(
-            scored, keys=[id_col], choice_col="centroid_id", score_col="__s",
-            carry=[],
-        )
         mrows = (
-            points.join(best, id_col)
-            .select("centroid_id", F.posexplode("__v").alias("__d", "__x"))
-            .groupBy("centroid_id", "__d")
-            .agg(F.round(F.avg("__x"), 9).alias("__m"))
+            lloyd_assign_partials_fast(points, id_col, "__v", targets)
+            # count-weighted mean == the old assign-join-posexplode avg;
+            # round-to-9 pins the (always partitioning-dependent) sum order
+            .groupBy("__tid", "__d")
+            .agg(F.round(F.sum("__s") / F.sum("__n"), 9).alias("__m"))
             .collect()  # k×dim rows — constant-size driver state
         )
         acc: dict[int, dict[int, float]] = {}
         for r in mrows:
-            acc.setdefault(r["centroid_id"], {})[r["__d"]] = r["__m"]
+            acc.setdefault(r["__tid"], {})[r["__d"]] = r["__m"]
         targets = [
             (cid, [dm[d] for d in sorted(dm)]) for cid, dm in sorted(acc.items())
         ]
@@ -224,7 +223,9 @@ def train_ivf_centroids_multi(
     array<double>) with Σks rows.
     """
     from fastembed_rs_spark.functions.text import token_hash
-    from fastembed_rs_spark.operators.fast_vector import pairwise_cosine_fast
+    from fastembed_rs_spark.operators.fast_vector import (
+        lloyd_assign_partials_fast,
+    )
 
     kmax = max(ks)
     hashed = corpus.select(
@@ -248,28 +249,23 @@ def train_ivf_centroids_multi(
             (k * _MULTI_K_STRIDE + cid, vec)
             for k in ks for cid, vec in per_k[k]
         ]
-        scored = pairwise_cosine_fast(
-            points, id_col, "__v", targets,
-            target_id_name="__tid", score_name="__s",
-        ).select(
-            id_col, "__s",
-            F.expr(f"CAST(__tid div {_MULTI_K_STRIDE} AS INT)").alias("__k"),
-            F.expr(f"CAST(__tid % {_MULTI_K_STRIDE} AS INT)").alias("centroid_id"),
-        )
-        best = argmax_assign(
-            scored, keys=[id_col, "__k"], choice_col="centroid_id",
-            score_col="__s", carry=[],
-        )
         mrows = (
-            points.join(best, id_col)
-            .select("__k", "centroid_id", F.posexplode("__v").alias("__d", "__x"))
-            .groupBy("__k", "centroid_id", "__d")
-            .agg(F.round(F.avg("__x"), 9).alias("__m"))
+            # fused scan (see train_ivf_centroids): per-config argmax runs
+            # inside the kernel on the contiguous tid blocks; one tiny
+            # groupBy collapses the per-task partial sums into the means
+            lloyd_assign_partials_fast(
+                points, id_col, "__v", targets, stride=_MULTI_K_STRIDE
+            )
+            .groupBy("__tid", "__d")
+            .agg(F.round(F.sum("__s") / F.sum("__n"), 9).alias("__m"))
             .collect()  # Σk×dim rows — constant-size driver state
         )
         acc: dict[tuple[int, int], dict[int, float]] = {}
         for r in mrows:
-            acc.setdefault((r["__k"], r["centroid_id"]), {})[r["__d"]] = r["__m"]
+            acc.setdefault(
+                (r["__tid"] // _MULTI_K_STRIDE, r["__tid"] % _MULTI_K_STRIDE),
+                {},
+            )[r["__d"]] = r["__m"]
         per_k = {
             k: [
                 (cid, [dm[d] for d in sorted(dm)])
