@@ -104,8 +104,10 @@ def connected_components(
                 parent[max(ra, rb)] = min(ra, rb)
         labels = [(n, find(n)) for n in parent]
         node_type = edges.schema[src].dataType.simpleString()
-        return edges.sparkSession.createDataFrame(
-            labels, f"node {node_type}, comp {node_type}"
+        from fastembed_rs_spark.operators.scale import local_table
+
+        return local_table(
+            edges.sparkSession, labels, f"node {node_type}, comp {node_type}"
         )
 
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(

@@ -418,3 +418,97 @@ def lloyd_assign_partials_fast(
             })
 
     return src.mapInPandas(gen, schema="__tid long, __d int, __s double, __n long")
+
+
+def pq_assign_partials_fast(
+    df: DataFrame,
+    vec_col: str,
+    books: dict[int, list[tuple[int, Sequence[float]]]],
+    m: int,
+    dsub: int,
+) -> DataFrame:
+    """One FUSED per-subspace Lloyd's-iteration pass for PQ codebook
+    training — the L2 sibling of ``lloyd_assign_partials_fast``.
+
+    For every row and every subspace ``s``, computes the squared L2
+    distance of the row's ``s``-th ``dsub``-slice to each of that
+    subspace's codebook entries with the exact ``pq._sq_dist_fixed`` fold
+    (accumulator from 0.0, ascending dims, one correctly-rounded IEEE
+    sub/mul/add sequence — bit-identical doubles), argmin-assigns on the
+    RAW distances (first-min = lowest code_id, the ``min(struct(d2,
+    code_id))`` order; each subspace's entries ship sorted by code_id),
+    and accumulates per-task partial member-slice sums. Emits one row per
+    (subspace, code_id, dim) per task:
+    ``(subspace int, code_id int, __d int, __s double, __n long)`` —
+    m·k·dsub rows, collapsed by the caller with one tiny groupBy into
+    ``round(sum/sum, 9)`` means (the same count-weighted mean as the old
+    assign-join-posexplode-avg plan; summation order is pinned by the
+    round-to-9, the standing cross-engine argument).
+
+    Replaces the per-iteration broadcast-join + argmin shuffle +
+    exploded-mean shuffle over the m×-exploded subvector table: at scale
+    each training iteration is one corpus scan plus an m·k·dsub·tasks-row
+    exchange, and the corpus is never exploded by m.
+    """
+    import numpy as np
+
+    codes = {
+        s: (
+            np.asarray([int(c) for c, _ in entries], dtype=np.int64),
+            [np.asarray(v, dtype=np.float64) for _, v in entries],
+        )
+        for s, entries in books.items()
+    }
+    src = df.select(vec_col)
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        sums: dict[tuple[int, int], np.ndarray] = {}
+        counts: dict[tuple[int, int], int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = len(V)
+            for s in range(m):
+                S = V[:, s * dsub:(s + 1) * dsub]
+                cids, cvecs = codes[s]
+                d2 = np.empty((n, len(cids)), dtype=np.float64)
+                for ci, cv in enumerate(cvecs):
+                    acc = np.zeros(n, dtype=np.float64)
+                    for j in range(dsub):
+                        dj = S[:, j] - cv[j]
+                        acc = acc + dj * dj
+                    d2[:, ci] = acc
+                # first min = lowest code_id (entries sorted by code_id)
+                choice = np.argmin(d2, axis=1)
+                for ci in np.unique(choice):
+                    members = S[choice == ci]
+                    key = (s, int(cids[ci]))
+                    if key in sums:
+                        sums[key] = sums[key] + members.sum(axis=0)
+                        counts[key] += len(members)
+                    else:
+                        sums[key] = members.sum(axis=0)
+                        counts[key] = len(members)
+        if sums:
+            s_out, c_out, d_out, v_out, n_out = [], [], [], [], []
+            for (s, cid) in sorted(sums):
+                sv = sums[(s, cid)]
+                s_out.extend([s] * len(sv))
+                c_out.extend([cid] * len(sv))
+                d_out.extend(range(len(sv)))
+                v_out.extend(sv.tolist())
+                n_out.extend([counts[(s, cid)]] * len(sv))
+            yield pd.DataFrame({
+                "subspace": np.asarray(s_out, dtype=np.int32),
+                "code_id": np.asarray(c_out, dtype=np.int32),
+                "__d": np.asarray(d_out, dtype=np.int32),
+                "__s": np.asarray(v_out, dtype=np.float64),
+                "__n": np.asarray(n_out, dtype=np.int64),
+            })
+
+    return src.mapInPandas(
+        gen, schema="subspace int, code_id int, __d int, __s double, __n long"
+    )

@@ -724,8 +724,10 @@ def audit_ivf_index(
         )
         for cid, cnt in occupancy:
             rows.append((f"bucket_rows_{cid}", True, str(cnt), str(cnt)))
-    return spark.createDataFrame(
-        rows, "check string, ok boolean, expected string, actual string"
+    from fastembed_rs_spark.operators.scale import local_table
+
+    return local_table(
+        spark, rows, "check string, ok boolean, expected string, actual string"
     )
 
 
@@ -1023,7 +1025,9 @@ def repair_ivf_index(
         ("reassigned_all", n_reassigned),
         ("manifest_n_vectors", n_total),
     ]
-    return spark.createDataFrame(actions, "action string, n_rows long")
+    from fastembed_rs_spark.operators.scale import local_table
+
+    return local_table(spark, actions, "action string, n_rows long")
 
 
 def index_file_stats(spark: SparkSession, path: str) -> DataFrame:
@@ -1053,8 +1057,10 @@ def index_file_stats(spark: SparkSession, path: str) -> DataFrame:
             n_files += 1
             n_bytes += f.getLen()
         rows.append((val, n_files, n_bytes))
-    return spark.createDataFrame(
-        rows, "centroid_id string, n_files long, bytes long"
+    from fastembed_rs_spark.operators.scale import local_table
+
+    return local_table(
+        spark, rows, "centroid_id string, n_files long, bytes long"
     )
 
 
@@ -1091,8 +1097,10 @@ def compact_ivf_index(
             if target < r["n_files"]:
                 plan[int(r["centroid_id"])] = (r["n_files"], target)
     if not plan:
-        return spark.createDataFrame(
-            [], "centroid_id long, files_before long, files_target long"
+        from fastembed_rs_spark.operators.scale import local_table
+
+        return local_table(
+            spark, [], "centroid_id long, files_before long, files_target long"
         )
     targets = spark.createDataFrame(
         [(b, t) for b, (_, t) in plan.items()],
@@ -1122,7 +1130,10 @@ def compact_ivf_index(
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         else:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return spark.createDataFrame(
+    from fastembed_rs_spark.operators.scale import local_table
+
+    return local_table(
+        spark,
         [(b, n, t) for b, (n, t) in sorted(plan.items())],
         "centroid_id long, files_before long, files_target long",
     )

@@ -107,13 +107,23 @@ def train_pq_codebooks(
     iters: int = 2, seed: int = 42,
 ) -> DataFrame:
     """Per-subspace Lloyd's k-means (L2), all ``m`` subspaces trained in ONE
-    DataFrame pipeline: points are keyed by (subspace, id), centroids by
-    (subspace, code_id), the assign step is an equi-join on ``subspace`` —
-    so the number of Spark stages does not grow with m (the naive
-    per-subspace loop would run m separate k-means jobs).
+    fused kernel pass per iteration
+    (``fast_vector.pq_assign_partials_fast``): the corpus is scanned once,
+    every subspace's distances/argmin/partial-mean-sums happen inside the
+    kernel (bit-identical ``_sq_dist_fixed`` fold, first-min = lowest
+    code_id — the old ``min(struct(d2, code_id))`` order), and one tiny
+    m·k·dsub-row groupBy produces the rounded means, which come back to
+    the DRIVER between iterations (constant-size state, the bound that
+    makes codebooks broadcastable). Replaced the r9 shape (subvector
+    explode + per-iteration broadcast-join / argmin shuffle / exploded-
+    mean shuffle + localCheckpoint): the number of Spark stages is still
+    independent of m, and each iteration now moves m·k·dsub·tasks partial
+    doubles instead of re-shuffling the m×-exploded corpus twice.
 
-    Init: per subspace, the k points with the smallest id-hash
-    (deterministic, no full sort of the corpus — window over the hash).
+    Init: the k points with the smallest id-hash contribute all m of
+    their subvectors — identical to the old per-subspace window because
+    the hash ranks POINTS (it reads only the id), so every subspace's k
+    winners were always the same k points.
     Cross-engine determinism (for the chained-CTE DuckDB oracle): the init
     hash is the engine-shared rolling ``token_hash`` and each recomputed
     mean is rounded to 9 decimals, pinning every iteration's input against
@@ -121,52 +131,56 @@ def train_pq_codebooks(
     Returns (subspace int, code_id int, code_vec array<double>).
     """
     from fastembed_rs_spark.functions.text import token_hash
-
-    points = split_subvectors(corpus, id_col, vec_col, m, dsub, out_id="__pid").select(
-        "__pid", "subspace", "subvec"
-    ).localCheckpoint()
-
-    wh = Window.partitionBy("subspace").orderBy(
-        token_hash(F.concat(F.col("__pid").cast("string"), F.lit(f"#pq{seed}"))),
-        F.col("__pid"),
+    from fastembed_rs_spark.operators.fast_vector import (
+        pq_assign_partials_fast,
     )
-    centroids = (
-        points.withColumn("__r", F.row_number().over(wh))
-        .filter(F.col("__r") <= k)
-        .select(
-            "subspace",
-            (F.col("__r") - 1).cast("int").alias("code_id"),
-            F.col("subvec").alias("code_vec"),
-        )
-        .localCheckpoint()
+
+    hashed = corpus.select(
+        F.col(id_col), _to_double(vec_col).alias("__v"),
+        token_hash(
+            F.concat(F.col(id_col).cast("string"), F.lit(f"#pq{seed}"))
+        ).alias("__h"),
     )
+    init_rows = hashed.orderBy("__h", id_col).limit(k).collect()
+    books: dict[int, list] = {
+        s: [
+            (c, list(r["__v"])[s * dsub:(s + 1) * dsub])
+            for c, r in enumerate(init_rows)
+        ]
+        for s in range(m)
+    }
+    points = hashed.select("__v")
+    if iters > 0:
+        points = points.persist()
     for _ in range(iters):
-        scored = points.join(F.broadcast(centroids), on="subspace").select(
-            "__pid", "subspace", "subvec", "code_id",
-            _sq_dist_fixed("subvec", "code_vec", dsub).alias("__d2"),
-        )
-        assigned = (
-            scored.groupBy("__pid", "subspace")
-            .agg(F.min(F.struct("__d2", "code_id", "subvec")).alias("__best"))
-            .select(
-                "subspace",
-                F.col("__best.code_id").alias("code_id"),
-                F.col("__best.subvec").alias("subvec"),
-            )
-        )
-        means = (
-            assigned.select("subspace", "code_id", F.posexplode("subvec").alias("__d", "__x"))
+        mrows = (
+            pq_assign_partials_fast(points, "__v", books, m, dsub)
             .groupBy("subspace", "code_id", "__d")
-            .agg(F.round(F.avg("__x"), 9).alias("__mean"))
-            .groupBy("subspace", "code_id")
-            .agg(F.array_sort(F.collect_list(F.struct("__d", "__mean"))).alias("__dm"))
-            .select(
-                "subspace", "code_id",
-                F.transform("__dm", lambda s: s["__mean"]).alias("code_vec"),
-            )
+            .agg(F.round(F.sum("__s") / F.sum("__n"), 9).alias("__m"))
+            .collect()  # m·k·dsub rows — constant-size driver state
         )
-        centroids = means.localCheckpoint()
-    return centroids
+        acc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in mrows:
+            acc.setdefault((r["subspace"], r["code_id"]), {})[r["__d"]] = r["__m"]
+        books = {
+            s: [
+                (cid, [dm[d] for d in sorted(dm)])
+                for (ss, cid), dm in sorted(acc.items()) if ss == s
+            ]
+            for s in range(m)
+        }
+    if iters > 0:
+        points.unpersist()
+    from fastembed_rs_spark.operators.scale import local_table
+
+    return local_table(
+        corpus.sparkSession,
+        [
+            (int(s), int(cid), list(vec))
+            for s in range(m) for cid, vec in books[s]
+        ],
+        "subspace int, code_id int, code_vec array<double>",
+    )
 
 
 def pq_encode(

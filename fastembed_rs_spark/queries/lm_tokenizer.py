@@ -298,7 +298,9 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         TS.punct_ratio_from_counts().alias("f_punct"),
         TS.avg_token_len_from_counts().alias("f_atl"),
     )
-    wts = spark.createDataFrame(list(_QC_WEIGHTS), "feature string, w double")
+    from fastembed_rs_spark.operators.scale import local_table
+
+    wts = local_table(spark, list(_QC_WEIGHTS), "feature string, w double")
     # long-form weights -> one row of w_* columns (renamed so they can't
     # collide with the feature columns after the cross join)
     wrow = (

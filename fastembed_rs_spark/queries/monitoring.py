@@ -1310,8 +1310,10 @@ def q_packing_efficiency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("len")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    grid = spark.createDataFrame(
-        [(int(m),) for m in _PACK_SWEEP_LENS], "max_len long"
+    from fastembed_rs_spark.operators.scale import local_table
+
+    grid = local_table(
+        spark, [(int(m),) for m in _PACK_SWEEP_LENS], "max_len long"
     )
     agg = (
         grid.crossJoin(F.broadcast(hist))
@@ -2080,8 +2082,11 @@ def q_index_lifecycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (r["check"], bool(r["ok"]), r["expected"], r["actual"])
             for r in report.collect()
         ]
-        return spark.createDataFrame(
-            rows, "check string, ok boolean, expected string, actual string"
+        from fastembed_rs_spark.operators.scale import local_table
+
+        return local_table(
+            spark, rows,
+            "check string, ok boolean, expected string, actual string",
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
@@ -2210,8 +2215,11 @@ def q_index_repair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (r["check"], bool(r["ok"]), r["expected"], r["actual"])
             for r in report.collect()
         ]
-        return spark.createDataFrame(
-            rows, "check string, ok boolean, expected string, actual string"
+        from fastembed_rs_spark.operators.scale import local_table
+
+        return local_table(
+            spark, rows,
+            "check string, ok boolean, expected string, actual string",
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
@@ -2339,8 +2347,11 @@ def q_index_retrain_compact_audit(spark: SparkSession, sf_dir: str) -> DataFrame
                 f"bucket_files_{int(r['centroid_id'])}",
                 int(r["n_files"]) == 1, "1", str(int(r["n_files"])),
             ))
-        return spark.createDataFrame(
-            rows, "check string, ok boolean, expected string, actual string"
+        from fastembed_rs_spark.operators.scale import local_table
+
+        return local_table(
+            spark, rows,
+            "check string, ok boolean, expected string, actual string",
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
@@ -2568,6 +2579,8 @@ def q_curation_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("manifest_n_nodes", int(manifest["n_nodes"])),
                 ("manifest_n_components", int(manifest["n_components"]))]
         rows += [(r["metric"], int(r["value"])) for r in out.collect()]
-        return spark.createDataFrame(rows, "metric string, value long")
+        from fastembed_rs_spark.operators.scale import local_table
+
+        return local_table(spark, rows, "metric string, value long")
     finally:
         shutil.rmtree(path, ignore_errors=True)
