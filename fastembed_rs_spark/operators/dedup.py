@@ -390,21 +390,28 @@ def _prefix_pairs_from_postings(
     receives {gram_df_broadcast, n_grams} for observability/testing
     (the hinted join runs inside the perdoc localCheckpoint, so it is
     not pinnable from the final plan)."""
+    # Only grams with df >= 2 can ever rank a prefix differently from the
+    # df=1 default or produce a candidate pair, and n-gram vocabularies are
+    # dominated by df=1 grams — so the annotation table (and its broadcast)
+    # carries ONLY the repeated grams; unannotated postings coalesce to
+    # df=1. The global (df asc, gram asc) prefix order is IDENTICAL: df=1
+    # grams tie at 1 and keep their gram-order, and 1 < every annotated df.
+    # Checkpoint the filtered table: the count gate and the annotation join
+    # then both read the materialized rows instead of re-running the
+    # histogram aggregation (which the adaptive path's stats probe already
+    # paid once).
+    rep = gram_df.filter(F.col("__df") >= 2).localCheckpoint()
     if n_grams is None:
-        # one bounded count over the vocabulary histogram (gram_df is an
-        # aggregate, so Catalyst has no size estimate to gate on for us).
-        # Checkpoint first: without it the count would materialize the
-        # groupBy once and the annotation join would recompute the same
-        # aggregation from scratch — doubling the most expensive shuffle
-        # in the query.
-        gram_df = gram_df.localCheckpoint()
-        n_grams = gram_df.count()
+        # bounded count over the (already filtered) annotation table —
+        # gram_df is an aggregate, so Catalyst has no size estimate to
+        # gate on for us
+        n_grams = rep.count()
     use_broadcast = n_grams <= broadcast_max_grams
     if decision is not None:
         decision.update(gram_df_broadcast=use_broadcast, n_grams=n_grams)
     annotated = postings.join(
-        F.broadcast(gram_df) if use_broadcast else gram_df, "__g"
-    )
+        F.broadcast(rep) if use_broadcast else rep, "__g", "left"
+    ).withColumn("__df", F.coalesce(F.col("__df"), F.lit(1).cast("long")))
     # ONE shuffle by doc builds BOTH tables: the sorted gram array gives
     # the rarest-first prefix (array slice — no rank window, no per-doc
     # sort pass) and the full gram set for exact verification.
@@ -423,6 +430,7 @@ def _prefix_pairs_from_postings(
         .agg(F.array_sort(F.collect_list(F.struct("__df", "__g"))).alias("__dg"))
         .select(
             F.col(id_col),
+            F.col("__sz"),
             F.transform("__dg", lambda s: s["__g"]).alias("__grams"),
             # prefix = the prefix_len rarest grams; df-1 grams are ranked
             # (correctness: the prefix must be the p smallest in the global
@@ -438,11 +446,30 @@ def _prefix_pairs_from_postings(
         )
         .localCheckpoint()
     )
-    prefix = perdoc.select(F.col(id_col), F.explode("__prefix").alias("__g"))
-    a = prefix.select(F.col(id_col).alias("id_a"), "__g")
-    b = prefix.select(F.col(id_col).alias("id_b"), "__g")
+    prefix = perdoc.select(
+        F.col(id_col), F.col("__sz"), F.explode("__prefix").alias("__g")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__g"
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"), "__g"
+    )
+    # SSJoin/PPJoin length filter: J(a,b) >= t forces
+    # min(|a|,|b|) >= t*max(|a|,|b|) (inter <= min, union >= max), so
+    # size-mismatched candidates are pruned BEFORE the gram-array verify
+    # join — provably zero false negatives. The 1e-9 slack mirrors the
+    # prefix_len epsilon: a float boundary error may only KEEP a
+    # borderline pair (verify drops it), never lose one.
     cands = (
-        a.join(b, on=[a["__g"] == b["__g"], F.col("id_a") < F.col("id_b")])
+        a.join(b, on=[
+            a["__g"] == b["__g"],
+            F.col("id_a") < F.col("id_b"),
+            F.col("__sza").cast("double")
+            >= F.lit(threshold) * F.col("__szb") - F.lit(1e-9),
+            F.col("__szb").cast("double")
+            >= F.lit(threshold) * F.col("__sza") - F.lit(1e-9),
+        ])
         .select("id_a", "id_b")
         .distinct()
     )

@@ -496,3 +496,43 @@ def word_window_counts_fast(
                 )
 
     return src.mapInPandas(gen, schema=schema)
+
+
+def simhash_fast(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32,
+) -> DataFrame:
+    """NumPy fast path of ``dedup.simhash`` — identical output
+    (id, simhash long). Everything is exact integer math (rolling token
+    hashes < 2^30, per-bit ±1 balances over the token MULTISET, bit j set
+    iff balance > 0, pack as Σ 2^j), so the kernel is bit-exact vs the
+    interpreted ``aggregate``/``zip_with`` fold and the DuckDB oracle;
+    ``floor(h / 2^j) % 2`` on non-negative h equals ``(h >> j) & 1``.
+    Replaces ~tokens×bits interpreted lambda steps per document (the
+    higher-order aggregate is CodegenFallback) with three vectorized array
+    ops per batch."""
+    schema = f"{id_col} {_out_id_type(df, id_col)}, simhash long"
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        jbits = np.arange(bits, dtype=np.int64)
+        pow2 = (np.int64(1) << jbits)
+        for pdf in batches:
+            toks: list[str] = []
+            doc_of: list[int] = []
+            for di, text in enumerate(pdf[text_col]):
+                ts = _tokens(text or "")
+                toks.extend(ts)
+                doc_of.extend([di] * len(ts))
+            out = np.zeros(len(pdf), dtype=np.int64)
+            if toks:
+                hs = _rolling_hash_many(toks)
+                contrib = (((hs[:, None] >> jbits[None, :]) & 1) * 2 - 1)
+                bal = np.zeros((len(pdf), bits), dtype=np.int64)
+                np.add.at(bal, np.asarray(doc_of, dtype=np.int64), contrib)
+                out = ((bal > 0) * pow2[None, :]).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    src = spread_if_narrow(df.select(id_col, text_col))
+    return src.mapInPandas(gen, schema=schema)

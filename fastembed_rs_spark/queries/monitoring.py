@@ -1815,7 +1815,11 @@ def q_simhash_hamming_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = verify_candidates_fast(
         cand, docs, "doc_id", "text", k_shingle=5, threshold=0.1
     )
-    sh = docs.select("doc_id", D.simhash("text").alias("__sh"))
+    from fastembed_rs_spark.operators.fast_text import simhash_fast
+
+    sh = simhash_fast(docs, "doc_id", "text").withColumnRenamed(
+        "simhash", "__sh"
+    )
     pj = (
         pairs
         .join(

@@ -829,10 +829,11 @@ FROM documents
     "32-bit simhash over the token multiset (near-dup fingerprint)",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fastembed_rs_spark.operators.scale import spread_if_narrow
+    # the integer-exact NumPy kernel (bit-identical to the interpreted
+    # aggregate/zip_with fold — see fast_text.simhash_fast)
+    from fastembed_rs_spark.operators.fast_text import simhash_fast
 
-    docs = spread_if_narrow(t(spark, sf_dir, "documents").select("doc_id", "text"))
-    return docs.select("doc_id", D.simhash("text").alias("simhash"))
+    return simhash_fast(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 # ===========================================================================

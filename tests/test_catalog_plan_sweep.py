@@ -64,6 +64,10 @@ PYTHON_OK = {
     "cross_source_contamination",  # containment postings join scores
                                    # through the same kernel as
                                    # containment_neardup
+    "simhash",  # integer-exact simhash kernel (fast_text.simhash_fast)
+    # simhash_hamming_curve uses the same kernel, but its pair side is
+    # checkpointed so the final plan shows no Python node — the staleness
+    # gate keeps it out of this list
 }
 
 _PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
