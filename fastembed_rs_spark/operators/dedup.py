@@ -406,6 +406,14 @@ def _prefix_pairs_from_postings(
         # gram_df is an aggregate, so Catalyst has no size estimate to
         # gate on for us
         n_grams = rep.count()
+    # Dictionary-encode the repeated grams: a unique long id per gram
+    # (monotonically_increasing_id over the CHECKPOINTED table — pinned
+    # partitions make it deterministic per materialization, and only
+    # uniqueness matters: every downstream use is set-membership, so any
+    # unique assignment yields identical pair sets and jaccard values).
+    # From here on the candidate join and the verify arrays move 8-byte
+    # longs instead of n-gram strings.
+    rep = rep.withColumn("__gid", F.monotonically_increasing_id())
     use_broadcast = n_grams <= broadcast_max_grams
     if decision is not None:
         decision.update(gram_df_broadcast=use_broadcast, n_grams=n_grams)
@@ -427,11 +435,23 @@ def _prefix_pairs_from_postings(
     )
     perdoc = (
         annotated.groupBy(id_col, "__sz")
-        .agg(F.array_sort(F.collect_list(F.struct("__df", "__g"))).alias("__dg"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__df", "__g", "__gid"))
+            ).alias("__dg")
+        )
         .select(
             F.col(id_col),
             F.col("__sz"),
-            F.transform("__dg", lambda s: s["__g"]).alias("__grams"),
+            # verify needs only INTERSECTION members, and a df=1 gram
+            # occurs in exactly one document (per-doc gram sets are
+            # distinct), so it can never be shared: the verify array
+            # keeps only the df>=2 grams — as their long ids. |A| / |B|
+            # for the union come from __sz, so nothing is lost.
+            F.transform(
+                F.filter("__dg", lambda s: s["__df"] >= 2),
+                lambda s: s["__gid"],
+            ).alias("__gids"),
             # prefix = the prefix_len rarest grams; df-1 grams are ranked
             # (correctness: the prefix must be the p smallest in the global
             # order) but dropped from the INDEX — they can never produce a
@@ -441,19 +461,19 @@ def _prefix_pairs_from_postings(
                     F.slice("__dg", 1, F.greatest(prefix_len, F.lit(0))),
                     lambda s: s["__df"] >= 2,
                 ),
-                lambda s: s["__g"],
+                lambda s: s["__gid"],
             ).alias("__prefix"),
         )
         .localCheckpoint()
     )
     prefix = perdoc.select(
-        F.col(id_col), F.col("__sz"), F.explode("__prefix").alias("__g")
+        F.col(id_col), F.col("__sz"), F.explode("__prefix").alias("__gid")
     )
     a = prefix.select(
-        F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__g"
+        F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__gid"
     )
     b = prefix.select(
-        F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"), "__g"
+        F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"), "__gid"
     )
     # SSJoin/PPJoin length filter: J(a,b) >= t forces
     # min(|a|,|b|) >= t*max(|a|,|b|) (inter <= min, union >= max), so
@@ -463,20 +483,20 @@ def _prefix_pairs_from_postings(
     # borderline pair (verify drops it), never lose one.
     cands = (
         a.join(b, on=[
-            a["__g"] == b["__g"],
+            a["__gid"] == b["__gid"],
             F.col("id_a") < F.col("id_b"),
             F.col("__sza").cast("double")
             >= F.lit(threshold) * F.col("__szb") - F.lit(1e-9),
             F.col("__szb").cast("double")
             >= F.lit(threshold) * F.col("__sza") - F.lit(1e-9),
         ])
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "__sza", "__szb")
         .distinct()
     )
-    ga = perdoc.select(F.col(id_col).alias("id_a"), F.col("__grams").alias("__ga"))
-    gb = perdoc.select(F.col(id_col).alias("id_b"), F.col("__grams").alias("__gb"))
+    ga = perdoc.select(F.col(id_col).alias("id_a"), F.col("__gids").alias("__ga"))
+    gb = perdoc.select(F.col(id_col).alias("id_b"), F.col("__gids").alias("__gb"))
     inter = F.size(F.array_intersect("__ga", "__gb")).cast("double")
-    union = F.size("__ga").cast("double") + F.size("__gb").cast("double") - inter
+    union = F.col("__sza").cast("double") + F.col("__szb").cast("double") - inter
     return (
         cands.join(ga, "id_a").join(gb, "id_b")
         .withColumn("jaccard", F.round(inter / union, round_to))
