@@ -314,6 +314,14 @@ def _inverted_pairs_from_postings(
 #: one extra shuffle keyed by gram (uniform — grams are near-unique).
 BROADCAST_MAX_GRAMS = 2_000_000
 
+#: Byte budget for broadcasting the per-doc verify/prefix tables in the
+#: prefix-join shape (measured from actual array cardinalities, see
+#: ``_prefix_pairs_from_postings``). 64 MB sits inside executor broadcast
+#: budgets at any sane executor size; corpora past it keep the shuffle
+#: joins — the gate only ever turns a shuffle into a broadcast, never the
+#: reverse.
+VERIFY_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
 
 def jaccard_prefix_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3,
@@ -466,6 +474,30 @@ def _prefix_pairs_from_postings(
         )
         .localCheckpoint()
     )
+    # One bounded aggregate over the MATERIALIZED per-doc table sizes the
+    # two remaining joins (guide §3: pick the join strategy from measured
+    # bytes, not hope). The candidate self-join and the two verify joins
+    # all pair a row-heavy side (exploded prefixes / candidate pairs)
+    # against per-doc tables whose true byte size is now known exactly —
+    # when a side fits the broadcast budget the pair set never shuffles.
+    # At 100 TB neither fits and both joins keep the shuffle shape; the
+    # gate degrades, never OOMs (estimate is actual array cardinalities
+    # × 8-byte longs + per-row struct overhead).
+    vstats = perdoc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.size("__gids")), F.lit(0)).alias("n_gids"),
+        F.coalesce(F.sum(F.size("__prefix")), F.lit(0)).alias("n_prefix"),
+    ).collect()[0]
+    n_docs = int(vstats["n_docs"])
+    verify_bytes = int(vstats["n_gids"]) * 8 + n_docs * 48
+    prefix_bytes = int(vstats["n_prefix"]) * 24 + n_docs * 24
+    bcast_verify = verify_bytes <= VERIFY_BROADCAST_MAX_BYTES
+    bcast_prefix = prefix_bytes <= VERIFY_BROADCAST_MAX_BYTES
+    if decision is not None:
+        decision.update(
+            verify_broadcast=bcast_verify, prefix_broadcast=bcast_prefix,
+            verify_bytes=verify_bytes, prefix_bytes=prefix_bytes,
+        )
     prefix = perdoc.select(
         F.col(id_col), F.col("__sz"), F.explode("__prefix").alias("__gid")
     )
@@ -475,6 +507,8 @@ def _prefix_pairs_from_postings(
     b = prefix.select(
         F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"), "__gid"
     )
+    if bcast_prefix:
+        b = F.broadcast(b)
     # SSJoin/PPJoin length filter: J(a,b) >= t forces
     # min(|a|,|b|) >= t*max(|a|,|b|) (inter <= min, union >= max), so
     # size-mismatched candidates are pruned BEFORE the gram-array verify
@@ -495,6 +529,8 @@ def _prefix_pairs_from_postings(
     )
     ga = perdoc.select(F.col(id_col).alias("id_a"), F.col("__gids").alias("__ga"))
     gb = perdoc.select(F.col(id_col).alias("id_b"), F.col("__gids").alias("__gb"))
+    if bcast_verify:
+        ga, gb = F.broadcast(ga), F.broadcast(gb)
     inter = F.size(F.array_intersect("__ga", "__gb")).cast("double")
     union = F.col("__sza").cast("double") + F.col("__szb").cast("double") - inter
     return (
