@@ -110,9 +110,13 @@ def connected_components(
             edges.sparkSession, labels, f"node {node_type}, comp {node_type}"
         )
 
+    # LAZY checkpoint + probe: the Σcomp aggregate is the first action on
+    # the checkpointed frame, so ONE job both materializes the labels and
+    # reads the potential — an eager checkpoint would pay a separate
+    # materialization pass per round (measured: 2 jobs -> 1 per round)
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "comp", F.col("node")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     pot = F.sum(F.col("comp").cast("decimal(38,0)"))
     prev_sum = labels.agg(pot).collect()[0][0]
 
@@ -140,7 +144,7 @@ def connected_components(
         for _hop in range(hops_per_round):
             labels = _propagate(labels)
         labels = _jump(labels)
-        labels = labels.localCheckpoint()
+        labels = labels.localCheckpoint(eager=False)
         cur_sum = labels.agg(pot).collect()[0][0]
         if cur_sum == prev_sum:
             break

@@ -472,7 +472,10 @@ def _prefix_pairs_from_postings(
                 lambda s: s["__gid"],
             ).alias("__prefix"),
         )
-        .localCheckpoint()
+        # LAZY checkpoint: the sizing aggregate below is the first action,
+        # so one job both materializes perdoc and measures it — an eager
+        # checkpoint would pay a separate materialization pass
+        .localCheckpoint(eager=False)
     )
     # One bounded aggregate over the MATERIALIZED per-doc table sizes the
     # two remaining joins (guide §3: pick the join strategy from measured

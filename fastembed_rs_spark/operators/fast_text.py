@@ -243,6 +243,19 @@ def verify_candidates_fast(
     (``array_intersect``, hash-set based). Same output (id_a, id_b, jaccard).
     """
     sets = shingle_sets_fast(docs, id_col, text_col, k_shingle)
+    return verify_candidates_from_sets(
+        candidates, sets, id_col, threshold=threshold, round_to=round_to
+    )
+
+
+def verify_candidates_from_sets(
+    candidates: DataFrame, sets: DataFrame, id_col: str,
+    threshold: float = 0.8, round_to: int = 6,
+) -> DataFrame:
+    """Exact shingle-Jaccard verify over prepared ``(id, shingles)`` sets —
+    the join tail of ``verify_candidates_fast``, split out so callers that
+    already computed the sets (e.g. via ``minhash_bundle_fast``'s single
+    fused pass) don't pay a second kernel scan of the corpus."""
     parallelism = candidates.sparkSession.sparkContext.defaultParallelism
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
     union = F.size("__sa").cast("double") + F.size("__sb").cast("double") - inter
@@ -495,6 +508,95 @@ def word_window_counts_fast(
                     {id_col: ids, "__g": grams_out, "__cnt": cnts, "__nw": nws}
                 )
 
+    return src.mapInPandas(gen, schema=schema)
+
+
+def minhash_bundle_fast(
+    df: DataFrame, id_col: str, text_col: str, k_shingle: int = 5,
+    coeffs: list[tuple[int, int]] | None = None,
+    with_simhash: bool = False, simhash_bits: int = 32,
+) -> DataFrame:
+    """ONE kernel pass emitting every text fingerprint the minhash-LSH
+    pipeline consumes: (id, mh_0..mh_{n-1}, shingles [, simhash]).
+
+    The four sketch-calibration queries each ran 2-3 separate mapInPandas
+    passes over the same text (minhash signatures, shingle sets for exact
+    verify, simhash) — each pass re-scanning the parquet, re-shipping the
+    text through Arrow and re-deriving the lowered string. This kernel
+    computes them together per document; every column is value-identical
+    to its standalone kernel (same helpers, same math — pinned by test):
+
+    - ``mh_*``: exactly ``minhash_signatures_fast`` — NULL (instead of a
+      missing row) for docs with fewer than ``k_shingle`` characters;
+      filter ``mh_0 IS NOT NULL`` to recover the signature-table shape.
+    - ``shingles``: exactly ``shingle_sets_fast``.
+    - ``simhash``: exactly ``simhash_fast`` (only when ``with_simhash``).
+    """
+    from fastembed_rs_spark.operators.dedup import MINHASH_COEFFS
+
+    cfs = coeffs if coeffs is not None else MINHASH_COEFFS
+    mh_cols = ", ".join(f"mh_{i} long" for i in range(len(cfs)))
+    schema = (
+        f"{id_col} {_out_id_type(df, id_col)}, {mh_cols}, "
+        "shingles array<string>"
+    )
+    if with_simhash:
+        schema += ", simhash long"
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        a = np.asarray([c[0] for c in cfs], dtype=np.int64)
+        b = np.asarray([c[1] for c in cfs], dtype=np.int64)
+        jbits = np.arange(simhash_bits, dtype=np.int64)
+        pow2 = (np.int64(1) << jbits)
+        for pdf in batches:
+            sig_rows: list = []
+            shingle_lists: list = []
+            toks: list[str] = []
+            doc_of: list[int] = []
+            for di, text in enumerate(pdf[text_col]):
+                s = (text or "").lower()
+                shingle_lists.append(
+                    list({s[i: i + k_shingle]
+                          for i in range(len(s) - k_shingle + 1)})
+                )
+                codes = _codepoints(s)
+                n = len(codes)
+                if n < k_shingle:
+                    sig_rows.append(None)
+                else:
+                    h = np.zeros(n - k_shingle + 1, dtype=np.int64)
+                    for j in range(k_shingle):
+                        h = (h * HASH_BASE
+                             + codes[j: n - k_shingle + 1 + j]) % HASH_MOD
+                    sig_rows.append(
+                        ((h[:, None] * a[None, :] + b[None, :])
+                         % HASH_MOD).min(axis=0)
+                    )
+                if with_simhash:
+                    ts = _tokens(text or "")
+                    toks.extend(ts)
+                    doc_of.extend([di] * len(ts))
+            data = {id_col: pdf[id_col]}
+            for i in range(len(cfs)):
+                data[f"mh_{i}"] = [
+                    None if r is None else int(r[i]) for r in sig_rows
+                ]
+            data["shingles"] = shingle_lists
+            if with_simhash:
+                out = np.zeros(len(pdf), dtype=np.int64)
+                if toks:
+                    hs = _rolling_hash_many(toks)
+                    contrib = (((hs[:, None] >> jbits[None, :]) & 1) * 2 - 1)
+                    bal = np.zeros((len(pdf), simhash_bits), dtype=np.int64)
+                    np.add.at(bal, np.asarray(doc_of, dtype=np.int64), contrib)
+                    out = ((bal > 0) * pow2[None, :]).sum(axis=1)
+                data["simhash"] = out
+            yield pd.DataFrame(data)
+
+    src = spread_if_narrow(df.select(id_col, text_col))
     return src.mapInPandas(gen, schema=schema)
 
 

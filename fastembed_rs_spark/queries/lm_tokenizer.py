@@ -1166,16 +1166,21 @@ JOIN sig sb ON cand.id_b = sb.doc_id
 )
 def q_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastembed_rs_spark.operators.fast_text import (
-        minhash_signatures_fast,
-        verify_candidates_fast,
+        minhash_bundle_fast,
+        verify_candidates_from_sets,
     )
 
     docs = t(spark, sf_dir, "documents")
-    sigs = minhash_signatures_fast(docs, "doc_id", "text", k_shingle=5)
-    sigs = sigs.localCheckpoint()  # feeds banding AND the estimate join
+    # fused signatures+shingles kernel (one corpus scan, was two); the
+    # checkpoint also serves what the old per-sigs checkpoint did — the
+    # signature table feeds banding AND the estimate join
+    bundle = minhash_bundle_fast(
+        docs, "doc_id", "text", k_shingle=5
+    ).localCheckpoint(eager=False)
+    sigs = bundle.filter(F.col("mh_0").isNotNull()).drop("shingles")
     cand = D.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
-    exact = verify_candidates_fast(
-        cand, docs, "doc_id", "text", k_shingle=5, threshold=0.0
+    exact = verify_candidates_from_sets(
+        cand, bundle.select("doc_id", "shingles"), "doc_id", threshold=0.0
     )
     n_h = len(D.MINHASH_COEFFS)
     sa = sigs.select(

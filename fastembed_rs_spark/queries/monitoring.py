@@ -274,9 +274,13 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastembed_rs_spark.operators.dedup import jaccard_pairs_adaptive
 
     docs = t(spark, sf_dir, "documents")
+    # pairs feed BOTH the component labels and pair_agg below — LAZY
+    # checkpoint so the candidate+verify joins run once (CC's edge
+    # materialization is the first action and persists them), not once
+    # per consumer
     pairs = jaccard_pairs_adaptive(
         docs, "doc_id", "text", n=3, threshold=0.5
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
     # small-graph tier: see corpus_curation (bounded at 10^6 edges,
     # distributed loop above, labels identical either way)
     comp = connected_components(pairs, collect_threshold=1_000_000).select(
@@ -1064,15 +1068,19 @@ base AS (
 )
 def q_minhash_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastembed_rs_spark.operators.fast_text import (
-        minhash_signatures_fast,
-        verify_candidates_fast,
+        minhash_bundle_fast,
+        verify_candidates_from_sets,
     )
 
     docs = t(spark, sf_dir, "documents")
-    sigs = minhash_signatures_fast(docs, "doc_id", "text", k_shingle=5)
+    # fused signatures+shingles kernel — one corpus scan, not two
+    bundle = minhash_bundle_fast(
+        docs, "doc_id", "text", k_shingle=5
+    ).localCheckpoint(eager=False)
+    sigs = bundle.filter(F.col("mh_0").isNotNull()).drop("shingles")
     cand = D.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
-    pairs = verify_candidates_fast(
-        cand, docs, "doc_id", "text", k_shingle=5, threshold=0.1
+    pairs = verify_candidates_from_sets(
+        cand, bundle.select("doc_id", "shingles"), "doc_id", threshold=0.1
     )
     base = pairs.select(
         F.expr("CAST(round(jaccard * 1000000) AS BIGINT)").alias("jm")
@@ -1805,21 +1813,24 @@ GROUP BY g.h, tt.total_true
 )
 def q_simhash_hamming_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastembed_rs_spark.operators.fast_text import (
-        minhash_signatures_fast,
-        verify_candidates_fast,
+        minhash_bundle_fast,
+        verify_candidates_from_sets,
     )
 
     docs = t(spark, sf_dir, "documents")
-    sigs = minhash_signatures_fast(docs, "doc_id", "text", k_shingle=5)
+    # fused signatures+shingles+simhash kernel — one corpus scan where the
+    # query previously ran THREE (minhash sigs, verify shingle sets,
+    # simhash fingerprints); each column is bit-identical to its
+    # standalone kernel
+    bundle = minhash_bundle_fast(
+        docs, "doc_id", "text", k_shingle=5, with_simhash=True
+    ).localCheckpoint(eager=False)
+    sigs = bundle.filter(F.col("mh_0").isNotNull()).drop("shingles", "simhash")
     cand = D.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
-    pairs = verify_candidates_fast(
-        cand, docs, "doc_id", "text", k_shingle=5, threshold=0.1
+    pairs = verify_candidates_from_sets(
+        cand, bundle.select("doc_id", "shingles"), "doc_id", threshold=0.1
     )
-    from fastembed_rs_spark.operators.fast_text import simhash_fast
-
-    sh = simhash_fast(docs, "doc_id", "text").withColumnRenamed(
-        "simhash", "__sh"
-    )
+    sh = bundle.select("doc_id", F.col("simhash").alias("__sh"))
     pj = (
         pairs
         .join(
@@ -2528,32 +2539,45 @@ def q_curation_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         lit = F.lit
 
-        def one(df, metric, expr):
-            return df.agg(expr.cast("long").alias("value")).select(
-                lit(metric).alias("metric"), "value"
-            )
+        def one(df, *metrics):
+            # ALL metrics over one source run in ONE aggregate (one scan /
+            # one computation of the source plan, not one per metric) and
+            # explode to (metric, value) rows in declaration order —
+            # identical values to the old per-metric aggregates
+            aggd = df.agg(*[
+                expr.cast("long").alias(f"__v{i}")
+                for i, (_, expr) in enumerate(metrics)
+            ])
+            return aggd.select(F.explode(F.array(*[
+                F.struct(
+                    lit(name).alias("metric"), F.col(f"__v{i}").alias("value")
+                )
+                for i, (name, _) in enumerate(metrics)
+            ])).alias("kv")).select("kv.metric", "kv.value")
 
         parts = [
-            one(store.pairs(), "pairs_id_sum",
-                F.coalesce(F.sum(F.col("id_a") + F.col("id_b")), lit(0))),
-            one(m, "members_node_sum", F.coalesce(F.sum("node"), lit(0))),
-            one(m, "members_comp_sum",
-                F.coalesce(F.sum("component"), lit(0))),
-            one(m, "members_size_sq_sum",
-                F.coalesce(F.sum(F.col("cluster_size")
-                                 * F.col("cluster_size")), lit(0))),
-            one(pr, "profile_sum_langs", F.coalesce(F.sum("n_langs"), lit(0))),
-            one(pr, "profile_sum_sources",
-                F.coalesce(F.sum("n_sources"), lit(0))),
-            one(pr, "profile_sum_chars_span",
-                F.coalesce(F.sum(F.col("max_chars") - F.col("min_chars")),
-                           lit(0))),
-            one(pr, "profile_weighted_comp_sum",
-                F.coalesce(F.sum(F.col("component") * F.col("cluster_size")),
-                           lit(0))),
-            one(kb, "keep_n_kept", F.sum("keep")),
-            one(kb, "keep_kept_id_sum",
-                F.sum(F.col("doc_id") * F.col("keep"))),
+            one(store.pairs(),
+                ("pairs_id_sum",
+                 F.coalesce(F.sum(F.col("id_a") + F.col("id_b")), lit(0)))),
+            one(m,
+                ("members_node_sum", F.coalesce(F.sum("node"), lit(0))),
+                ("members_comp_sum", F.coalesce(F.sum("component"), lit(0))),
+                ("members_size_sq_sum",
+                 F.coalesce(F.sum(F.col("cluster_size")
+                                  * F.col("cluster_size")), lit(0)))),
+            one(pr,
+                ("profile_sum_langs", F.coalesce(F.sum("n_langs"), lit(0))),
+                ("profile_sum_sources",
+                 F.coalesce(F.sum("n_sources"), lit(0))),
+                ("profile_sum_chars_span",
+                 F.coalesce(F.sum(F.col("max_chars") - F.col("min_chars")),
+                            lit(0))),
+                ("profile_weighted_comp_sum",
+                 F.coalesce(F.sum(F.col("component") * F.col("cluster_size")),
+                            lit(0)))),
+            one(kb,
+                ("keep_n_kept", F.sum("keep")),
+                ("keep_kept_id_sum", F.sum(F.col("doc_id") * F.col("keep")))),
             soft.select(F.explode(F.array(
                 F.struct(F.concat(lit("soft_docs_"), F.col("lang"))
                          .alias("metric"), F.col("n_docs").alias("value")),

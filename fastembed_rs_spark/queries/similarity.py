@@ -791,14 +791,22 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.2
 )
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastembed_rs_spark.operators.fast_text import (
-        minhash_signatures_fast,
-        verify_candidates_fast,
+        minhash_bundle_fast,
+        verify_candidates_from_sets,
     )
 
     docs = t(spark, sf_dir, "documents")
-    sigs = minhash_signatures_fast(docs, "doc_id", "text", k_shingle=5)
+    # ONE fused kernel pass computes signatures AND verify shingle sets
+    # (lazy checkpoint: the first action materializes it, both branches
+    # then read it) — was two separate scans of the corpus text
+    bundle = minhash_bundle_fast(
+        docs, "doc_id", "text", k_shingle=5
+    ).localCheckpoint(eager=False)
+    sigs = bundle.filter(F.col("mh_0").isNotNull()).drop("shingles")
     cand = D.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
-    return verify_candidates_fast(cand, docs, "doc_id", "text", k_shingle=5, threshold=0.2)
+    return verify_candidates_from_sets(
+        cand, bundle.select("doc_id", "shingles"), "doc_id", threshold=0.2
+    )
 
 
 def _simhash_sql(hashes_expr: str) -> str:

@@ -78,6 +78,33 @@ def test_verify_candidates_fast_matches_expression(spark, docs):
     assert _rows(fast) == _rows(slow)
 
 
+def test_minhash_bundle_fast_matches_standalone_kernels(spark, docs):
+    """Every bundle column is value-identical to its standalone kernel:
+    mh_* (NULL rows <-> missing signature rows), shingles, simhash."""
+    bundle = FT.minhash_bundle_fast(
+        docs, "doc_id", "text", k_shingle=5, with_simhash=True
+    )
+    brows = {r["doc_id"]: r for r in bundle.collect()}
+    n_h = len(D.MINHASH_COEFFS)
+
+    sig_rows = {r["doc_id"]: r for r in FT.minhash_signatures_fast(
+        docs, "doc_id", "text", k_shingle=5).collect()}
+    for did, r in brows.items():
+        if did in sig_rows:
+            assert [r[f"mh_{i}"] for i in range(n_h)] == [
+                sig_rows[did][f"mh_{i}"] for i in range(n_h)]
+        else:
+            assert all(r[f"mh_{i}"] is None for i in range(n_h))
+
+    set_rows = {r["doc_id"]: sorted(r["shingles"]) for r in
+                FT.shingle_sets_fast(docs, "doc_id", "text", 5).collect()}
+    assert {d: sorted(r["shingles"]) for d, r in brows.items()} == set_rows
+
+    sh_rows = {r["doc_id"]: r["simhash"] for r in FT.simhash_fast(
+        docs, "doc_id", "text").collect()}
+    assert {d: r["simhash"] for d, r in brows.items()} == sh_rows
+
+
 def test_exact_dedup_fast_matches_expression(spark, docs):
     slow = D.exact_dedup(docs, "doc_id", "text")
     fast = FT.exact_dedup_fast(docs, "doc_id", "text")
