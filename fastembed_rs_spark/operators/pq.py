@@ -257,11 +257,12 @@ def pq_adc_topk(
             ).alias("score"),
         )
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        folded.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    # two-phase top-k (same (score desc, id asc) rank): ≤ k rows per
+    # (query, partition) reach the exchange instead of the whole scored
+    # corpus landing in |queries| window tasks
+    from fastembed_rs_spark.operators.topk import _ranked_topk
+
+    return _ranked_topk(folded, query_id, id_col, k)
 
 
 def opq_rotation(dim: int, seed: int = 7):
@@ -414,11 +415,12 @@ def ivf_pq_topk(
             ).alias("score"),
         )
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        folded.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    # two-phase top-k (same (score desc, id asc) rank): ≤ k rows per
+    # (query, partition) reach the exchange instead of every candidate
+    # landing in |queries| window tasks
+    from fastembed_rs_spark.operators.topk import _ranked_topk
+
+    return _ranked_topk(folded, query_id, id_col, k)
 
 
 def rq_encode(
@@ -456,30 +458,52 @@ def rq_encode(
     b1 = base.filter((F.col(id_col) % every1 == 0) & bound).select(
         F.col(id_col).alias("c1_id"), F.col("__v").alias("c1_vec")
     )
-    w1 = Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("c1_id"))
+    # Per-level argmin as min(struct(d2, code_id)) aggregation — a hash
+    # aggregate with map-side combine, so the broadcast fan-out
+    # (corpus × codebook rows) is pre-reduced back to one row per id per
+    # map partition BEFORE the exchange; struct ordering = d2 asc, ties to
+    # the lowest code_id — exactly the old row_number window's order. The
+    # old shape shipped the full corpus × codebook fan-out (with both
+    # vectors on every row) through a window exchange per level; this ships
+    # one narrow row per corpus vector, and the winner's code vector is
+    # re-attached by a broadcast join for the residual. (A driver-side
+    # least(struct) projection was tried first: zero shuffle, but the
+    # 40-code × 64-dim expression blows janino's 64 KB method limit and
+    # falls back to interpreted eval — 20x slower.)
     a1 = (
         base.crossJoin(F.broadcast(b1))
         .withColumn("__d2", F.round(_sq_dist_fixed("__v", "c1_vec", dim), round_to))
-        .withColumn("__rn", F.row_number().over(w1))
-        .filter(F.col("__rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            # c1_vec rides the struct (never compared — (d2, c1_id) is
+            # already unique) so the residual needs no join-back
+            F.min(F.struct("__d2", "c1_id", "c1_vec")).alias("__b"),
+            F.first("__v").alias("__v"),
+        )
         .select(
-            id_col, "c1_id",
-            F.zip_with("__v", "c1_vec", lambda x, y: x - y).alias("__r"),
-            *([F.col("__d2").alias("d2_1")] if keep_error else []),
+            id_col,
+            F.col("__b.c1_id").alias("c1_id"),
+            F.zip_with("__v", F.col("__b.c1_vec"), lambda x, y: x - y)
+            .alias("__r"),
+            *([F.col("__b.__d2").alias("d2_1")] if keep_error else []),
         )
     )
     b2 = a1.filter((F.col(id_col) % every2 == 0) & bound).select(
         F.col(id_col).alias("c2_id"), F.col("__r").alias("c2_vec")
     )
-    w2 = Window.partitionBy(id_col).orderBy(F.asc("__d2"), F.asc("c2_id"))
     a2 = (
         a1.crossJoin(F.broadcast(b2))
         .withColumn("__d2", F.round(_sq_dist_fixed("__r", "c2_vec", dim), round_to))
-        .withColumn("__rn", F.row_number().over(w2))
-        .filter(F.col("__rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.min(F.struct("__d2", "c2_id")).alias("__b"),
+            F.first("c1_id").alias("c1_id"),
+            *([F.first("d2_1").alias("d2_1")] if keep_error else []),
+        )
         .select(
-            id_col, "c1_id", "c2_id",
-            *([F.col("d2_1"), F.col("__d2").alias("d2_2")]
+            id_col, "c1_id",
+            F.col("__b.c2_id").alias("c2_id"),
+            *([F.col("d2_1"), F.col("__b.__d2").alias("d2_2")]
               if keep_error else []),
         )
     )
@@ -514,11 +538,12 @@ def rq_adc_topk(
             F.round(F.col("__dot1") + F.col("__dot2"), round_to).alias("score"),
         )
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    # two-phase top-k (same (score desc, id asc) rank): ≤ k rows per
+    # (query, partition) reach the exchange instead of the whole scored
+    # corpus landing in |queries| window tasks
+    from fastembed_rs_spark.operators.topk import _ranked_topk
+
+    return _ranked_topk(scored, query_id, id_col, k)
 
 
 def rq_adc_rescore_topk(

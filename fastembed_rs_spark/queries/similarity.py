@@ -20,7 +20,6 @@ from fastembed_rs_spark.queries._core import (
     _dk_shingles,
     assign_ivf_buckets_fast,
     cosine_similarity,
-    cosine_top_k,
     dot,
     duck_doc_fingerprint,
     duck_token_hash,
@@ -53,14 +52,16 @@ QUALIFY rank <= 10
     "brute-force cosine top-10, 5 query vectors vs whole corpus (src/similarity.rs:31-40)",
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fastembed_rs_spark.operators.topk import cosine_top_k_fast
+
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    # dim=EMB_DIM deliberately NOT passed: at this corpus size the unrolled
-    # codegen chain costs more in stage compilation than it saves; the
-    # fixed-dim path wins only on multi-million-row pair joins
-    return cosine_top_k(queries, emb, k=10, round_to=6).select(
+    # constant 5-query set -> NumPy kernel scoring (bit-identical to the
+    # interpreted fold, pinned by test) instead of nq x corpus through the
+    # interpreted higher-order expression
+    return cosine_top_k_fast(queries, emb, k=10, round_to=6).select(
         "query_id", "vec_id", "score", "rank"
     )
 

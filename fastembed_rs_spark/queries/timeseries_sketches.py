@@ -17,7 +17,6 @@ from fastembed_rs_spark.queries._core import (
     Window,
     _dk_cos,
     _dk_norm,
-    cosine_top_k,
     duck_doc_fingerprint,
     duck_token_hash,
     duck_tokens,
@@ -717,6 +716,7 @@ QUALIFY rank <= 10
 )
 def q_mrl_truncate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastembed_rs_spark.operators.quantize import mrl_truncate
+    from fastembed_rs_spark.operators.topk import cosine_top_k_fast
 
     emb = t(spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id", mrl_truncate("embedding", 16).alias("embedding"))
@@ -724,7 +724,9 @@ def q_mrl_truncate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         mrl_truncate("embedding", 16).alias("query_vec"),
     )
-    return cosine_top_k(qs, corpus, k=10, round_to=6, dim=16).select(
+    # constant 5-query set -> NumPy kernel scoring (bit-identical fold,
+    # pinned by test) instead of the per-row codegen cosine chain
+    return cosine_top_k_fast(qs, corpus, k=10, round_to=6).select(
         "query_id", "vec_id", "score", "rank"
     )
 

@@ -34,7 +34,7 @@ PYTHON_OK = {
     "embed_sparse_stub", "embed_bgem3_stub",
     "embed_image_stub", "embed_qwen_vl_stub", "rerank_model_stub",
     "crossmodal_similarity", "multimodal_probe",
-    "doc_fingerprint", "minhash_lsh_neardup",
+    "doc_fingerprint",
     "ngram_jaccard_neardup", "repeated_spans",
     "incremental_embed",
     "embedding_neardup", "mmr_diversify",
@@ -43,7 +43,6 @@ PYTHON_OK = {
     "cluster_balanced_sample",
     "lang_id", "text_quality", "quality_classifier",
     "token_budget_mix", "weighted_sample", "dedup_keep_best",
-    "minhash_estimate_eval",
     "exact_dedup", "dense_hash_embed", "splade_hash_sparse",
     "sparse_dot_topk", "hybrid_rrf_topk",
     "kmv_distinct", "hll_distinct", "hll_distinct_per_lang",
@@ -56,8 +55,6 @@ PYTHON_OK = {
                         # the assign side is checkpoint-truncated
     "kmeans_distortion_ladder",  # joint kernel assign pass (all k at once)
                                  # over the corpus by design
-    "minhash_band_curve",  # measured pairs come from the minhash/verify
-                           # kernels; the S-curve math itself is JVM integer
     "label_coherence",  # member-vs-centroid scoring through the NumPy
                         # cosine kernel (constant labels x dim target set)
     "embedding_bucket_drift",  # kernel assign pass over the corpus
@@ -65,6 +62,13 @@ PYTHON_OK = {
                                    # through the same kernel as
                                    # containment_neardup
     "simhash",  # integer-exact simhash kernel (fast_text.simhash_fast)
+    # the minhash-LSH family (minhash_lsh_neardup / minhash_band_curve /
+    # minhash_estimate_eval) runs its fused fingerprint kernel inside a
+    # lazy localCheckpoint since r10, so the final plans show the
+    # checkpoint's RDD scan, not the Python node — the staleness gate
+    # keeps them out of this list like simhash_hamming_curve
+    "cosine_topk",  # constant-query-set NumPy cosine kernel
+    "mrl_truncate_topk",  # same kernel over the truncated vectors
     # simhash_hamming_curve uses the same kernel, but its pair side is
     # checkpointed so the final plan shows no Python node — the staleness
     # gate keeps it out of this list
