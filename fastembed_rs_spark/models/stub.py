@@ -54,19 +54,44 @@ class StubTokenizer:
 
     def encode_batch(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
         """→ (input_ids, attention_mask), both int64 (B, T), T = batch longest
-        (≤ max_length)."""
-        ids = [self.token_ids(t)[: self.max_length] for t in texts]
-        T = max((len(r) for r in ids), default=1)
-        B = len(ids)
+        (≤ max_length).
+
+        The per-token hashes are computed in ONE vectorized pass over the
+        whole batch's tokens (operators.fast_text._rolling_hash_many — the
+        same base-31 fold as ``rolling_hash``, pinned equal by the stub
+        goldens): the per-char Python loop was the tokenizer's dominant
+        cost (~40% of a stub embed pass)."""
+        from fastembed_rs_spark.operators.fast_text import _rolling_hash_many
+
+        per_doc: list[int] = []
+        all_toks: list[str] = []
+        for t in texts:
+            # [CLS] + first (max_length-1) tokens == token_ids()[:max_length]
+            toks = [x for x in _TOKEN_RE.split(t.lower()) if x][
+                : self.max_length - 1
+            ]
+            per_doc.append(len(toks))
+            all_toks.extend(toks)
+        B = len(texts)
+        T = max((n + 1 for n in per_doc), default=1)
         input_ids = np.full((B, T), PAD_ID, dtype=np.int64)
         mask = np.zeros((B, T), dtype=np.int64)
-        for i, row in enumerate(ids):
+        hashed = (
+            2 + _rolling_hash_many(all_toks) % (self.vocab_size - 2)
+            if all_toks else np.empty(0, dtype=np.int64)
+        )
+        pos = 0
+        for i, n in enumerate(per_doc):
+            row = hashed[pos: pos + n]
+            pos += n
             if self.padding_side == "left":
-                input_ids[i, T - len(row):] = row
-                mask[i, T - len(row):] = 1
+                input_ids[i, T - n - 1] = CLS_ID
+                input_ids[i, T - n:] = row
+                mask[i, T - n - 1:] = 1
             else:
-                input_ids[i, : len(row)] = row
-                mask[i, : len(row)] = 1
+                input_ids[i, 0] = CLS_ID
+                input_ids[i, 1: n + 1] = row
+                mask[i, : n + 1] = 1
         return input_ids, mask
 
 

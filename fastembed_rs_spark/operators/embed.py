@@ -206,6 +206,14 @@ def _with_schema(df: DataFrame, extra_ddl: str) -> StructType:
 
 
 def _enforce_quant_constraint(df: DataFrame, spec) -> DataFrame:
+    """Dynamic-quant models must see ONE calibration batch (raise on >1
+    partition, unchanged); every other model's inference scan is spread to
+    the cluster parallelism when the input is narrower — a local
+    single-row-group parquet file scans as ONE task, serializing the whole
+    model kernel onto one core (measured: the sparse stub ran 1/32 of the
+    host). ``spread_if_narrow`` is a no-op at scale (a 100 TB scan already
+    has thousands of splits) and embeddings are partition-invariant by
+    design (masked pooling; pinned by test)."""
     if spec.quantization == QUANT_DYNAMIC:
         if df.rdd.getNumPartitions() > 1:
             raise DynamicQuantizationError(
@@ -214,7 +222,10 @@ def _enforce_quant_constraint(df: DataFrame, spec) -> DataFrame:
                 "explicitly (and use batch_size >= row count) to accept the "
                 "single-batch cost, per src/text_embedding/impl.rs:330-349."
             )
-    return df
+        return df
+    from fastembed_rs_spark.operators.scale import spread_if_narrow
+
+    return spread_if_narrow(df)
 
 
 def embed_text(
@@ -300,16 +311,18 @@ def embed_sparse(
                     for i in range(len(texts)):
                         on = mask[i] == 1
                         idx, vals = max_by_token_id(ids[i][on], tok_w[i][on], special_ids)
-                        rows.append({"indices": idx.astype(np.int32).tolist(),
-                                     "values": vals.astype(np.float32).tolist()})
+                        # np arrays cross Arrow identically to lists (pinned
+                        # by golden tests) without the per-row tolist() copy
+                        rows.append({"indices": idx.astype(np.int32),
+                                     "values": vals.astype(np.float32)})
                 else:
                     logits = outputs["logits"]
                     weights = np.log1p(np.maximum(logits, 0.0)) * mask[..., None]
                     scores = weights.max(axis=1)  # (B, V) — seq-axis max (impl.rs:235)
                     for r in scores:
                         idx = np.nonzero(r > 0.0)[0]
-                        rows.append({"indices": idx.astype(np.int32).tolist(),
-                                     "values": r[idx].astype(np.float32).tolist()})
+                        rows.append({"indices": idx.astype(np.int32),
+                                     "values": r[idx].astype(np.float32)})
                 yield _append_cols(chunk, {out_col: rows})
 
     return df.mapInPandas(fn, schema=out_schema)
@@ -333,6 +346,10 @@ def embed_bgem3(
     Bgem3Model::from_str: a wrong-family name fails fast on the driver
     instead of surfacing as an executor-side KeyError inside the UDF."""
     spec = get_model_spec(model, kind="bgem3")
+    from fastembed_rs_spark.operators.scale import spread_if_narrow
+
+    df = spread_if_narrow(df)  # see _enforce_quant_constraint: a narrow
+    # local scan would serialize the model kernel onto one core
     out_schema = _with_schema(
         df,
         f"{out_col} struct<dense: array<float>, "
@@ -360,10 +377,10 @@ def embed_bgem3(
                     idx, vals = max_by_token_id(ids[i][on], sparse_w[i][on], special_ids)
                     keep = mask[i, 1:] == 1  # CLS dropped, mask filter (impl.rs:272-295)
                     rows.append({
-                        "dense": dense[i].tolist(),
-                        "sparse": {"indices": idx.astype(np.int32).tolist(),
-                                   "values": vals.astype(np.float32).tolist()},
-                        "colbert": colbert[i][keep[: colbert.shape[1]]].astype(np.float32).tolist(),
+                        "dense": dense[i],
+                        "sparse": {"indices": idx.astype(np.int32),
+                                   "values": vals.astype(np.float32)},
+                        "colbert": colbert[i][keep[: colbert.shape[1]]].astype(np.float32),
                     })
                 yield _append_cols(chunk, {out_col: rows})
 
@@ -428,6 +445,10 @@ def embed_image(
     dialects, src/image_embedding/utils.rs:200-377) via
     operators.preprocessing; default is the fixed stub pipeline."""
     spec = get_model_spec(model, kind="image")
+    from fastembed_rs_spark.operators.scale import spread_if_narrow
+
+    df = spread_if_narrow(df)  # see _enforce_quant_constraint: a narrow
+    # local scan would serialize the decode+tower kernel onto one core
     out_schema = _with_schema(df, f"{out_col} array<float>")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -489,6 +510,10 @@ def embed_qwen_vl(
     reuse, not tower batching — matching the reference, whose VL forward
     is also per-image."""
     spec = get_model_spec(model, kind="vl")
+    from fastembed_rs_spark.operators.scale import spread_if_narrow
+
+    df = spread_if_narrow(df)  # see _enforce_quant_constraint: a narrow
+    # local scan would serialize the patch+tower kernel onto one core
     kept = [c for c in df.columns if keep_content or c != content_col]
     out_schema = StructType(
         [f for f in df.schema.fields if f.name in kept]

@@ -34,8 +34,26 @@ ps AS (
 )"""
 
 
-def _partsupp_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _partsupp_synth(
+    spark: SparkSession, sf_dir: str,
+    part_filter: DataFrame | None = None,
+    supp_filter: DataFrame | None = None,
+) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
+    # semi-join pre-filters (guide §3.2): when the consumer only INNER-joins
+    # partsupp against a filtered part/supplier set, drop non-matching rows
+    # BEFORE the distinct's shuffle — identical join result (dropped rows
+    # could never match), shuffle shrunk by the filter selectivity
+    if part_filter is not None:
+        li = li.join(
+            F.broadcast(part_filter.select(F.col("p_partkey").alias("l_partkey"))),
+            "l_partkey", "left_semi",
+        )
+    if supp_filter is not None:
+        li = li.join(
+            F.broadcast(supp_filter.select(F.col("s_suppkey").alias("l_suppkey"))),
+            "l_suppkey", "left_semi",
+        )
     return li.select("l_partkey", "l_suppkey").distinct().select(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
@@ -100,7 +118,6 @@ WHERE v.value_cents * 10000 > t.total_cents
     "100 TB that distinct is the only shuffle",
 )
 def q_important_stock_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ps = _partsupp_synth(spark, sf_dir)
     sup = t(spark, sf_dir, "supplier")
     nat = t(spark, sf_dir, "nation")
     natsup = (
@@ -108,6 +125,8 @@ def q_important_stock_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name").isin(*_Q11_NATIONS))
         .select("s_suppkey")
     )
+    # partsupp pre-filtered to the 3-nation suppliers BEFORE its distinct
+    ps = _partsupp_synth(spark, sf_dir, supp_filter=natsup)
     val = (
         ps.join(F.broadcast(natsup), ps.ps_suppkey == natsup.s_suppkey)
         .groupBy("ps_partkey")
@@ -161,7 +180,6 @@ GROUP BY pp.p_brand, pp.p_type, pp.p_size
     "aggregate keyed by the group columns",
 )
 def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ps = _partsupp_synth(spark, sf_dir)
     part = t(spark, sf_dir, "part")
     sup = t(spark, sf_dir, "supplier")
     pp = (
@@ -175,6 +193,10 @@ def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_size").cast("long").alias("p_size"),
         )
     )
+    # partsupp pre-filtered to the surviving parts BEFORE its distinct
+    # (the supplier exclusion stays a post-distinct ANTI join — an anti
+    # filter cannot be pushed below the distinct)
+    ps = _partsupp_synth(spark, sf_dir, part_filter=pp)
     excl = sup.filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         ps.join(F.broadcast(pp), ps.ps_partkey == pp.p_partkey)
@@ -229,13 +251,20 @@ FROM supplier s JOIN qualified q ON s.s_suppkey = q.ps_suppkey
 def q_promotion_stock_suppliers(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    ps = _partsupp_synth(spark, sf_dir)
     part = t(spark, sf_dir, "part")
     sup = t(spark, sf_dir, "supplier")
     li = t(spark, sf_dir, "lineitem")
     target = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    # partsupp pre-filtered to the target parts BEFORE its distinct; the
+    # shipped aggregate gets the same semi-filter (its rows only matter
+    # where the LEFT join key matches a target-part ps row)
+    ps = _partsupp_synth(spark, sf_dir, part_filter=target)
     shipped = (
-        li.filter(
+        li.join(
+            F.broadcast(target.select(F.col("p_partkey").alias("l_partkey"))),
+            "l_partkey", "left_semi",
+        )
+        .filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
@@ -494,7 +523,6 @@ FROM ranked WHERE rnk = 1
     "is partsupp onto its own part key",
 )
 def q_minimum_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ps = _partsupp_synth(spark, sf_dir)
     sup = t(spark, sf_dir, "supplier")
     nat = t(spark, sf_dir, "nation")
     reg = t(spark, sf_dir, "region")
@@ -510,6 +538,8 @@ def q_minimum_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pp = part.filter(
         (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
     ).select("p_partkey", "p_brand")
+    # partsupp pre-filtered on BOTH join sides before its distinct
+    ps = _partsupp_synth(spark, sf_dir, part_filter=pp, supp_filter=rs)
     w = Window.partitionBy("p_partkey").orderBy(
         F.asc("ps_supplycost_cents"), F.asc("s_suppkey")
     )
@@ -561,7 +591,12 @@ GROUP BY n.n_name, o_year
     "cannot avoid at any scale",
 )
 def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ps = _partsupp_synth(spark, sf_dir)
+    red = t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey")
+    # partsupp pre-filtered to red parts BEFORE its distinct shuffles —
+    # non-red rows could never survive the (partkey, suppkey) join below
+    ps = _partsupp_synth(spark, sf_dir, part_filter=red)
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey",
         F.expr(
@@ -570,9 +605,6 @@ def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("amount_tenk"),
         F.expr("CAST(round(l_quantity * 100) AS BIGINT)").alias("qty100"),
     )
-    red = t(spark, sf_dir, "part").filter(
-        F.col("p_name").like("%red%")
-    ).select("p_partkey")
     sup = t(spark, sf_dir, "supplier")
     nat = t(spark, sf_dir, "nation")
     orders = t(spark, sf_dir, "orders")
