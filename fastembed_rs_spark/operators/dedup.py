@@ -268,8 +268,12 @@ def ngram_jaccard_pairs(
     from fastembed_rs_spark.operators.fast_text import word_ngram_postings_fast
 
     # postings via the Python kernel — string-exact, skips the interpreted
-    # transform/array_distinct/explode chain (measured ~2x on the stage)
-    sized = word_ngram_postings_fast(df, id_col, text_col, n)
+    # transform/array_distinct/explode chain (measured ~2x on the stage).
+    # EAGER checkpoint: both sides of the self-join (and the optional hot-
+    # gram aggregate) consume it — without the checkpoint the kernel scans
+    # the corpus once PER consumer (no ReusedExchange fires across the
+    # join sides; measured 2 MapInPandas nodes in the final plan)
+    sized = word_ngram_postings_fast(df, id_col, text_col, n).localCheckpoint()
     if max_df is not None:
         hot = (
             sized.groupBy("__g")
@@ -579,7 +583,12 @@ def jaccard_pairs_adaptive(
                          "(use ngram_jaccard_pairs for threshold <= 0)")
     from fastembed_rs_spark.operators.fast_text import word_ngram_postings_fast
 
-    postings = word_ngram_postings_fast(df, id_col, text_col, n).localCheckpoint()
+    # LAZY checkpoint: the decision aggregate below is the first action
+    # (one single-path consumer), so one job both materializes the
+    # postings and measures them
+    postings = word_ngram_postings_fast(df, id_col, text_col, n).localCheckpoint(
+        eager=False
+    )
     gram_df = postings.groupBy("__g").agg(F.count("*").alias("__df"))
     # one bounded-output aggregate over the histogram both shapes consume:
     # candidate pairs the inverted index would emit + postings volume
@@ -1022,7 +1031,9 @@ def containment_pairs(
     so this equals the all-pairs formulation exactly."""
     from fastembed_rs_spark.operators.fast_text import word_ngram_postings_fast
 
-    sized = word_ngram_postings_fast(df, id_col, text_col, n)
+    # EAGER checkpoint: both self-join sides consume the kernel postings
+    # (see ngram_jaccard_pairs — the kernel otherwise scans twice)
+    sized = word_ngram_postings_fast(df, id_col, text_col, n).localCheckpoint()
     a = sized.select(
         F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__g"
     )

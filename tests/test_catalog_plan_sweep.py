@@ -35,7 +35,7 @@ PYTHON_OK = {
     "embed_image_stub", "embed_qwen_vl_stub", "rerank_model_stub",
     "crossmodal_similarity", "multimodal_probe",
     "doc_fingerprint",
-    "ngram_jaccard_neardup", "repeated_spans",
+    "repeated_spans",
     "incremental_embed",
     "embedding_neardup", "mmr_diversify",
     "rag_passage_topk", "ann_ivf_topk", "ann_ivf_trained", "ann_lsh_topk",
@@ -47,7 +47,7 @@ PYTHON_OK = {
     "sparse_dot_topk", "hybrid_rrf_topk",
     "kmv_distinct", "hll_distinct", "hll_distinct_per_lang",
     "cluster_medoids", "feature_correlations",
-    "containment_neardup", "reciprocal_nn", "margin_mining",
+    "reciprocal_nn", "margin_mining",
     "quality_percent_rank",
     "ann_recall_eval",  # trained-IVF probe + brute-force truth: both sides
                         # score through the NumPy cosine kernel by design
@@ -58,9 +58,11 @@ PYTHON_OK = {
     "label_coherence",  # member-vs-centroid scoring through the NumPy
                         # cosine kernel (constant labels x dim target set)
     "embedding_bucket_drift",  # kernel assign pass over the corpus
-    "cross_source_contamination",  # containment postings join scores
-                                   # through the same kernel as
-                                   # containment_neardup
+    # containment_neardup / ngram_jaccard_neardup /
+    # cross_source_contamination run their postings kernel inside an eager
+    # localCheckpoint since r10 (the kernel otherwise scanned once per
+    # self-join side), so their final plans show the checkpoint's RDD scan
+    # — the staleness gate keeps them out of this list
     "simhash",  # integer-exact simhash kernel (fast_text.simhash_fast)
     # the minhash-LSH family (minhash_lsh_neardup / minhash_band_curve /
     # minhash_estimate_eval) runs its fused fingerprint kernel inside a
