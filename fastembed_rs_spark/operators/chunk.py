@@ -82,6 +82,12 @@ def chunk_by_tokens(
     # string-rewriting the full tokens expression) so the split/filter is
     # guaranteed to be computed once per row
     n = _n_chunks("size(__toks)", size, overlap)
+    from fastembed_rs_spark.operators.scale import spread_if_narrow
+
+    # the split/slice/array_join chain is interpreted (higher-order
+    # expressions) — a narrow local scan would run it all on one core;
+    # no-op at scale (measured 1.7x on the chunk_exact_dedup shape)
+    docs = spread_if_narrow(docs)
     return (
         docs.withColumn("__toks", F.expr(toks))
         .withColumn("n_chunks", F.expr(n))

@@ -534,7 +534,10 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastembed_rs_spark.operators.fast_text import word_window_counts_fast
 
     docs = t(spark, sf_dir, "documents")
-    g = word_window_counts_fast(docs, "doc_id", "text", _SPAN_N)
+    # EAGER checkpoint: the window-count kernel feeds the df aggregate AND
+    # the scoring join — without it the kernel scans the corpus twice
+    # (same pattern as the containment/ngram postings)
+    g = word_window_counts_fast(docs, "doc_id", "text", _SPAN_N).localCheckpoint()
     # rows are distinct per (doc, window) by construction → df = row count
     dfq = g.groupBy("__g").agg(F.count("*").alias("df"))
     return (

@@ -35,7 +35,8 @@ PYTHON_OK = {
     "embed_image_stub", "embed_qwen_vl_stub", "rerank_model_stub",
     "crossmodal_similarity", "multimodal_probe",
     "doc_fingerprint",
-    "repeated_spans",
+    # repeated_spans: window-count kernel inside an eager localCheckpoint
+    # since r10 — staleness gate keeps it out
     "incremental_embed",
     "embedding_neardup", "mmr_diversify",
     "rag_passage_topk", "ann_ivf_topk", "ann_ivf_trained", "ann_lsh_topk",
