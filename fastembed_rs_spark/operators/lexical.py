@@ -58,7 +58,10 @@ def bm25_top_k(
     Scores are rounded BEFORE ranking; ties break on doc_id ascending —
     rank order is engine-reproducible (driver contract).
     """
-    tf = doc_term_freqs(docs, id_col, text_col)
+    # EAGER checkpoint: tf feeds THREE consumers (avgdl, the df counts and
+    # the scoring join) — without it the token explode + double aggregation
+    # re-runs per consumer (same pattern as the ngram postings)
+    tf = doc_term_freqs(docs, id_col, text_col).localCheckpoint()
     n_docs = docs.select(F.countDistinct(id_col).alias("n"))
     # exact-integer sum/count, divided ONCE: bit-identical avgdl across
     # engines (a float avg() would fuzz every downstream term score)

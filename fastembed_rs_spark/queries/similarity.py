@@ -641,7 +641,11 @@ def q_sparse_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     # un-rounded coordinate values; only the final dot is rounded
-    coords = splade_like_coords_fast(docs, "doc_id", "text", vocab=30000, round_to=None)
+    # EAGER checkpoint: coords feed the query filter AND the corpus join
+    # side — without it the kernel scans the corpus twice
+    coords = splade_like_coords_fast(
+        docs, "doc_id", "text", vocab=30000, round_to=None
+    ).localCheckpoint()
     qc = coords.filter(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("query_id"), "term_bucket", "value"
     )

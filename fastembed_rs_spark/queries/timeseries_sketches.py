@@ -771,7 +771,11 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bm = bm25_top_k(docs, qs, k=10).select("query_id", "doc_id", "rank")
 
-    coords = splade_like_coords_fast(docs, "doc_id", "text", vocab=30000, round_to=None)
+    # EAGER checkpoint: coords feed the query filter AND the corpus join
+    # side — without it the kernel scans the corpus twice
+    coords = splade_like_coords_fast(
+        docs, "doc_id", "text", vocab=30000, round_to=None
+    ).localCheckpoint()
     qc = coords.filter(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("query_id"), "term_bucket", "value"
     )

@@ -45,7 +45,8 @@ PYTHON_OK = {
     "lang_id", "text_quality", "quality_classifier",
     "token_budget_mix", "weighted_sample", "dedup_keep_best",
     "exact_dedup", "dense_hash_embed", "splade_hash_sparse",
-    "sparse_dot_topk", "hybrid_rrf_topk",
+    # sparse_dot_topk / hybrid_rrf_topk: splade coords kernel inside an
+    # eager localCheckpoint since r10 — staleness gate keeps them out
     "kmv_distinct", "hll_distinct", "hll_distinct_per_lang",
     "cluster_medoids", "feature_correlations",
     "reciprocal_nn", "margin_mining",
