@@ -439,10 +439,14 @@ CROSS JOIN nn
     "leaves the partial aggregate",
 )
 def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EAGER checkpoint: li feeds FOUR consumers (n_orders, item counts and
+    # both self-join sides) — without it the distinct's shuffle re-runs
+    # once per consumer
     li = (
         t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i"))
         .distinct()
+        .localCheckpoint()
     )
     n_orders = li.agg(
         F.countDistinct("o").cast("long").alias("n_orders")
@@ -967,9 +971,12 @@ def q_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wr = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    # EAGER checkpoint: r feeds both sides of the mutuality self-join —
+    # without it the near-dup KERNEL and the ranking window run twice
     r = (
         sym.withColumn("rnk", F.row_number().over(wr).cast("long"))
         .filter(F.col("rnk") <= 3)
+        .localCheckpoint()
     )
     r2 = r.select(
         F.col("src").alias("dst"),

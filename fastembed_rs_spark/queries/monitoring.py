@@ -1433,6 +1433,10 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastembed_rs_spark.functions.text import token_hash, tokens
 
     docs = t(spark, sf_dir, "documents")
+    # EAGER checkpoint: hs feeds FOUR consumers (the KMV sketch window,
+    # the source list, and both sides of the actual-overlap self-join) —
+    # without it the token explode + distinct shuffle runs once per
+    # consumer
     hs = (
         docs.select("source", F.explode(tokens("text")).alias("token"))
         .select(
@@ -1441,6 +1445,7 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("h"),
         )
         .distinct()
+        .localCheckpoint()
     )
     wsk = Window.partitionBy("source").orderBy("h")
     sk = (

@@ -49,7 +49,9 @@ PYTHON_OK = {
     # eager localCheckpoint since r10 — staleness gate keeps them out
     "kmv_distinct", "hll_distinct", "hll_distinct_per_lang",
     "cluster_medoids", "feature_correlations",
-    "reciprocal_nn", "margin_mining",
+    "margin_mining",
+    # reciprocal_nn: near-dup kernel inside an eager localCheckpoint since
+    # r10 — staleness gate keeps it out
     "quality_percent_rank",
     "ann_recall_eval",  # trained-IVF probe + brute-force truth: both sides
                         # score through the NumPy cosine kernel by design
