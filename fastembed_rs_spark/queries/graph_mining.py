@@ -1271,30 +1271,36 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.select(
         "lang", F.least(F.expr("n_chars div 200"), F.lit(9)).alias("bucket")
     )
-    langs = b.filter(F.col("lang") != "en").select("lang").distinct()
-    grid = langs.crossJoin(
-        F.broadcast(
-            b.sparkSession.range(10).select(F.col("id").cast("int").alias("bucket"))
-        )
-    )
+    # ONE corpus scan per side: the reference/candidate bucket histograms
+    # are checkpointed (bounded: ≤ 10·|langs| rows) and every other input
+    # (totals, the lang list) is derived FROM them — rtot = Σ rcnt,
+    # ctot = Σ ccnt per lang, and every lang in b has ≥ 1 row so the
+    # distinct-lang set of cc equals b's. The old shape re-scanned the
+    # corpus five times (one per aggregate).
     rc = (
         b.filter(F.col("lang") == "en")
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("rcnt"))
-    )
-    rt = b.filter(F.col("lang") == "en").agg(
-        F.count(F.lit(1)).cast("long").alias("rtot")
+        .localCheckpoint()
     )
     cc = (
         b.filter(F.col("lang") != "en")
         .groupBy("lang", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("ccnt"))
+        .localCheckpoint()
     )
-    ct = (
-        b.filter(F.col("lang") != "en")
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).cast("long").alias("ctot"))
+    langs = cc.select("lang").distinct()
+    grid = langs.crossJoin(
+        F.broadcast(
+            b.sparkSession.range(10).select(F.col("id").cast("int").alias("bucket"))
+        )
     )
+    # coalesce: the old count() gave 0 on an empty reference side where
+    # sum() would give NULL
+    rt = rc.agg(
+        F.coalesce(F.sum("rcnt"), F.lit(0)).cast("long").alias("rtot")
+    )
+    ct = cc.groupBy("lang").agg(F.sum("ccnt").cast("long").alias("ctot"))
     p = (F.coalesce(F.col("rcnt"), F.lit(0)) + 1).cast("double") / (
         F.col("rtot") + 10
     ).cast("double")
