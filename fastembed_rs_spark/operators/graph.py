@@ -242,8 +242,12 @@ def propagate_labels(
     needs async tricks to avoid. Per round: one edge⋈labeled equi-join,
     one (node, label) count aggregation (map-side combined), one
     max(struct(cnt, -label)) argmax — no sorts, no windows; the labeled
-    frontier is localCheckpoint-truncated so lineage stays flat."""
-    sym = _symmetric(edges)
+    frontier is localCheckpoint-truncated so lineage stays flat.
+
+    The symmetric edge table is EAGERLY checkpointed: every round joins
+    it, and without the checkpoint the upstream edge derivation (e.g. the
+    embedding near-dup kernel) re-executes once per round."""
+    sym = _symmetric(edges).localCheckpoint()
     labeled = seeds.select(
         "node",
         F.col("label").cast("long").alias("label"),
