@@ -197,8 +197,12 @@ def triangles(edges: DataFrame) -> DataFrame:
     The oriented edge list feeds THREE plan branches (both wedge sides and
     the closing join), so it is materialized once via localCheckpoint —
     without it Spark re-derives the edges (and their upstream basket
-    self-join) per branch, measured 3x the runtime at sf0.1."""
-    o = oriented_edges(edges).localCheckpoint()
+    self-join) per branch, measured 3x the runtime at sf0.1. The INPUT
+    edge list is checkpointed first for the same reason: oriented_edges
+    consumes it twice (degree aggregation + orientation join), so the
+    upstream derivation would otherwise run twice even inside the single
+    materialization of `o`."""
+    o = oriented_edges(edges.localCheckpoint()).localCheckpoint()
     e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("__dd").alias("__dv"))
     e2 = o.select(F.col("src").alias("u"), F.col("dst").alias("w"), F.col("__dd").alias("__dw"))
     wedge_order = (F.col("__dv") < F.col("__dw")) | (
