@@ -46,6 +46,10 @@ def spread_if_narrow(df: DataFrame, min_partitions: int | None = None) -> DataFr
     so the heavy per-row work downstream would serialize; a 100 TB scan
     already has thousands of splits, making this a no-op — no blanket
     corpus shuffle at scale."""
+    if df.isStreaming:
+        # no .rdd on streaming frames; micro-batch parallelism is the
+        # source's concern (maxFilesPerTrigger etc.), not a repartition's
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
