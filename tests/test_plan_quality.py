@@ -42,14 +42,25 @@ def test_rollup_broadcasts_dims_and_partially_aggregates(spark, catalog):
 
 
 def test_vector_search_paths_stay_jvm_side(spark, catalog):
-    """The quantized/truncated search family must plan as pure JVM
-    expressions — a BatchEvalPython/ArrowEvalPython node would mean a
-    Python worker in the scan hot path."""
-    for name in ("cosine_topk", "mrl_truncate_topk", "int8_quant_topk",
-                 "binary_quant_topk"):
+    """The quantized search family must plan as pure JVM expressions — a
+    BatchEvalPython/ArrowEvalPython node would mean a row-at-a-time
+    Python worker in the scan hot path.
+
+    cosine_topk / mrl_truncate_topk moved OFF this list in r10: their
+    constant query sets score through the vectorized NumPy kernel
+    (cosine_top_k_fast, one MapInPandas pass — measured 5x the per-row
+    codegen chain and bit-identical by test), so they pin the kernel
+    shape instead: exactly one MapInPandas, no row-UDF nodes, and no
+    broadcast (the constant queries ride the kernel closure)."""
+    for name in ("int8_quant_topk", "binary_quant_topk"):
         p = plan_of(spark, catalog, name)
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+        assert "MapInPandas" not in p, name
         assert "BroadcastExchange" in p, name  # queries side broadcast
+    for name in ("cosine_topk", "mrl_truncate_topk"):
+        p = plan_of(spark, catalog, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+        assert p.count("MapInPandas") == 1, name
 
 
 def test_orders_by_month_scan_is_pruned(spark, catalog):
