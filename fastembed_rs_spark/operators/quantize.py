@@ -166,21 +166,6 @@ def int8_dot(a: Column | str, b: Column | str) -> Column:
     )
 
 
-def int8_dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
-    """``int8_dot`` as a flat codegen chain over a known dimension —
-    integer addition is associative, so ANY summation order is exactly
-    the interpreted fold's result (pinned by test); per-term coalesce
-    matches ``int8_dot``'s null-element handling."""
-    ac = F.col(a) if isinstance(a, str) else a
-    bc = F.col(b) if isinstance(b, str) else b
-    # pure-integer chain (the shared _chain_sum seeds with 0.0 and would
-    # widen qdot to double)
-    s = F.lit(0).cast("long")
-    for i in range(dim):
-        s = s + F.coalesce(F.get(ac, i) * F.get(bc, i), F.lit(0).cast("long"))
-    return s
-
-
 def int8_quant_top_k(
     queries: DataFrame,
     corpus: DataFrame,
@@ -189,7 +174,6 @@ def int8_quant_top_k(
     query_vec: str = "query_vec",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """Scalar-quantized top-k: symmetric int8 codes of the L2-normalized
     vectors on both sides, ranked by exact integer dot (≈ 127²·cosine).
@@ -199,15 +183,13 @@ def int8_quant_top_k(
     pass (normalization bounds every component to [−1, 1])."""
     c = corpus.select(id_col, scalar_quantize_codes(vec_col).alias("__ccode"))
     q = queries.select(query_id, scalar_quantize_codes(query_vec).alias("__qcode"))
-    # pass dim to score through whole-stage codegen instead of the
-    # interpreted zip_with/aggregate fold — exact integer math, so the
-    # results are identical either way (associative sum)
-    dot = (
-        int8_dot_fixed("__qcode", "__ccode", dim) if dim is not None
-        else int8_dot("__qcode", "__ccode")
-    )
+    # the interpreted zip_with/aggregate fold is deliberately KEPT (r10
+    # A/B): a flat 64-term codegen chain of per-element get()+coalesce
+    # measured 1.7x SLOWER (fold 1.2-1.4s vs chain 2.0-2.5s, min-of-4
+    # same-session) — array-element codegen pays bounds/null checks per
+    # get that the fold's single array traversal does not
     scored = c.crossJoin(F.broadcast(q)).select(
-        query_id, id_col, dot.alias("qdot")
+        query_id, id_col, int8_dot("__qcode", "__ccode").alias("qdot")
     )
     return _ranked_topk(scored, query_id, id_col, k, score_col="qdot").select(
         query_id, id_col, "qdot", "rank"

@@ -693,8 +693,7 @@ def q_int8_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    # dim -> codegen integer dot instead of the interpreted fold
-    return int8_quant_top_k(qs, emb, k=10, dim=EMB_DIM)
+    return int8_quant_top_k(qs, emb, k=10)
 
 
 @q(

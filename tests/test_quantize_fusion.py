@@ -112,26 +112,6 @@ def test_int8_quant_topk_matches_numpy(spark, vec_df):
         assert [r["qdot"] for r in mine] == [int(dots[i]) for i in order]
 
 
-def test_int8_quant_topk_fixed_dim_matches_fold(spark, vec_df):
-    """The codegen integer-dot chain (dim passed) is row-identical to the
-    interpreted zip_with/aggregate fold — integer addition is associative,
-    so any summation order gives the same qdot."""
-    from fastembed_rs_spark.operators.quantize import int8_quant_top_k
-
-    df, vecs = vec_df
-    dim = len(vecs[0])
-    qs = df.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    fold_df = int8_quant_top_k(qs, df, k=5)
-    fixed_df = int8_quant_top_k(qs, df, k=5, dim=dim)
-    # same schema too — a float-seeded chain would silently widen qdot
-    # to double (equal values, different oracle hash)
-    assert fixed_df.schema["qdot"].dataType == fold_df.schema["qdot"].dataType
-    canon = lambda rows: sorted(map(tuple, rows))  # noqa: E731
-    assert canon(fixed_df.collect()) == canon(fold_df.collect())
-
-
 def test_mrl_truncate_prefix(spark, vec_df):
     from fastembed_rs_spark.operators.quantize import mrl_truncate
 
