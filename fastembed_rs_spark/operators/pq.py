@@ -487,6 +487,10 @@ def rq_encode(
             .alias("__r"),
             *([F.col("__b.__d2").alias("d2_1")] if keep_error else []),
         )
+        # EAGER checkpoint: a1 feeds the level-2 codebook (which the ADC
+        # search's LUT consumes again) AND the level-2 assignment —
+        # without it the whole level-1 encode re-runs per consumer
+        .localCheckpoint()
     )
     b2 = a1.filter((F.col(id_col) % every2 == 0) & bound).select(
         F.col(id_col).alias("c2_id"), F.col("__r").alias("c2_vec")
