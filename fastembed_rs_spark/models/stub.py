@@ -44,7 +44,11 @@ class StubTokenizer:
 
     def __init__(self, vocab_size: int, max_length: int = 512, padding_side: str = "right"):
         self.vocab_size = max(vocab_size, 4)
-        self.max_length = max_length
+        # floor at 1: encode_batch truncates tokens with
+        # [: max_length - 1], and a non-positive max_length would make
+        # that a NEGATIVE slice (all-but-last token) instead of the
+        # empty sequence the old token_ids()[:max_length] semantics gave
+        self.max_length = max(max_length, 1)
         self.padding_side = padding_side
 
     def token_ids(self, text: str) -> list[int]:

@@ -50,7 +50,11 @@ from fastembed_rs_spark.operators.components import (
     component_summary,
     connected_components,
 )
-from fastembed_rs_spark.operators.ivf_index import _fs, _read_text
+from fastembed_rs_spark.operators.ivf_index import (
+    _create_file,
+    _fs,
+    _read_text,
+)
 
 
 def build_curation_store(
@@ -122,7 +126,11 @@ def build_curation_store(
     # write drained all 32 pickled local partitions sequentially in ONE
     # task: measured ~6 s per write at local[32])
     fs, hpath = _fs(spark, path)
-    out = fs.create(hpath(f"{path}/manifest"), True)
+    # _create_file (not bare fs.create) so rebuilding in place over a
+    # pre-r10 store — whose manifest is a parquet DIRECTORY that
+    # create(overwrite) cannot replace — succeeds instead of throwing
+    # after pairs/labels/reps were already overwritten
+    out = _create_file(fs, hpath(f"{path}/manifest"))
     try:
         out.write(bytearray(json.dumps(manifest).encode()))
     finally:

@@ -48,6 +48,22 @@ def _fs(spark: SparkSession, path: str):
     return fs, hpath
 
 
+def _create_file(fs, p):
+    """``fs.create(p, overwrite=True)`` that also survives ``p`` being a
+    DIRECTORY (a pre-r10 1-row parquet manifest, or the ``*_tmp`` left by
+    a crashed old-format write): Hadoop's create-with-overwrite replaces
+    files only and throws on a directory, which would brick every
+    subsequent manifest write over an old-format store until manually
+    cleaned. The read side already handles the old directory format; this
+    makes the write side symmetrical."""
+    try:
+        if fs.getFileStatus(p).isDirectory():
+            fs.delete(p, True)
+    except Exception:  # noqa: BLE001 — not found ⇒ nothing to clear
+        pass
+    return fs.create(p, True)
+
+
 def _read_text(spark: SparkSession, fs, p) -> str:
     """Read a small FS file fully, ALWAYS closing the stream —
     commons-io ``IOUtils.toString(InputStream)`` does not close its
@@ -403,7 +419,7 @@ def _write_manifest(spark: SparkSession, path: str, row: tuple) -> None:
     payload = json.dumps(dict(zip(_MANIFEST_KEYS, row)))
     fs, hpath = _fs(spark, path)
     tmp = hpath(f"{path}/manifest_tmp")
-    out = fs.create(tmp, True)
+    out = _create_file(fs, tmp)
     try:
         out.write(bytearray(payload.encode()))
     finally:
@@ -411,7 +427,12 @@ def _write_manifest(spark: SparkSession, path: str, row: tuple) -> None:
     dst = hpath(f"{path}/manifest")
     if fs.exists(dst):
         fs.delete(dst, True)
-    fs.rename(tmp, dst)
+    if not fs.rename(tmp, dst):
+        raise IOError(
+            f"manifest commit failed: rename {path}/manifest_tmp -> "
+            f"{path}/manifest returned false (completed tmp left in "
+            f"place — _read_manifest recovers it on next load)"
+        )
 
 
 def _load_manifest_dict(spark: SparkSession, path: str) -> dict:

@@ -155,10 +155,21 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("k"))
         .localCheckpoint()  # feeds the LM marginals AND the scoring join
     )
-    c2 = bper.groupBy("w1", "w2").agg(F.sum("k").cast("double").alias("c2"))
-    c1m = bper.groupBy("w1").agg(F.sum("k").cast("double").alias("c1"))
-    c2m = bper.groupBy("w2").agg(F.sum("k").cast("double").alias("cm"))
-    n2 = bper.agg(F.sum("k").cast("double").alias("n"))
+    # bigram TYPE counts, materialized once (EAGER — c1m, c2m, n2 and the
+    # scoring join all read it): the three LM marginals are sums of c2,
+    # so they aggregate the vocab²-sized type table instead of re-scanning
+    # the corpus-sized per-doc table 3× (VERDICT r10 #2, the psi_drift
+    # derive-from-the-marginal move). Values are exact: c2 is an integer
+    # count in a double, and partial double sums of integers < 2^53 are
+    # associative.
+    c2 = (
+        bper.groupBy("w1", "w2")
+        .agg(F.sum("k").cast("double").alias("c2"))
+        .localCheckpoint()
+    )
+    c1m = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    c2m = c2.groupBy("w2").agg(F.sum("c2").alias("cm"))
+    n2 = c2.agg(F.sum("c2").alias("n"))
     scored = (
         c2.join(F.broadcast(c1m), "w1")
         .join(F.broadcast(c2m), "w2")
@@ -571,23 +582,33 @@ FROM sc GROUP BY doc_id
     "trigrams actually occur. Unlike bigram_surprisal's interpolation this "
     "is the sparse-count regime: the trigram/bigram type tables join the "
     "per-doc types by key (shuffle joins — at 100 TB they outgrow "
-    "broadcast by design); unigram marginal + N broadcast. Per-doc trigram "
-    "types materialize ONCE (localCheckpoint) and feed nothing else — the "
-    "LM side derives from the train split only",
+    "broadcast by design); unigram marginal + N broadcast. The corpus is "
+    "scanned ONCE: a NULL-padded (w1,w2,w3) position stream carries all "
+    "three n-gram orders, the per-doc padded counts materialize once "
+    "(localCheckpoint), and trigram/bigram/unigram/N tables are bounded "
+    "aggregates of that table",
 )
 def q_backoff_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fastembed_rs_spark.functions.text import tokens as sp_tokens
 
     docs = t(spark, sf_dir, "documents")
     tk = sp_tokens("text")
-    n3 = F.greatest(F.size(tk) - 2, F.lit(0))
-    tri = docs.select(
+    # ONE corpus scan for the whole n-gram family (VERDICT r10 #2 — the
+    # old shape exploded the corpus separately for trigrams, bigrams and
+    # unigrams: 6 parquet scans in the final plan). One NULL-padded
+    # position stream (w_i, w_{i+1}, w_{i+2}) — arrays_zip pads the
+    # shorter slices with NULL to the longest (= L) — carries all three
+    # orders: position i is a unigram always, a bigram iff w2 is not
+    # null (i ≤ L-1), a trigram iff w3 is not null (i ≤ L-2). Docs with
+    # L=0 produce no rows (explode of an empty zip), exactly like the
+    # old explode(tk).
+    stream = docs.select(
         "doc_id",
         F.explode(
             F.arrays_zip(
-                F.slice(tk, 1, n3).alias("w1"),
-                F.slice(tk, 2, n3).alias("w2"),
-                F.slice(tk, 3, n3).alias("w3"),
+                tk.alias("w1"),
+                F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))).alias("w2"),
+                F.slice(tk, 3, F.greatest(F.size(tk) - 2, F.lit(0))).alias("w3"),
             )
         ).alias("p"),
     ).select(
@@ -596,31 +617,45 @@ def q_backoff_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.w2").alias("w2"),
         F.col("p.w3").alias("w3"),
     )
-    n2 = F.greatest(F.size(tk) - 1, F.lit(0))
-    big = docs.filter(F.col("doc_id") % 2 == 0).select(
-        F.explode(
-            F.arrays_zip(F.slice(tk, 1, n2).alias("wa"), F.slice(tk, 2, n2).alias("wb"))
-        ).alias("p")
-    ).select(F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb"))
-    uni = docs.filter(F.col("doc_id") % 2 == 0).select(
-        F.explode(tk).alias("w")
-    )
-
-    c3g = (
-        tri.filter(F.col("doc_id") % 2 == 0)
-        .groupBy("w1", "w2", "w3")
-        .agg(F.count(F.lit(1)).cast("double").alias("c123"))
-    )
-    c2g = big.groupBy("wa", "wb").agg(F.count(F.lit(1)).cast("double").alias("c"))
-    c1g = uni.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c"))
-    nn = uni.agg(F.count(F.lit(1)).cast("double").alias("n"))
-
-    per = (
-        tri.filter(F.col("doc_id") % 2 == 1)
-        .groupBy("doc_id", "w1", "w2", "w3")
+    # per-doc padded-trigram counts over ALL docs: the only corpus-sized
+    # shuffle, materialized once. Grouping keys include the NULL-padded
+    # tails, so every n-gram order is a bounded aggregate of this table.
+    grouped = (
+        stream.groupBy("doc_id", "w1", "w2", "w3")
         .agg(F.count(F.lit(1)).alias("k"))
         .localCheckpoint()
     )
+    even = grouped.filter(F.col("doc_id") % 2 == 0)
+
+    c3g = (
+        even.filter(F.col("w3").isNotNull())
+        .groupBy("w1", "w2", "w3")
+        .agg(F.sum("k").cast("double").alias("c123"))
+    )
+    # bigram counts = the (w1, w2) prefix of every position with a
+    # second word; EAGER checkpoint — c12 and c23 both read it
+    c2g = (
+        even.filter(F.col("w2").isNotNull())
+        .groupBy(F.col("w1").alias("wa"), F.col("w2").alias("wb"))
+        .agg(F.sum("k").cast("double").alias("c"))
+        .localCheckpoint()
+    )
+    # unigram counts = every position's w1; N = Σ unigram counts (the
+    # psi_drift move: the grand total derives from the marginal instead
+    # of a separate corpus pass). EAGER checkpoint — cu2, cu3 and nn all
+    # read it.
+    c1g = (
+        even.groupBy(F.col("w1").alias("w"))
+        .agg(F.sum("k").cast("double").alias("c"))
+        .localCheckpoint()
+    )
+    # coalesce keeps the old count(*) = 0 semantics on an empty train half
+    # (SUM over zero rows is NULL, COUNT is 0)
+    nn = c1g.agg(F.coalesce(F.sum("c"), F.lit(0.0)).alias("n"))
+
+    per = grouped.filter(
+        (F.col("doc_id") % 2 == 1) & F.col("w3").isNotNull()
+    ).select("doc_id", "w1", "w2", "w3", "k")
     c12 = c2g.select(F.col("wa").alias("w1"), F.col("wb").alias("w2"), F.col("c").alias("c12"))
     c23 = c2g.select(F.col("wa").alias("w2"), F.col("wb").alias("w3"), F.col("c").alias("c23"))
     cu2 = c1g.select(F.col("w").alias("w2"), F.col("c").alias("c2"))

@@ -78,6 +78,16 @@ def test_verify_candidates_fast_matches_expression(spark, docs):
     assert _rows(fast) == _rows(slow)
 
 
+def test_simhash_fast_matches_expression(spark, docs):
+    """The q_simhash golden path: the NumPy kernel is bit-exact vs the
+    interpreted aggregate/zip_with fold it replaced (ADVICE r10 — the
+    bundle test only compares the fused kernel against a standalone copy
+    of the same kernel, which cannot catch a kernel-vs-expression drift)."""
+    slow = docs.select("doc_id", D.simhash("text").alias("simhash"))
+    fast = FT.simhash_fast(docs, "doc_id", "text")
+    assert _rows(fast) == _rows(slow)
+
+
 def test_minhash_bundle_fast_matches_standalone_kernels(spark, docs):
     """Every bundle column is value-identical to its standalone kernel:
     mh_* (NULL rows <-> missing signature rows), shingles, simhash."""
