@@ -6,9 +6,11 @@ dedup pipeline actually deletes against.
 Algorithm: min-label propagation + pointer jumping. Every node starts
 labeled with itself; each hop every node takes the min label among itself
 and its neighbours (the symmetric edge set carries self-loops, so "itself"
-rides the same join — no separate union branch); after the hops each node
-additionally shortcuts to its label's label (``comp ← comp(comp)``, the
-path-doubling step of Shiloach–Vishkin-style CC). Fixpoint = components
+rides the same join — no separate union branch); between hop blocks each
+node additionally shortcuts to its label's label (``comp ← comp(comp)``,
+the path-doubling step of Shiloach–Vishkin-style CC, run at the START of
+the following round so its self-join reads the checkpointed frame instead
+of re-deriving the hop chain on both join sides). Fixpoint = components
 labeled by their minimum member id. Plain propagation needs
 diameter-many hops (embedding near-dup graphs at loose thresholds grow
 chains — measured diameter ~18 at sf0.1); the jump step compresses the
@@ -78,17 +80,25 @@ def connected_components(
                 f"connected_components needs integral node ids; column {c!r} "
                 f"is {dts.get(c)!r} — map string keys to dense/hashed longs first"
             )
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    both = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    # self-loops: every node's own label rides the propagation join, so the
-    # per-hop plan is join + groupBy with no separate union-of-labels branch
-    sym = both.union(
-        both.select(F.col("a"), F.col("a").alias("b"))
-    ).distinct()
-    sym = sym.localCheckpoint()
+    # Materialize the RAW pair plan exactly once: the symmetric edge set
+    # below consumes it through two union branches, and Catalyst performs
+    # no common-subexpression elimination across union arms — without this
+    # checkpoint an expensive pair generator (a dedup join+agg pipeline)
+    # executes TWICE inside sym's materialization, with only a partial
+    # ReusedExchange rescue. The driver tier also gates/collects on this
+    # frame directly, so the small-graph path never pays the
+    # union+distinct shuffle that builds sym at all.
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint()
 
-    if collect_threshold and sym.count() <= collect_threshold:
-        pair_rows = sym.collect()
+    # Driver tier gate on the RAW pair count (the docstring's "edge set"):
+    # union-find over raw pairs is label-identical to union-find over the
+    # symmetrized self-looped set (each (a,b) unions the same two trees;
+    # duplicates and orientation are no-ops; the node set is exactly the
+    # pair endpoints either way), so the sym shuffle is pure overhead here.
+    if collect_threshold and e.count() <= collect_threshold:
+        pair_rows = e.collect()
         parent: dict = {}
 
         def find(x):
@@ -109,6 +119,14 @@ def connected_components(
         return local_table(
             edges.sparkSession, labels, f"node {node_type}, comp {node_type}"
         )
+
+    both = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # self-loops: every node's own label rides the propagation join, so the
+    # per-hop plan is join + groupBy with no separate union-of-labels branch
+    sym = both.union(
+        both.select(F.col("a"), F.col("a").alias("b"))
+    ).distinct()
+    sym = sym.localCheckpoint()
 
     # LAZY checkpoint + probe: the Σcomp aggregate is the first action on
     # the checkpointed frame, so ONE job both materializes the labels and
@@ -140,10 +158,21 @@ def connected_components(
             F.coalesce(F.least("comp", "__c2"), F.col("comp")).alias("comp"),
         )
 
-    for _ in range(max_iter):
+    # The jump runs at the START of the next round, on the CHECKPOINTED
+    # frame: self-joining the un-checkpointed 3-hop propagate chain made
+    # both join sides re-derive the hop joins inside each round's
+    # materialization (only partially rescued by ReusedExchange). The
+    # operator stream is the same (… P P P | J P P P | …, checkpoint
+    # moved before the J instead of after), so the fixpoint is unchanged:
+    # comp values only ever decrease under both P and J, hence an
+    # unchanged Σcomp between consecutive probes still proves every
+    # operator in between changed nothing — a P-fixpoint — and a
+    # P-fixpoint with self-loops is exactly the min-id component labeling.
+    for rnd in range(max_iter):
+        if rnd:
+            labels = _jump(labels)
         for _hop in range(hops_per_round):
             labels = _propagate(labels)
-        labels = _jump(labels)
         labels = labels.localCheckpoint(eager=False)
         cur_sum = labels.agg(pot).collect()[0][0]
         if cur_sum == prev_sum:

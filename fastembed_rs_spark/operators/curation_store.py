@@ -144,14 +144,28 @@ class CurationStore:
     path: str
     manifest: dict
 
+    def _table(self, name: str) -> DataFrame:
+        # One spark.read.parquet per store table per CurationStore,
+        # memoized: every read triggers a schema-inference/listing job,
+        # and audit-style callers touch labels 4x / pairs 2x / reps 2x —
+        # measured ~10 construction-time jobs for the four consumers,
+        # ~3 with the memo. Stores are immutable (manifest-last commit;
+        # rebuild-to-refresh), so a cached frame can never go stale.
+        # frozen=True only overrides __setattr__; writing through
+        # __dict__ keeps the dataclass immutable surface intact.
+        cache = self.__dict__.setdefault("_frames", {})
+        if name not in cache:
+            cache[name] = self.spark.read.parquet(f"{self.path}/{name}")
+        return cache[name]
+
     def pairs(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/pairs").drop("pbucket")
+        return self._table("pairs").drop("pbucket")
 
     def labels(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/labels").drop("pbucket")
+        return self._table("labels").drop("pbucket")
 
     def reps(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/reps")
+        return self._table("reps")
 
     def members(self) -> DataFrame:
         """(node, component, cluster_size) — the ``component_summary``
