@@ -1297,12 +1297,24 @@ def retrain_ivf_index(
     assigned = assign_ivf_buckets_fast(
         corpus, centroids, id_col=id_col, vec_col=vec_col
     )
-    (
-        assigned.repartition("centroid_id")
-        .write.mode("overwrite").partitionBy("centroid_id")
-        .parquet(f"{path}/corpus_tmp")
-    )
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids_tmp")
+    # the two tmp-generation writes are independent (different dirs, both
+    # must complete before the marker) — overlap them exactly as
+    # build_ivf_index does, so the tiny centroid write back-fills the
+    # corpus write's straggler tail (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_corpus = pool.submit(
+            lambda: assigned.repartition("centroid_id")
+            .write.mode("overwrite").partitionBy("centroid_id")
+            .parquet(f"{path}/corpus_tmp")
+        )
+        fut_cent = pool.submit(
+            lambda: centroids.write.mode("overwrite")
+            .parquet(f"{path}/centroids_tmp")
+        )
+        fut_corpus.result()
+        fut_cent.result()
 
     fs, hpath = _fs(spark, path)
     _write_retrain_marker(spark, path, iters, seed)

@@ -103,11 +103,41 @@ def gen_embeddings() -> None:
     )
 
 
+def gen_lineitem() -> None:
+    """10 disjoint copies of the co-purchase graph: every copy offsets
+    BOTH l_orderkey and l_partkey past the original key ranges, so each
+    copy contributes an isomorphic, node-disjoint replica of the basket
+    graph — 10x edges, 10x components, identical degree distribution
+    (the honest way to scale graph queries: replicating rows verbatim
+    would only multiply each pair's support, leaving the graph
+    unchanged, and replicating only orders would densify it). Columns
+    other than the two keys are copied verbatim (graph queries read only
+    the keys; the full schema keeps the sf1 table read-compatible)."""
+    t = pq.read_table(f"{SRC}/lineitem.parquet")
+    okey = t.column("l_orderkey").to_numpy()
+    pkey = t.column("l_partkey").to_numpy()
+    o_span = int(okey.max()) + 1
+    p_span = int(pkey.max()) + 1
+    chunks = []
+    for k in range(COPIES):
+        c = t.set_column(
+            t.schema.get_field_index("l_orderkey"), "l_orderkey",
+            pa.array(okey + o_span * k, pa.int64()),
+        )
+        c = c.set_column(
+            c.schema.get_field_index("l_partkey"), "l_partkey",
+            pa.array(pkey + p_span * k, pa.int64()),
+        )
+        chunks.append(c)
+    pq.write_table(pa.concat_tables(chunks), f"{DST}/lineitem.parquet")
+
+
 def main() -> int:
     os.makedirs(DST, exist_ok=True)
     gen_documents()
     gen_embeddings()
-    for f in ("documents", "embeddings"):
+    gen_lineitem()
+    for f in ("documents", "embeddings", "lineitem"):
         p = f"{DST}/{f}.parquet"
         print(f"{p}: {pq.read_metadata(p).num_rows} rows, "
               f"{os.path.getsize(p) / 1e6:.1f} MB")

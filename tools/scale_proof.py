@@ -96,6 +96,11 @@ QUERIES = [
     "index_repair_audit",
     "index_retrain_compact_audit",
     "curation_store_audit",
+    # r11 addition: the basket-graph peel (VERDICT r10 #4) — the sf1
+    # fixture now carries a 10x lineitem of node-disjoint graph replicas
+    # (gen_scale_fixture.gen_lineitem), so kcore's ratio measures the
+    # peel shape, not a support-inflated copy of the same graph
+    "graph_kcore",
 ]
 
 MARKER = "## sf1 scale proof"
