@@ -102,17 +102,20 @@ def build_curation_store(
     reps = stored_labels.groupBy(F.col("comp").alias("component")).agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
-    reps.write.mode("overwrite").parquet(f"{path}/reps")
-    # three independent parquet-footer counts — run them concurrently so
-    # the wall-clock is one job, not three (guide §2.6 overlap)
+    # once the labels are durable, THREE jobs are independent: the reps
+    # write (reads stored labels) and the pairs/labels parquet-footer
+    # counts — overlap them, chaining only the reps count behind the reps
+    # write it verifies (guide §2.6; was reps write, THEN 3 counts)
     from concurrent.futures import ThreadPoolExecutor
 
+    def _reps_write_then_count() -> int:
+        reps.write.mode("overwrite").parquet(f"{path}/reps")
+        return spark.read.parquet(f"{path}/reps").count()
+
     with ThreadPoolExecutor(max_workers=3) as pool:
+        fut_c = pool.submit(_reps_write_then_count)
         fut_p = pool.submit(stored_pairs.count)
         fut_n = pool.submit(stored_labels.count)
-        fut_c = pool.submit(
-            lambda: spark.read.parquet(f"{path}/reps").count()
-        )
         manifest = {
             "n_pairs": fut_p.result(),
             "n_nodes": fut_n.result(),
@@ -157,6 +160,28 @@ class CurationStore:
         if name not in cache:
             cache[name] = self.spark.read.parquet(f"{self.path}/{name}")
         return cache[name]
+
+    def prewarm(self) -> "CurationStore":
+        """Populate the per-table memo with one CONCURRENT schema read per
+        store table (guide §2.6): a multi-consumer caller (the audit) pays
+        one overlapped round of the three schema-inference jobs instead of
+        three sequential ones. Futures resolve on the calling thread, so
+        the memo dict is only ever written serially."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        cache = self.__dict__.setdefault("_frames", {})
+        todo = [n for n in ("pairs", "labels", "reps") if n not in cache]
+        if todo:
+            with ThreadPoolExecutor(max_workers=len(todo)) as pool:
+                futs = [
+                    (n, pool.submit(
+                        self.spark.read.parquet, f"{self.path}/{n}"
+                    ))
+                    for n in todo
+                ]
+                for n, fut in futs:
+                    cache[n] = fut.result()
+        return self
 
     def pairs(self) -> DataFrame:
         return self._table("pairs").drop("pbucket")

@@ -2533,7 +2533,7 @@ def q_curation_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs, path, generator="jaccard_adaptive n=3 t=0.5",
             collect_threshold=1_000_000,
         )
-        store = load_curation_store(spark, path)
+        store = load_curation_store(spark, path).prewarm()
         m = store.members()
         pr = cluster_profile_from_store(store, docs)
         soft = soft_dedup_weights_from_store(
