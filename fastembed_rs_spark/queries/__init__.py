@@ -646,13 +646,29 @@ def _last_driver_round() -> dict[str, int]:
 #: CORRECTNESS round — sorted ahead of even never-seen queries so the
 #: driver's ~50-row window re-verifies them THIS round. Refresh per round.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # r10: new query (never-seen key -2 anyway; listed for the audit trail)
+    # r11: LM n-gram family fused to one corpus scan / marginals derived
+    # from the checkpointed type table
+    "backoff_trigram_score",
+    "bigram_surprisal",
+    # r11: connected_components driver-tier gate + jump fold touch every
+    # CC-family consumer; the gram-id assignment moved inside the dedup
+    # checkpoint touches the prefix-jaccard family
+    "neardup_components",
+    "semantic_dedup",
+    "corpus_curation",
+    "dedup_keep_best",
+    "duplicate_cluster_profile",
+    "leakage_safe_split",
+    "soft_dedup_weights",
+    "cross_source_contamination",
+    "split_leakage_report",
+    "jaccard_prefix_neardup",
+    "jaccard_adaptive_neardup",
+    "ngram_jaccard_neardup",
+    "containment_neardup",
+    # r11: store build/read overlap (prewarm, reps-write ∥ counts) and the
+    # retrain tmp-write overlap — re-verify the audits that drive them
     "curation_store_audit",
-    # r10: append_ivf_index column-set guard changed the lifecycle batch;
-    # audit_ivf_index collapsed its per-check jobs into two shared
-    # aggregates (same report rows) — re-verify all three lifecycle arms
-    "index_lifecycle_audit",
-    "index_repair_audit",
     "index_retrain_compact_audit",
 )
 
